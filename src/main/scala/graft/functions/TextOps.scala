@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the dedup / text-analysis
+  * operators. Everything here composes Spark built-ins (codegen'd or
+  * higher-order expressions) — no UDFs — and every function that feeds a
+  * DuckDB oracle has an exact SQL twin (identical md5 / integer
+  * arithmetic on both engines).
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped. Mirrors the oracle's
+    * `list_filter(string_split(text, ' '), x -> x <> '')`. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Word k-shingles (k consecutive tokens joined by a space), distinct.
+    * Empty array when the doc has fewer than k tokens. */
+  def shingles(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    array_distinct(
+      when(n < k, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), n - k), i =>
+          concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+  }
+
+  /** Portable 60-bit string hash: first 15 hex chars of md5, as a long.
+    * Identical in DuckDB: `('0x' || substr(md5(s), 1, 15))::BIGINT`.
+    * (md5 is bytewise-identical across engines; 15 hex chars keep the
+    * value positive and overflow-free in 64-bit arithmetic.) */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Mersenne prime modulus for the MinHash permutation family. */
+  val MinHashPrime: Long = 2147483647L
+
+  /** Deterministic permutation constants (Knuth multiplicative step) —
+    * inlined as literals into both the Spark plan and the oracle SQL. */
+  def permA(i: Int): Long = (1L + i.toLong * 2654435761L) % MinHashPrime
+  def permB(i: Int): Long = (7L + i.toLong * 40503L) % MinHashPrime
+
+  /** i-th MinHash permutation of a base hash: (a_i * (h % p) + b_i) % p.
+    * All intermediates < 2^62, so 64-bit arithmetic is exact on both
+    * engines. */
+  def permute(h: Column, i: Int): Column =
+    (lit(permA(i)) * (h % MinHashPrime) + lit(permB(i))) % MinHashPrime
+}

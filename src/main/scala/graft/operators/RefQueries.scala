@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** The four reference query shapes (SURVEY.md §2.8) re-expressed
+  * Spark-first over the harness fixtures (FIXTURES.md §C), plus the
+  * reference's EDA aggregates.
+  *
+  * Scale design (SURVEY.md §4): each query plans as
+  *   `Scan(pruned, filters pushed) → partial HashAggregate → Exchange →
+  *    final HashAggregate → TakeOrderedAndProject(k)`
+  * — one shuffle total, k rows to the driver. The reference needed two
+  * MapReduce jobs + an HDFS barrier for the same shape
+  * (`Query 1a/TopKNetProfitDriver.java:211-244`).
+  *
+  * Money sums use exact DECIMAL arithmetic (inputs have 2-4 decimal
+  * digits) so results are independent of partition/merge order and
+  * bit-identical to the DuckDB oracle — double summation order would
+  * otherwise make the hash compare flaky (SURVEY.md §7 "What's hard" #4).
+  */
+object RefQueries {
+
+  /** Exact money expression: decimal(18,4) product, summed exactly,
+    * rounded to cents. Deterministic under any aggregation order. */
+  def revenueDec(price: Column, discount: Column): Column =
+    sum(price.cast(DecimalType(18, 4)) * (lit(1) - discount).cast(DecimalType(18, 4)))
+      .cast(DecimalType(38, 2))
+
+  private def sumDec(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DecimalType(38, 2))
+
+  /** Q1a shape (`Query 1a/TopKNetProfitDriver.java:38-198`): top-K keys
+    * by SUM(measure) within a date range, descending, with a
+    * deterministic tiebreak. */
+  def q1aTopRevenue(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate").between(lit("1996-01-01"), lit("1997-12-31 23:59:59"))
+        && col("l_suppkey").isNotNull && col("l_shipdate").isNotNull
+        && col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
+      .groupBy(col("l_suppkey"))
+      .agg(revenueDec(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_suppkey").asc)
+      .limit(k)
+  }
+
+  val q1aSql: String =
+    """SELECT l_suppkey,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31 23:59:59'
+      |  AND l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+      |  AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+      |GROUP BY l_suppkey
+      |ORDER BY revenue DESC, l_suppkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** Q1b shape (`Query 1b/TopKSoldItemsDriver.java:36-189`): long-sum
+    * variant — top-K parts by total quantity. l_quantity is
+    * integer-valued, so a double sum is exact and order-independent. */
+  def q1bTopQuantity(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate").between(lit("1996-01-01"), lit("1997-12-31 23:59:59"))
+        && col("l_partkey").isNotNull && col("l_quantity").isNotNull)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("num_sold"))
+      .orderBy(col("num_sold").desc, col("l_partkey").asc)
+      .limit(k)
+  }
+
+  val q1bSql: String =
+    """SELECT l_partkey, SUM(l_quantity) AS num_sold
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31 23:59:59'
+      |  AND l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+      |GROUP BY l_partkey
+      |ORDER BY num_sold DESC, l_partkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** Q1c shape (`Query 1c/TopKNetProfitByDateDriver.java:38-190`):
+    * date-keyed variant — top-K ship dates by revenue. */
+  def q1cRevenueByDate(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate").between(lit("1996-06-01"), lit("1996-12-31 23:59:59"))
+        && col("l_shipdate").isNotNull
+        && col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
+      .groupBy(col("l_shipdate"))
+      .agg(revenueDec(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_shipdate").asc)
+      .limit(k)
+  }
+
+  val q1cSql: String =
+    """SELECT l_shipdate,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01' AND TIMESTAMP '1996-12-31 23:59:59'
+      |  AND l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+      |GROUP BY l_shipdate
+      |ORDER BY revenue DESC, l_shipdate ASC
+      |LIMIT 10""".stripMargin
+
+  /** Q2 shape (`Query 2/TopKStoreProfitEmployeesDriver.java:111-331`):
+    * aggregate ⋈ dimension with outer-join null repair —
+    * per-supplier revenue RIGHT OUTER JOIN supplier, COALESCE(rev, 0),
+    * first K suppliers ascending by key.
+    *
+    * Spark-first: the aggregate side is tiny (≤ #suppliers rows) so it is
+    * explicitly broadcast — the reference needed a full reduce-side
+    * shuffle join plus a third MapReduce job for the ordering
+    * (`Query 2/TopKStoreProfitEmployeesDriver.java:289-331`); here the
+    * only exchange is the one under the aggregate. */
+  def q2SupplierRevenueJoin(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate").between(lit("1996-01-01"), lit("1997-12-31 23:59:59"))
+        && col("l_suppkey").isNotNull
+        && col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
+      .groupBy(col("l_suppkey"))
+      .agg(revenueDec(col("l_extendedprice"), col("l_discount")).as("rev"))
+    val supp = Tables.supplier(spark, sfDir)
+      .where(col("s_acctbal").isNotNull)
+      .select(col("s_suppkey"), col("s_acctbal"))
+    // supplier LEFT OUTER JOIN broadcast(agg) ≡ agg RIGHT OUTER JOIN supplier,
+    // but lets the small aggregate be the broadcast build side.
+    supp.join(broadcast(rev), supp("s_suppkey") === rev("l_suppkey"), "left_outer")
+      .select(
+        col("s_suppkey"),
+        coalesce(col("rev"), lit(0).cast(DecimalType(38, 2))).as("revenue"),
+        col("s_acctbal"))
+      .orderBy(col("s_suppkey").asc)
+      .limit(k)
+  }
+
+  val q2Sql: String =
+    """SELECT b.s_suppkey,
+      |       COALESCE(a.rev, CAST(0 AS DECIMAL(38,2))) AS revenue,
+      |       b.s_acctbal
+      |FROM (SELECT l_suppkey,
+      |             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS rev
+      |      FROM lineitem
+      |      WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31 23:59:59'
+      |        AND l_suppkey IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+      |      GROUP BY l_suppkey) a
+      |RIGHT OUTER JOIN (SELECT s_suppkey, s_acctbal FROM supplier WHERE s_acctbal IS NOT NULL) b
+      |  ON a.l_suppkey = b.s_suppkey
+      |ORDER BY b.s_suppkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** EDA aggregates (CS346 Report.pdf §3.2-3.3, SURVEY.md §2.3 A3):
+    * COUNT(*), MIN/MAX bounds, distinct cardinalities. */
+  def edaLineitemStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("l_shipdate")).as("min_shipdate"),
+      max(col("l_shipdate")).as("max_shipdate"),
+      countDistinct(col("l_suppkey")).as("n_suppliers"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_shipdate")).as("n_dates"))
+  }
+
+  val edaSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |       MIN(l_shipdate) AS min_shipdate,
+      |       MAX(l_shipdate) AS max_shipdate,
+      |       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |       COUNT(DISTINCT l_partkey) AS n_parts,
+      |       COUNT(DISTINCT l_shipdate) AS n_dates
+      |FROM lineitem""".stripMargin
+
+  /** Pricing summary (TPC-H Q1 shape): the A1/A2/A3 aggregate battery
+    * grouped by the low-cardinality flag columns. Partial (map-side)
+    * aggregation makes the shuffle O(#groups), the Spark analogue of the
+    * reference's combiner (`Query 1a/TopKNetProfitDriver.java:214`). */
+  def aggPricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sumDec(col("l_extendedprice")).as("sum_base_price"),
+        revenueDec(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+  }
+
+  val aggPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       SUM(l_quantity) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS sum_base_price,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS sum_disc_price,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag ASC, l_linestatus ASC""".stripMargin
+}

@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Typed loaders for the harness parquet fixtures plus the reference's
+  * pipe-delimited external-table format (SURVEY.md §1.1, §2.1 S1/S6:
+  * `Query 1a/TopKNetProfitDriver.java:61` splits rows on `|`;
+  * Software Documentation.pdf gives the Hive `row format delimited
+  * fields terminated by '|'` DDL).
+  *
+  * Scale notes: parquet scans get column pruning + predicate pushdown
+  * from Catalyst for free; partition-size is governed by
+  * `spark.sql.files.maxPartitionBytes` (the Spark analogue of the
+  * reference's `FileInputFormat.setMinInputSplitSize`,
+  * `Query 1a/TopKNetProfitDriver.java:219-225`).
+  */
+object Tables {
+
+  val fixtureNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet loader for a harness fixture table. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** lineitem schema for the pipe-delimited text path (format parity with
+    * the reference's schema-on-read external tables, SURVEY.md §1.5). */
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  /** S1/S6: read a pipe-delimited text "external table" with a typed
+    * schema. PERMISSIVE mode turns malformed cells into nulls, which a
+    * downstream `isNotNull` filter then drops — the HiveQL semantics the
+    * survey picks as the spec for dirty rows (SURVEY.md §1.4). */
+  def readPipeDelimited(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("sep", "|")
+      .option("mode", "PERMISSIVE")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .schema(schema)
+      .csv(path)
+
+  /** S4 analogue: pipe-delimited text sink. */
+  def writePipeDelimited(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("sep", "|")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
+  /** S4: tab-separated text sink (the reference's inter-job format,
+    * `Query 1a/TopKNetProfitDriver.java:131,228`). */
+  def writeTabText(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("sep", "\t").csv(path)
+
+  /** S5: gzip-compressed sink (`Query 1b/TopKSoldItemsDriver.java:216`). */
+  def writeGzip(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("sep", "\t").option("compression", "gzip").csv(path)
+
+  /** S2 analogue: scan partition-size control. On a real cluster this
+    * bounds bytes-per-task like the reference's min-split tuning. */
+  def withMaxPartitionBytes[A](spark: SparkSession, bytes: Long)(body: => A): A = {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, bytes.toString)
+    try body finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+}
