@@ -38,7 +38,7 @@ object VectorOps {
   def hyperplaneSignBit(vec: Column, plane: Int): Column = {
     val proj = aggregate(
       zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-        when(pmod(xxhash64(lit(plane), i), 2) === 0, x.cast("double"))
+        when(pmod(xxhash64(lit(plane), i), lit(2)) === 0, x.cast("double"))
           .otherwise(-x.cast("double"))),
       lit(0.0), (acc, x) => acc + x)
     when(proj >= 0.0, 1L).otherwise(0L)

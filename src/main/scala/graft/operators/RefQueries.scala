@@ -16,21 +16,40 @@ import graft.sources.Tables
   * MapReduce jobs + an HDFS barrier for the same shape
   * (`Query 1a/TopKNetProfitDriver.java:211-244`).
   *
-  * Money sums use exact DECIMAL arithmetic (inputs have 2-4 decimal
-  * digits) so results are independent of partition/merge order and
-  * bit-identical to the DuckDB oracle — double summation order would
-  * otherwise make the hash compare flaky (SURVEY.md §7 "What's hard" #4).
+  * Money arithmetic is exact integer fixed-point: prices/discounts carry
+  * exactly 2 decimal digits, so `round(x*100)` is an unambiguous integer
+  * on any engine; per-row products are integers; the sum accumulates in
+  * DECIMAL(38,0) (no overflow even at 10^12 rows); and the final value is
+  * ONE correctly-rounded IEEE division — so results are independent of
+  * partition/merge order and bit-identical to the DuckDB oracle
+  * (SURVEY.md §7 "What's hard" #4; double summation order would
+  * otherwise make the hash compare flaky).
   */
 object RefQueries {
 
-  /** Exact money expression: decimal(18,4) product, summed exactly,
-    * rounded to cents. Deterministic under any aggregation order. */
-  def revenueDec(price: Column, discount: Column): Column =
-    sum(price.cast(DecimalType(18, 4)) * (lit(1) - discount).cast(DecimalType(18, 4)))
-      .cast(DecimalType(38, 2))
+  /** price dollars → exact integer cents (data has 2 decimal digits, so
+    * the double product is within 1e-9 of an integer — rounding is
+    * unambiguous under any rounding rule). */
+  private def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
 
-  private def sumDec(c: Column): Column =
-    sum(c.cast(DecimalType(18, 4))).cast(DecimalType(38, 2))
+  /** Exact revenue Σ priceᵢ·(1-discᵢ): integer cents × integer
+    * (100 - discount%), summed exactly in unscaled DECIMAL(38,0)
+    * (overflow-safe at any scale), scaled back by one IEEE division. */
+  def revenueExact(price: Column, discount: Column): Column =
+    sum((cents(price) * (lit(100L) - cents(discount))).cast(DecimalType(38, 0)))
+      .cast(DoubleType) / 10000.0
+
+  /** Exact Σ price with the same fixed-point scheme. */
+  def sumMoneyExact(c: Column): Column =
+    sum(cents(c).cast(DecimalType(38, 0))).cast(DoubleType) / 100.0
+
+  /** SQL twin of [[revenueExact]] — identical integer arithmetic. */
+  def revenueExactSql(price: String, discount: String): String =
+    s"CAST(SUM(CAST(CAST(ROUND($price * 100) AS BIGINT) * " +
+      s"(100 - CAST(ROUND($discount * 100) AS BIGINT)) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0"
+
+  def sumMoneyExactSql(c: String): String =
+    s"CAST(SUM(CAST(CAST(ROUND($c * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0"
 
   /** Q1a shape (`Query 1a/TopKNetProfitDriver.java:38-198`): top-K keys
     * by SUM(measure) within a date range, descending, with a
@@ -41,21 +60,21 @@ object RefQueries {
         && col("l_suppkey").isNotNull && col("l_shipdate").isNotNull
         && col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
       .groupBy(col("l_suppkey"))
-      .agg(revenueDec(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .agg(revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("l_suppkey").asc)
       .limit(k)
   }
 
   val q1aSql: String =
-    """SELECT l_suppkey,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS revenue
-      |FROM lineitem
-      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31 23:59:59'
-      |  AND l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
-      |  AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
-      |GROUP BY l_suppkey
-      |ORDER BY revenue DESC, l_suppkey ASC
-      |LIMIT 10""".stripMargin
+    s"""SELECT l_suppkey,
+       |       ${revenueExactSql("l_extendedprice", "l_discount")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31 23:59:59'
+       |  AND l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+       |  AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+       |GROUP BY l_suppkey
+       |ORDER BY revenue DESC, l_suppkey ASC
+       |LIMIT 10""".stripMargin
 
   /** Q1b shape (`Query 1b/TopKSoldItemsDriver.java:36-189`): long-sum
     * variant — top-K parts by total quantity. l_quantity is
@@ -87,20 +106,20 @@ object RefQueries {
         && col("l_shipdate").isNotNull
         && col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
       .groupBy(col("l_shipdate"))
-      .agg(revenueDec(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .agg(revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("l_shipdate").asc)
       .limit(k)
   }
 
   val q1cSql: String =
-    """SELECT l_shipdate,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS revenue
-      |FROM lineitem
-      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01' AND TIMESTAMP '1996-12-31 23:59:59'
-      |  AND l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
-      |GROUP BY l_shipdate
-      |ORDER BY revenue DESC, l_shipdate ASC
-      |LIMIT 10""".stripMargin
+    s"""SELECT l_shipdate,
+       |       ${revenueExactSql("l_extendedprice", "l_discount")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01' AND TIMESTAMP '1996-12-31 23:59:59'
+       |  AND l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+       |GROUP BY l_shipdate
+       |ORDER BY revenue DESC, l_shipdate ASC
+       |LIMIT 10""".stripMargin
 
   /** Q2 shape (`Query 2/TopKStoreProfitEmployeesDriver.java:111-331`):
     * aggregate ⋈ dimension with outer-join null repair —
@@ -118,7 +137,7 @@ object RefQueries {
         && col("l_suppkey").isNotNull
         && col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
       .groupBy(col("l_suppkey"))
-      .agg(revenueDec(col("l_extendedprice"), col("l_discount")).as("rev"))
+      .agg(revenueExact(col("l_extendedprice"), col("l_discount")).as("rev"))
     val supp = Tables.supplier(spark, sfDir)
       .where(col("s_acctbal").isNotNull)
       .select(col("s_suppkey"), col("s_acctbal"))
@@ -127,26 +146,26 @@ object RefQueries {
     supp.join(broadcast(rev), supp("s_suppkey") === rev("l_suppkey"), "left_outer")
       .select(
         col("s_suppkey"),
-        coalesce(col("rev"), lit(0).cast(DecimalType(38, 2))).as("revenue"),
+        coalesce(col("rev"), lit(0.0)).as("revenue"),
         col("s_acctbal"))
       .orderBy(col("s_suppkey").asc)
       .limit(k)
   }
 
   val q2Sql: String =
-    """SELECT b.s_suppkey,
-      |       COALESCE(a.rev, CAST(0 AS DECIMAL(38,2))) AS revenue,
-      |       b.s_acctbal
-      |FROM (SELECT l_suppkey,
-      |             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS rev
-      |      FROM lineitem
-      |      WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31 23:59:59'
-      |        AND l_suppkey IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
-      |      GROUP BY l_suppkey) a
-      |RIGHT OUTER JOIN (SELECT s_suppkey, s_acctbal FROM supplier WHERE s_acctbal IS NOT NULL) b
-      |  ON a.l_suppkey = b.s_suppkey
-      |ORDER BY b.s_suppkey ASC
-      |LIMIT 10""".stripMargin
+    s"""SELECT b.s_suppkey,
+       |       COALESCE(a.rev, 0.0) AS revenue,
+       |       b.s_acctbal
+       |FROM (SELECT l_suppkey,
+       |             ${revenueExactSql("l_extendedprice", "l_discount")} AS rev
+       |      FROM lineitem
+       |      WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31 23:59:59'
+       |        AND l_suppkey IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+       |      GROUP BY l_suppkey) a
+       |RIGHT OUTER JOIN (SELECT s_suppkey, s_acctbal FROM supplier WHERE s_acctbal IS NOT NULL) b
+       |  ON a.l_suppkey = b.s_suppkey
+       |ORDER BY b.s_suppkey ASC
+       |LIMIT 10""".stripMargin
 
   /** EDA aggregates (CS346 Report.pdf §3.2-3.3, SURVEY.md §2.3 A3):
     * COUNT(*), MIN/MAX bounds, distinct cardinalities. */
@@ -178,19 +197,19 @@ object RefQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sumDec(col("l_extendedprice")).as("sum_base_price"),
-        revenueDec(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        sumMoneyExact(col("l_extendedprice")).as("sum_base_price"),
+        revenueExact(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
   }
 
   val aggPricingSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |       SUM(l_quantity) AS sum_qty,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS sum_base_price,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,2)) AS sum_disc_price,
-      |       COUNT(*) AS count_order
-      |FROM lineitem
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag ASC, l_linestatus ASC""".stripMargin
+    s"""SELECT l_returnflag, l_linestatus,
+       |       SUM(l_quantity) AS sum_qty,
+       |       ${sumMoneyExactSql("l_extendedprice")} AS sum_base_price,
+       |       ${revenueExactSql("l_extendedprice", "l_discount")} AS sum_disc_price,
+       |       COUNT(*) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag ASC, l_linestatus ASC""".stripMargin
 }
