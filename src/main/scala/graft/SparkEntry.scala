@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.RefQueries
+import graft.operators.{DedupOps, EventOps, RefQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,21 @@ object SparkEntry {
     "q1c_revenue_by_date" -> ((s, dir) => RefQueries.q1cRevenueByDate(s, dir)),
     "q2_supplier_join"    -> ((s, dir) => RefQueries.q2SupplierRevenueJoin(s, dir)),
     "eda_lineitem_stats"  -> ((s, dir) => RefQueries.edaLineitemStats(s, dir)),
-    "agg_pricing_summary" -> ((s, dir) => RefQueries.aggPricingSummary(s, dir))
+    "agg_pricing_summary" -> ((s, dir) => RefQueries.aggPricingSummary(s, dir)),
+    "text_stats"          -> ((s, dir) => TextAnalysis.textStats(s, dir)),
+    "lang_id_confusion"   -> ((s, dir) => TextAnalysis.langIdConfusion(s, dir)),
+    "quality_score"       -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    "token_counts"        -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
+    "fingerprints"        -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
+    "dedup_exact"         -> ((s, dir) => DedupOps.dedupExact(s, dir)),
+    "dedup_minhash_cand"  -> ((s, dir) => DedupOps.minhashCandidates(s, dir)),
+    "dedup_jaccard"       -> ((s, dir) => DedupOps.nearDupJaccard(s, dir)),
+    "dedup_simhash"       -> ((s, dir) => DedupOps.simhashSignatures(s, dir)),
+    "sim_cosine_topk"     -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    "sim_ann_topk"        -> ((s, dir) => Similarity.annTopK(s, dir)),
+    "sim_embedding_dups"  -> ((s, dir) => Similarity.embeddingNearDups(s, dir)),
+    "events_hourly"       -> ((s, dir) => EventOps.hourlyEventCounts(s, dir)),
+    "topk_per_group"      -> ((s, dir) => EventOps.topPartsPerFlag(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,6 +48,20 @@ object SparkEntry {
     "q1c_revenue_by_date" -> RefQueries.q1cSql,
     "q2_supplier_join"    -> RefQueries.q2Sql,
     "eda_lineitem_stats"  -> RefQueries.edaSql,
-    "agg_pricing_summary" -> RefQueries.aggPricingSql
+    "agg_pricing_summary" -> RefQueries.aggPricingSql,
+    "text_stats"          -> TextAnalysis.textStatsSql,
+    "lang_id_confusion"   -> TextAnalysis.langIdConfusionSql,
+    "quality_score"       -> TextAnalysis.qualityScoreSql,
+    "token_counts"        -> TextAnalysis.tokenCountsSql,
+    "fingerprints"        -> TextAnalysis.fingerprintsSql,
+    "dedup_exact"         -> DedupOps.dedupExactSql,
+    "dedup_minhash_cand"  -> DedupOps.minhashCandidatesSql,
+    "dedup_jaccard"       -> DedupOps.nearDupJaccardSql,
+    "dedup_simhash"       -> DedupOps.simhashSignaturesSql,
+    "sim_cosine_topk"     -> Similarity.cosineTopKSql,
+    "sim_ann_topk"        -> Similarity.annTopKSql,
+    "sim_embedding_dups"  -> Similarity.embeddingNearDupsSql,
+    "events_hourly"       -> EventOps.hourlyEventCountsSql,
+    "topk_per_group"      -> EventOps.topPartsPerFlagSql
   )
 }

@@ -16,6 +16,37 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
+  /** Canonical text normalization for exact dedup: lowercase, strip
+    * non-alphanumerics to single spaces, trim. SQL twin:
+    * `trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))`
+    * (Spark's regexp_replace is global by default; DuckDB needs 'g'). */
+  def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** BPE-ish subword segmentation regex: letter runs, digit runs, and
+    * single non-alphanumeric marks — the standard pre-tokenizer split
+    * (identical under Java regex and RE2 for this simple alternation). */
+  val BpePattern: String = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Count of BPE-ish tokens in a document. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small — inlined as literals into both the
+    * Spark plan and the oracle SQL. */
+  val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "不"))
+
+  /** Occurrence count of `words` among `toks` (not distinct — term
+    * frequency matters for language scoring). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
   /** Word k-shingles (k consecutive tokens joined by a space), distinct.
     * Empty array when the doc has fewer than k tokens. */
   def shingles(toks: Column, k: Int): Column = {
@@ -27,11 +58,15 @@ object TextOps {
   }
 
   /** Portable 60-bit string hash: first 15 hex chars of md5, as a long.
-    * Identical in DuckDB: `('0x' || substr(md5(s), 1, 15))::BIGINT`.
+    * Identical in DuckDB: `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`.
     * (md5 is bytewise-identical across engines; 15 hex chars keep the
     * value positive and overflow-free in 64-bit arithmetic.) */
   def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** SQL twin of [[hash60]]. */
+  def hash60Sql(s: String): String =
+    s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
 
   /** Mersenne prime modulus for the MinHash permutation family. */
   val MinHashPrime: Long = 2147483647L
@@ -46,4 +81,8 @@ object TextOps {
     * engines. */
   def permute(h: Column, i: Int): Column =
     (lit(permA(i)) * (h % MinHashPrime) + lit(permB(i))) % MinHashPrime
+
+  /** SQL twin of [[permute]]. */
+  def permuteSql(h: String, i: Int): String =
+    s"(${permA(i)} * ($h % $MinHashPrime) + ${permB(i)}) % $MinHashPrime"
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-stream-shaped operators over the `events` table, plus the
+  * window-analytic (top-N per group) operator a training pipeline uses
+  * for per-source sampling.
+  *
+  * The tumbling-window aggregate is the batch twin of the Structured
+  * Streaming pipeline in `graft.streaming` — same `window()` expression,
+  * so the semantics verified here against DuckDB carry over to the
+  * streaming path unchanged.
+  */
+object EventOps {
+
+  /** Tumbling 1-hour windows per event type: count + exact value sum
+    * (event values carry 2 decimals — the same integer-cents scheme as
+    * the money queries). Spark's window() is epoch-aligned, so the
+    * window start equals date_trunc('hour', ts). */
+  def hourlyEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .where(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        RefQueries.sumMoneyExact(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start").asc, col("event_type").asc)
+  }
+
+  val hourlyEventCountsSql: String =
+    s"""SELECT date_trunc('hour', ts) AS window_start,
+       |       event_type,
+       |       COUNT(*) AS n_events,
+       |       ${RefQueries.sumMoneyExactSql("value")} AS sum_value
+       |FROM events
+       |WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |GROUP BY window_start, event_type
+       |ORDER BY window_start ASC, event_type ASC""".stripMargin
+
+  /** Top-3 parts per return flag by revenue — ROW_NUMBER over a
+    * partitioned window with a deterministic tiebreak. The window
+    * partition key (l_returnflag) is the shuffle key; no global sort. */
+  def topPartsPerFlag(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .where(col("l_partkey").isNotNull && col("l_returnflag").isNotNull)
+      .groupBy(col("l_returnflag"), col("l_partkey"))
+      .agg(RefQueries.revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("revenue").desc, col("l_partkey").asc)
+    rev.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .orderBy(col("l_returnflag").asc, col("rn").asc)
+  }
+
+  val topPartsPerFlagSql: String =
+    s"""SELECT l_returnflag, l_partkey, revenue, rn
+       |FROM (SELECT l_returnflag, l_partkey, revenue,
+       |             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY revenue DESC, l_partkey ASC) AS rn
+       |      FROM (SELECT l_returnflag, l_partkey,
+       |                   ${RefQueries.revenueExactSql("l_extendedprice", "l_discount")} AS revenue
+       |            FROM lineitem
+       |            WHERE l_partkey IS NOT NULL AND l_returnflag IS NOT NULL
+       |            GROUP BY l_returnflag, l_partkey))
+       |WHERE rn <= 3
+       |ORDER BY l_returnflag ASC, rn ASC""".stripMargin
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: per-language corpus stats, stopword language-ID,
+  * quality scoring, token counting (whitespace + BPE-ish), and document
+  * fingerprinting.
+  *
+  * Scale design: every query is a narrow projection of `documents`
+  * followed by per-row expressions and ONE hash aggregation on a
+  * low-cardinality key (lang/source/doc_id) — a single shuffle of a few
+  * counters per group. Nothing materializes token lists off the
+  * executors; all token work happens inside Catalyst higher-order
+  * functions in a single pass over each row.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, sfDir: String) = Tables.documents(spark, sfDir)
+
+  /** Per-language corpus statistics: doc count, token totals, exact
+    * integer sums with one final IEEE division for the averages (so both
+    * engines agree bitwise). */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    docs(spark, sfDir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        (sum(col("n_toks")).cast("double") / count(lit(1))).as("avg_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang").asc)
+  }
+
+  val textStatsSql: String =
+    """SELECT lang,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
+      |       CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |       COUNT(DISTINCT source) AS n_sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang ASC""".stripMargin
+
+  /** Stopword-scoring language ID (n-gram heuristic): score each doc
+    * against tiny per-language stopword lists, predict the argmax with a
+    * deterministic tie order (alphabetical; 'unknown' when all scores are
+    * zero), and emit the confusion matrix against the labeled `lang`. */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val scores: Seq[(String, Column)] = TextOps.StopwordsByLang.map {
+      case (lang, words) => lang -> TextOps.stopwordHits(t, words)
+    }
+    val mx = greatest(scores.map(_._2): _*)
+    val pred = scores.foldLeft(when(mx === 0, lit("unknown"))) {
+      case (acc, (lang, s)) => acc.when(s === mx, lit(lang))
+    }
+    docs(spark, sfDir)
+      .select(col("lang"), pred.as("pred_lang"))
+      .groupBy(col("pred_lang"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("pred_lang").asc, col("lang").asc)
+  }
+
+  val langIdConfusionSql: String = {
+    def hits(words: Seq[String]) = {
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), x -> x IN ($set)))"
+    }
+    val scoreExprs = TextOps.StopwordsByLang.map { case (l, ws) => s"${hits(ws)} AS s_$l" }
+    val langs = TextOps.StopwordsByLang.map(_._1)
+    val mx = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $mx THEN '$l'").mkString(" ")
+    s"""SELECT pred_lang, lang, COUNT(*) AS n
+       |FROM (SELECT lang,
+       |             CASE WHEN $mx = 0 THEN 'unknown' $cases END AS pred_lang
+       |      FROM (SELECT lang, ${scoreExprs.mkString(",\n                   ")} FROM documents))
+       |GROUP BY pred_lang, lang
+       |ORDER BY pred_lang ASC, lang ASC""".stripMargin
+  }
+
+  /** Per-document quality score from length / punctuation / stopword /
+    * token-shape signals — the standard pre-training quality gate. The
+    * score is a fixed IEEE expression tree over exact integer counts, so
+    * it is bit-identical across engines and partitionings. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val nToks = size(t).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val punctN = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double")
+    val stopN = TextOps.stopwordHits(t, TextOps.StopwordsByLang.toMap.apply("en")).cast("double")
+    val tokLenSum = aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double")
+    val score =
+      least(lit(1.0), nToks / 100.0) * 0.3 +
+      (lit(1.0) - punctN / nChars) * 0.3 +
+      least(lit(1.0), stopN / nToks * 5.0) * 0.2 +
+      least(lit(1.0), tokLenSum / nToks / 8.0) * 0.2
+    docs(spark, sfDir)
+      .select(col("doc_id"), size(t).as("n_tokens"),
+        when(size(t) === 0, 0.0).otherwise(score).as("quality"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val qualityScoreSql: String = {
+    val en = TextOps.StopwordsByLang.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, n_tokens,
+       |       CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+       |         least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3 +
+       |         (1.0 - CAST(punct_n AS DOUBLE) / CAST(n_chars2 AS DOUBLE)) * 0.3 +
+       |         least(1.0, CAST(stop_n AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0) * 0.2 +
+       |         least(1.0, CAST(toklen_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 8.0) * 0.2
+       |       END AS quality
+       |FROM (SELECT doc_id,
+       |             len(t) AS n_tokens,
+       |             len(text) AS n_chars2,
+       |             len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct_n,
+       |             len(list_filter(t, x -> x IN ($en))) AS stop_n,
+       |             list_sum(list_transform(t, x -> len(x))) AS toklen_sum
+       |      FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |            FROM documents))
+       |ORDER BY doc_id ASC""".stripMargin
+  }
+
+  /** Token counting per source: whitespace tokens and BPE-ish subword
+    * tokens (letter runs / digit runs / punctuation marks) — the budget
+    * signal a training pipeline tracks per data source. */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    docs(spark, sfDir)
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ws"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("bpe"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"))
+      .orderBy(col("source").asc)
+  }
+
+  val tokenCountsSql: String =
+    s"""SELECT source,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+       |       CAST(SUM(len(regexp_extract_all(lower(text), '${TextOps.BpePattern}'))) AS BIGINT) AS bpe_tokens
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source ASC""".stripMargin
+
+  /** Document fingerprinting: a whole-document content hash over the
+    * normalized text plus a min-shingle-hash (a 1-permutation MinHash) —
+    * the cheap first-pass signature for corpus-level dedup bookkeeping. */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val docHash = TextOps.hash60(TextOps.normText(col("text")))
+    val minShingle = array_min(transform(TextOps.shingles(t, 3), s => TextOps.hash60(s)))
+    docs(spark, sfDir)
+      .select(col("doc_id"), docHash.as("doc_hash"),
+        coalesce(minShingle, docHash).as("min_shingle_hash"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val fingerprintsSql: String = {
+    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    val docHash = TextOps.hash60Sql(norm)
+    val shingleList =
+      """list_distinct(list_transform(range(0, greatest(len(t) - 2, 0)),
+        | i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))""".stripMargin.replace("\n", "")
+    s"""SELECT doc_id,
+       |       $docHash AS doc_hash,
+       |       COALESCE(list_min(list_transform($shingleList, s -> ${TextOps.hash60Sql("s")})), $docHash) AS min_shingle_hash
+       |FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |      FROM documents)
+       |ORDER BY doc_id ASC""".stripMargin
+  }
+}
