@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, EventOps, RefQueries, Similarity, TextAnalysis}
+import graft.operators.{DedupOps, EventOps, Multimodal, RefQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,7 +37,9 @@ object SparkEntry {
     "sim_ann_topk"        -> ((s, dir) => Similarity.annTopK(s, dir)),
     "sim_embedding_dups"  -> ((s, dir) => Similarity.embeddingNearDups(s, dir)),
     "events_hourly"       -> ((s, dir) => EventOps.hourlyEventCounts(s, dir)),
-    "topk_per_group"      -> ((s, dir) => EventOps.topPartsPerFlag(s, dir))
+    "events_sessions"     -> ((s, dir) => EventOps.sessionize(s, dir)),
+    "topk_per_group"      -> ((s, dir) => EventOps.topPartsPerFlag(s, dir)),
+    "multimodal_stats"    -> ((s, dir) => Multimodal.multimodalStats(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,6 +64,8 @@ object SparkEntry {
     "sim_ann_topk"        -> Similarity.annTopKSql,
     "sim_embedding_dups"  -> Similarity.embeddingNearDupsSql,
     "events_hourly"       -> EventOps.hourlyEventCountsSql,
-    "topk_per_group"      -> EventOps.topPartsPerFlagSql
+    "events_sessions"     -> EventOps.sessionizeSql(),
+    "topk_per_group"      -> EventOps.topPartsPerFlagSql,
+    "multimodal_stats"    -> Multimodal.multimodalStatsSql
   )
 }

@@ -57,6 +57,48 @@ object EventOps {
       .orderBy(col("l_returnflag").asc, col("rn").asc)
   }
 
+  /** Gap-based sessionization (batch): a new session starts when the
+    * per-user gap exceeds `gapMinutes`. Classic lag + running-sum window
+    * pattern; all time arithmetic in exact microseconds (`unix_micros` /
+    * `epoch_us`) so both engines agree. The per-user window partition is
+    * the shuffle key — sessionizing 100 TB shuffles each user's events
+    * once, no global sort. Streaming twin with explicit state:
+    * `graft.streaming.EventSessions`. */
+  def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val us = unix_micros(col("ts"))
+    val newSession = when(lag(us, 1).over(byTs).isNull || us - lag(us, 1).over(byTs) > gapUs, 1L)
+      .otherwise(0L)
+    Tables.events(spark, sfDir)
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .withColumn("session_id", sum(newSession).over(byTs))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id").asc, col("session_id").asc)
+  }
+
+  def sessionizeSql(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    s"""SELECT user_id, session_id,
+       |       MIN(ts) AS session_start,
+       |       MAX(ts) AS session_end,
+       |       COUNT(*) AS n_events
+       |FROM (SELECT user_id, ts,
+       |             CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > $gapUs THEN 1 ELSE 0 END)
+       |               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |      FROM (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+       |                   LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+       |            FROM events
+       |            WHERE ts IS NOT NULL AND user_id IS NOT NULL))
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id ASC, session_id ASC""".stripMargin
+  }
+
   val topPartsPerFlagSql: String =
     s"""SELECT l_returnflag, l_partkey, revenue, rn
        |FROM (SELECT l_returnflag, l_partkey, revenue,

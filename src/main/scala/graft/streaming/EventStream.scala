@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators: the same
+  * `window()` expression as `EventOps.hourlyEventCounts` (so semantics
+  * verified against the DuckDB oracle in batch carry over unchanged),
+  * plus explicit-state sessionization via `flatMapGroupsWithState` —
+  * the Spark-native replacement for hand-rolled streaming state.
+  *
+  * Scale design: state is partitioned by the group key (event_type /
+  * user_id) across executors and checkpointed incrementally; the
+  * watermark bounds state size — late events beyond it are dropped, so
+  * state never grows with stream length, only with key cardinality.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Tumbling 1-hour counts per event type with a 2-hour watermark —
+    * identical aggregation expression to the batch
+    * `EventOps.hourlyEventCounts`. Works on both streaming and batch
+    * DataFrames (the watermark is a no-op in batch). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .where(col("ts").isNotNull && col("event_type").isNotNull)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Gap-based sessionization with explicit per-user state: emits a
+    * session when the gap since the last event exceeds `gapMinutes` (or
+    * on event-time timeout past the watermark). Batch twin:
+    * `EventOps.sessionize` — same gap rule. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    def toTs(us: Long): Timestamp = new Timestamp(us / 1000L)
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(Session(userId, toTs(s.startUs), toTs(s.lastUs), s.n))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var closed = List.newBuilder[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val us = e.ts.getTime * 1000L
+          cur match {
+            case Some(s) if us - s.lastUs <= gapUs =>
+              cur = Some(s.copy(lastUs = us, n = s.n + 1))
+            case Some(s) =>
+              closed += Session(userId, toTs(s.startUs), toTs(s.lastUs), s.n)
+              cur = Some(SessionState(us, us, 1))
+            case None =>
+              cur = Some(SessionState(us, us, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          if (state.getCurrentWatermarkMs() > 0)
+            state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes.toLong * 60000L)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{EventOps, Multimodal}
+import graft.sources.Tables
+
+class EventMultimodalSpec extends SparkSpec {
+
+  test("hourly windows partition all events") {
+    val n = EventOps.hourlyEventCounts(spark, sf).collect().map(_.getAs[Long]("n_events")).sum
+    assert(n == Tables.events(spark, sf).count())
+  }
+
+  test("sessions partition all events; end >= start; gap rule holds across sessions") {
+    val rows = EventOps.sessionize(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sf).count())
+    assert(rows.forall(r =>
+      !r.getAs[java.sql.Timestamp]("session_end").before(r.getAs[java.sql.Timestamp]("session_start"))))
+    // consecutive sessions of one user are separated by more than the gap
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("session_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gapMs = b.getAs[java.sql.Timestamp]("session_start").getTime -
+            a.getAs[java.sql.Timestamp]("session_end").getTime
+          assert(gapMs > 30 * 60 * 1000L, s"sessions closer than the gap: $gapMs ms")
+        case _ =>
+      }
+    }
+  }
+
+  test("top-N per group emits at most N rows per group, ranked") {
+    val rows = EventOps.topPartsPerFlag(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("l_returnflag")).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      assert(g.map(_.getAs[Int]("rn")).sorted.sameElements(1 to g.length))
+    }
+  }
+
+  test("multimodal stats cover every source with positive byte totals") {
+    val rows = Multimodal.multimodalStats(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, sf).count())
+    assert(rows.forall(_.getAs[Long]("total_bytes") > 0))
+  }
+
+  test("decode stub: deterministic metadata, stable checksum, bounded dims") {
+    import spark.implicits._
+    val media = Multimodal.withPayload(spark, sf).as[Multimodal.Media]
+    val decoded = Multimodal.decodeAll(media).collect()
+    assert(decoded.length == Tables.documents(spark, sf).count())
+    assert(decoded.forall(d => d.width >= 1 && d.width <= 64 && d.height >= 1 && d.height <= 64))
+    val again = Multimodal.decodeAll(media).collect()
+    assert(decoded.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
+  }
+
+  test("frame sampling emits `frames` rows per doc with valid bytes") {
+    val frames = Multimodal.frameSample(Multimodal.withPayload(spark, sf), 4).collect()
+    val perDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    assert(perDoc.values.forall(_.length == 4))
+    assert(frames.forall { r =>
+      val b = r.getAs[Int]("byte_value"); b >= 0 && b <= 255
+    })
+  }
+}

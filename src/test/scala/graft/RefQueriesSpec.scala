@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.RefQueries
+import graft.sources.Tables
+
+class RefQueriesSpec extends SparkSpec {
+
+  test("q1a: top-K revenue is descending with ascending-key tiebreak") {
+    val rows = RefQueries.q1aTopRevenue(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q1b: quantities are positive and keys unique") {
+    val rows = RefQueries.q1bTopQuantity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("l_partkey")).distinct.length == rows.length)
+    assert(rows.forall(_.getAs[Double]("num_sold") > 0))
+  }
+
+  test("q2: exactly first K suppliers ascending, revenue never null") {
+    val rows = RefQueries.q2SupplierRevenueJoin(spark, sf).collect()
+    val keys = rows.map(_.getAs[Long]("s_suppkey"))
+    assert(keys.sameElements(keys.sorted))
+    assert(rows.forall(!_.isNullAt(1)))
+  }
+
+  test("eda: row count matches a direct count") {
+    val n = RefQueries.edaLineitemStats(spark, sf).collect()(0).getAs[Long]("n_rows")
+    assert(n == Tables.lineitem(spark, sf).count())
+  }
+
+  test("pricing summary groups partition the table") {
+    val df = RefQueries.aggPricingSummary(spark, sf).collect()
+    assert(df.map(_.getAs[Long]("count_order")).sum == Tables.lineitem(spark, sf).count())
+  }
+
+  test("revenue is invariant under repartitioning (exact arithmetic)") {
+    val base = RefQueries.q1aTopRevenue(spark, sf).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val spark2 = spark
+    import org.apache.spark.sql.functions._
+    val repart = Tables.lineitem(spark2, sf).repartition(13)
+    repart.createOrReplaceTempView("lineitem_repart")
+    val again = repart
+      .where(col("l_shipdate").between(lit("1996-01-01"), lit("1997-12-31 23:59:59"))
+        && col("l_suppkey").isNotNull && col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
+      .groupBy(col("l_suppkey"))
+      .agg(RefQueries.revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_suppkey").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(base.sameElements(again))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{Similarity, TextAnalysis}
+import graft.sources.Tables
+
+class TextSimilaritySpec extends SparkSpec {
+
+  test("quality scores are in [0, 1]") {
+    val rows = TextAnalysis.qualityScore(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall { r =>
+      val q = r.getAs[Double]("quality"); q >= 0.0 && q <= 1.0 + 1e-9
+    })
+  }
+
+  test("language-ID confusion matrix covers every document") {
+    val n = TextAnalysis.langIdConfusion(spark, sf).collect().map(_.getAs[Long]("n")).sum
+    assert(n == Tables.documents(spark, sf).count())
+  }
+
+  test("BPE-ish token count >= whitespace token count per source") {
+    val rows = TextAnalysis.tokenCounts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens")))
+  }
+
+  test("fingerprints: one per doc, min-shingle hash never null") {
+    val rows = TextAnalysis.fingerprints(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall(!_.isNullAt(2)))
+  }
+
+  test("brute-force cosine top-K is sorted and within [-1, 1]") {
+    val rows = Similarity.cosineTopK(spark, sf).collect()
+    assert(rows.length == Similarity.TopK)
+    val sims = rows.map(_.getAs[Double]("cos_sim"))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+    assert(sims.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+  }
+
+  test("ANN top-K is a subset of the corpus ranked no better than brute force") {
+    val brute = Similarity.cosineTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
+    val ann = Similarity.annTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
+    assert(ann.nonEmpty)
+    // ANN searches one bucket: its best hit cannot beat the global best.
+    assert(ann.max <= brute.max + 1e-12)
+  }
+}
