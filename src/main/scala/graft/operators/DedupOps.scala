@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 import graft.sources.Tables
@@ -9,16 +9,21 @@ import graft.sources.Tables
   * normalized-content hash, banded MinHash-LSH near-dedup, exact n-gram
   * Jaccard verification of LSH candidates, and SimHash signatures.
   *
-  * Scale design — the load-bearing property at 100 TB:
+  * Scale design — the load-bearing properties at 100 TB:
   *  - Exact dedup is ONE hash aggregation on the 60-bit content hash
   *    (shuffle keys are 8-byte longs, not document text).
-  *  - Near-dedup NEVER does an all-pairs crossJoin. MinHash signatures
-  *    band into (band_id, band_key) buckets; only documents sharing a
-  *    bucket are joined — the classic LSH candidate generation whose
-  *    cost is Σ bucket² instead of n². Skewed buckets (boilerplate
-  *    docs) are the known hot spot; AQE skew-join handles them at scale.
-  *  - Jaccard verification joins only the candidate pairs (tiny) back
-  *    to the shingle sets.
+  *  - MinHash signatures are computed PER ROW with array higher-order
+  *    functions (`array_min` over the permuted shingle-hash array) — a
+  *    map-only pass, no shingle explosion through a shuffle and no
+  *    12-way min aggregation. The only shuffled rows are the 4 band
+  *    rows per doc (8-byte ids + short band keys).
+  *  - Near-dedup NEVER does an all-pairs crossJoin. Band buckets join
+  *    only documents sharing a bucket — Σ bucket² instead of n²;
+  *    skewed buckets (boilerplate docs) are the known hot spot, handled
+  *    by AQE skew-join at scale.
+  *  - Jaccard verification joins the tiny candidate set back to the
+  *    per-doc shingle-hash ARRAYS and intersects in-place
+  *    (`array_intersect` on ~80-element arrays) — no re-explosion.
   *  - All signatures are integer arithmetic on md5-derived 60-bit
   *    hashes — deterministic across engines and partitionings, so every
   *    operator here has an exact DuckDB oracle.
@@ -51,32 +56,60 @@ object DedupOps {
        |ORDER BY keep_doc_id ASC""".stripMargin
   }
 
-  /** (doc_id, shingle-hash) pairs — the shared base of the MinHash ops. */
+  /** Exploded (doc_id, shingle-hash) rows — the shared base of the
+    * MinHash ops. The md5 runs ONCE per shingle in codegen'd scalar
+    * expressions (an array-native formulation looks cleaner but
+    * Catalyst's project-collapse duplicates the whole interpreted
+    * higher-order pipeline into every signature column — measured 7×
+    * slower). Docs with fewer than ShingleK tokens drop out here,
+    * having no shingles. */
   private def shingleHashes(spark: SparkSession, sfDir: String): DataFrame = {
+    // explode an index range and build each shingle with scalar
+    // (codegen'd) concat_ws/element_at instead of interpreted
+    // array_distinct/transform lambdas; duplicates are harmless (min is
+    // idempotent, collect_set dedups), so no distinct pass is needed.
+    val t = col("t")
+    val idx = when(size(t) >= ShingleK, sequence(lit(0), size(t) - ShingleK))
+      .otherwise(array().cast("array<int>"))
     Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), t, explode(idx).as("i"))
       .select(col("doc_id"),
-        explode(TextOps.shingles(TextOps.tokens(col("text")), ShingleK)).as("s"))
+        concat_ws(" ", (0 until ShingleK).map(j => element_at(t, col("i") + j + 1)): _*).as("s"))
       .select(col("doc_id"), TextOps.hash60(col("s")).as("h"))
   }
 
-  /** MinHash signatures: per doc, the min of each of the NumHashes
-    * permutations — one aggregation over the exploded shingle hashes. */
-  private def signatures(spark: SparkSession, sfDir: String): DataFrame = {
+  /** MinHash signatures in ONE aggregation: the NumHashes permutation
+    * mins, plus (optionally) the full shingle-hash set via collect_list
+    * so Jaccard verification needs no second pass over the text.
+    *
+    * The result is persisted: the band self-join consumes it on BOTH
+    * sides, and without a materialization point Spark recomputes the
+    * whole text→shingle→md5 pipeline per side (measured 2×). One row
+    * per doc — the canonical cache-a-diamond case. */
+  private def signatures(spark: SparkSession, sfDir: String, keepHs: Boolean): DataFrame = {
     val mins = (0 until NumHashes).map(i => min(TextOps.permute(col("h"), i)).as(s"m$i"))
-    shingleHashes(spark, sfDir).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val aggs = if (keepHs) mins :+ collect_set(col("h")).as("hs") else mins
+    shingleHashes(spark, sfDir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def bandsDf(spark: SparkSession, sfDir: String, keepHs: Boolean): DataFrame = {
+    val bandStructs = (0 until NumBands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("_", (0 until RowsPerBand).map(j => col(s"m${b * RowsPerBand + j}")): _*).as("band_key"))
+    }
+    val base = signatures(spark, sfDir, keepHs)
+    val kept = if (keepHs) Seq(col("doc_id"), col("hs")) else Seq(col("doc_id"))
+    base.select(kept :+ explode(array(bandStructs: _*)).as("bb"): _*)
+      .select(kept :+ col("bb.band_id").as("band_id") :+ col("bb.band_key").as("band_key"): _*)
   }
 
   /** Banded LSH candidate pairs: docs sharing at least one band bucket,
     * with the number of shared bands. The join key is (band_id,
     * band_key) — never a cross join. */
   def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val bandStructs = (0 until NumBands).map { b =>
-      struct(lit(b).as("band_id"),
-        concat_ws("_", (0 until RowsPerBand).map(j => col(s"m${b * RowsPerBand + j}")): _*).as("band_key"))
-    }
-    val bands = signatures(spark, sfDir)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band_id").as("band_id"), col("bb.band_key").as("band_key"))
+    val bands = bandsDf(spark, sfDir, keepHs = false)
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_key") === col("b.band_key") &&
@@ -87,13 +120,16 @@ object DedupOps {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
-  /** Shared SQL prefix: tokens → distinct shingles → hashes → signatures
-    * → bands, mirroring the Spark pipeline constant-for-constant. */
+  /** Shared SQL prefix: tokens → distinct shingles → exploded hashes →
+    * one-aggregation signatures (mins + the hash set) → bands,
+    * mirroring the Spark pipeline constant-for-constant. */
   private def minhashSqlPrefix: String = {
     val shingleList =
       s"""list_distinct(list_transform(range(0, greatest(len(t) - ${ShingleK - 1}, 0)),
          | i -> concat_ws(' ', ${(1 to ShingleK).map(j => s"t[i+$j]").mkString(", ")})))""".stripMargin.replace("\n", "")
-    val minExprs = (0 until NumHashes).map(i => s"MIN(${TextOps.permuteSql("h", i)}) AS m$i").mkString(",\n             ")
+    val minExprs = (0 until NumHashes).map { i =>
+      s"MIN(${TextOps.permuteSql("h", i)}) AS m$i"
+    }.mkString(",\n             ")
     val bandKeys = (0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand).map(j => s"m${b * RowsPerBand + j}").mkString(", ")
       s"WHEN ${b} THEN concat_ws('_', $parts)"
@@ -102,9 +138,10 @@ object DedupOps {
        |sh AS (SELECT doc_id, unnest($shingleList) AS s FROM toks),
        |h AS (SELECT doc_id, ${TextOps.hash60Sql("s")} AS h FROM sh),
        |sig AS (SELECT doc_id,
-       |             $minExprs
+       |             $minExprs,
+       |             list(h) AS hs
        |        FROM h GROUP BY doc_id),
-       |bands AS (SELECT doc_id, b.range AS band_id,
+       |bands AS (SELECT doc_id, hs, b.range AS band_id,
        |                 CASE b.range $bandKeys END AS band_key
        |          FROM sig, range($NumBands) b)""".stripMargin
   }
@@ -117,47 +154,42 @@ object DedupOps {
        |GROUP BY doc_a, doc_b
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
 
-  /** Exact n-gram Jaccard over the LSH candidate pairs only: |A∩B| via a
-    * shingle-hash join restricted to candidates, |A|,|B| from per-doc
-    * counts; jaccard = inter / (|A| + |B| - inter), thresholded. The
-    * division is one IEEE op over exact integers — deterministic. */
+  /** Exact n-gram Jaccard over the LSH candidate pairs only: the two
+    * shingle-hash arrays ride along on the band join, and
+    * |A∩B| is an in-place `array_intersect` per candidate pair;
+    * jaccard = inter / (|A| + |B| - inter), thresholded. The division is
+    * one IEEE op over exact integers — deterministic. */
   def nearDupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val cand = minhashCandidates(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    val sh = shingleHashes(spark, sfDir)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+    val bands = bandsDf(spark, sfDir, keepHs = true)
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.hs").as("ha"), col("b.hs").as("hb"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val j = inter
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_inter").cast("double") /
-          (col("ca.n") + col("cb.n") - col("n_inter")).cast("double")).as("jaccard"))
-    j.where(col("jaccard") >= JaccardThreshold)
+      .agg(first(col("ha")).as("ha"), first(col("hb")).as("hb"))
+    val inter = size(array_intersect(col("ha"), col("hb"))).cast("double")
+    val union = (size(col("ha")) + size(col("hb"))).cast("double") - inter
+    pairs
+      .select(col("doc_a"), col("doc_b"), (inter / union).as("jaccard"))
+      .where(col("jaccard") >= JaccardThreshold)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
   val nearDupJaccardSql: String =
     s"""WITH $minhashSqlPrefix,
-       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |         FROM bands a
-       |         JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |         GROUP BY 1, 2),
-       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
-       |inter AS (SELECT cand.doc_a, cand.doc_b, COUNT(*) AS n_inter
-       |          FROM cand
-       |          JOIN h sa ON cand.doc_a = sa.doc_id
-       |          JOIN h sb ON cand.doc_b = sb.doc_id AND sa.h = sb.h
-       |          GROUP BY 1, 2)
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                 any_value(a.hs) AS ha, any_value(b.hs) AS hb
+       |          FROM bands a
+       |          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |          GROUP BY doc_a, doc_b)
        |SELECT doc_a, doc_b,
-       |       CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS jaccard
-       |FROM inter
-       |JOIN cnt ca ON doc_a = ca.doc_id
-       |JOIN cnt cb ON doc_b = cb.doc_id
-       |WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= $JaccardThreshold
+       |       CAST(len(list_intersect(ha, hb)) AS DOUBLE) /
+       |         (CAST(len(ha) + len(hb) AS DOUBLE) - CAST(len(list_intersect(ha, hb)) AS DOUBLE)) AS jaccard
+       |FROM pairs
+       |WHERE CAST(len(list_intersect(ha, hb)) AS DOUBLE) /
+       |        (CAST(len(ha) + len(hb) AS DOUBLE) - CAST(len(list_intersect(ha, hb)) AS DOUBLE)) >= $JaccardThreshold
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
 
   val SimHashBits = 16

@@ -16,12 +16,12 @@ import graft.sources.Tables
   * multiply, and one divide — a fixed IEEE tree, identical everywhere.
   * Everything is Catalyst higher-order functions — no UDFs.
   *
-  * Scale design: the query vector joins via broadcast (one row), so
-  * brute-force is a single scan + TakeOrderedAndProject — the right
-  * baseline even on a 1000-executor cluster. The ANN variant buckets the
-  * corpus by hyperplane sign bits; at scale the bucket id becomes the
-  * shuffle/partition key and each query probes one bucket instead of the
-  * full corpus.
+  * Scale design: squared norms are computed ONCE per vector on the scan
+  * side (not per candidate pair); the query vector joins via broadcast
+  * (one row), so brute-force is a single scan + TakeOrderedAndProject.
+  * The ANN variant buckets the corpus by hyperplane sign bits; at scale
+  * the bucket id becomes the shuffle/partition key and each query
+  * probes one bucket instead of the full corpus.
   */
 object Similarity {
 
@@ -38,11 +38,17 @@ object Similarity {
   private def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  /** Cosine from quantized vectors: exact integer sums, then a fixed
-    * IEEE sqrt/multiply/divide tree. */
-  private def cosineQ(a: Column, b: Column): Column =
-    dotQ(a, b).cast("double") /
-      (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+  /** Cosine from a precomputed integer dot and two precomputed integer
+    * squared norms: a fixed IEEE sqrt/multiply/divide tree. */
+  private def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Corpus projection: quantized vector + its squared norm, computed
+    * once on the scan side. */
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", dotQ(col("q"), col("q")))
 
   /** ±1 hyperplane components, derived from md5 at PLAN BUILD time (pure
     * Scala, same md5 the SQL twin would see) and inlined as literals —
@@ -68,68 +74,70 @@ object Similarity {
     * one broadcast of the single query row, one scan of the corpus, one
     * TakeOrderedAndProject — no shuffle of the corpus. */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+    val emb = corpus(spark, sfDir)
     val query = emb.where(col("vec_id") === QueryVecId)
-      .select(col("q").as("qq"))
+      .select(col("q").as("qq"), col("n2").as("qn2"))
     emb.join(broadcast(query))
       .where(col("vec_id") =!= QueryVecId)
-      .select(col("vec_id"), col("label"), cosineQ(col("q"), col("qq")).as("cos_sim"))
+      .select(col("vec_id"), col("label"),
+        cosineFrom(dotQ(col("q"), col("qq")), col("n2"), col("qn2")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(TopK)
   }
 
-  /** Shared SQL scaffolding: quantized vectors + the query row. */
+  /** Shared SQL scaffolding: quantized vectors + squared norms. */
   private val quantizeSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
 
   private def dotQSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, ${Dims + 1}), i -> $a[i] * $b[i]))"
 
-  private def cosineQSql(a: String, b: String): String =
-    s"CAST(${dotQSql(a, b)} AS DOUBLE) / " +
-      s"(sqrt(CAST(${dotQSql(a, a)} AS DOUBLE)) * sqrt(CAST(${dotQSql(b, b)} AS DOUBLE)))"
+  private def cosineFromSql(dot: String, n2a: String, n2b: String): String =
+    s"CAST($dot AS DOUBLE) / (sqrt(CAST($n2a AS DOUBLE)) * sqrt(CAST($n2b AS DOUBLE)))"
+
+  private val corpusSql =
+    s"""e0 AS (SELECT vec_id, label, $quantizeSql AS q FROM embeddings),
+       |e AS (SELECT vec_id, label, q, ${dotQSql("q", "q")} AS n2 FROM e0)""".stripMargin
 
   val cosineTopKSql: String =
-    s"""WITH e AS (SELECT vec_id, label, $quantizeSql AS q FROM embeddings),
-       |qv AS (SELECT q AS qq FROM e WHERE vec_id = $QueryVecId)
-       |SELECT e.vec_id, e.label, ${cosineQSql("e.q", "qv.qq")} AS cos_sim
+    s"""WITH $corpusSql,
+       |qv AS (SELECT q AS qq, n2 AS qn2 FROM e WHERE vec_id = $QueryVecId)
+       |SELECT e.vec_id, e.label, ${cosineFromSql(dotQSql("e.q", "qv.qq"), "e.n2", "qv.qn2")} AS cos_sim
        |FROM e, qv
        |WHERE e.vec_id <> $QueryVecId
        |ORDER BY cos_sim DESC, e.vec_id ASC
        |LIMIT $TopK""".stripMargin
 
+  private def bucketExprSql: String =
+    (0 until AnnPlanes).map { p =>
+      val signs = planeSigns(p).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${Dims + 1}), i -> q[i] * ($signs)[i])) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** ANN: bucket the corpus by hyperplane signs, search only the query's
     * bucket. Same result schema as [[cosineTopK]] plus the bucket id —
     * the judge-visible contract is "no corpus-wide pairwise work". */
   def annTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
-      .withColumn("bucket", annBucket(col("q")))
+    val emb = corpus(spark, sfDir).withColumn("bucket", annBucket(col("q")))
     val query = emb.where(col("vec_id") === QueryVecId)
-      .select(col("q").as("qq"), col("bucket").as("qbucket"))
+      .select(col("q").as("qq"), col("n2").as("qn2"), col("bucket").as("qbucket"))
     emb.join(broadcast(query), col("bucket") === col("qbucket"))
       .where(col("vec_id") =!= QueryVecId)
       .select(col("vec_id"), col("label"), col("bucket"),
-        cosineQ(col("q"), col("qq")).as("cos_sim"))
+        cosineFrom(dotQ(col("q"), col("qq")), col("n2"), col("qn2")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(TopK)
   }
 
-  val annTopKSql: String = {
-    val bucketExpr = (0 until AnnPlanes).map { p =>
-      val signs = planeSigns(p).mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum(list_transform(range(1, ${Dims + 1}), i -> q[i] * ($signs)[i])) >= 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH e0 AS (SELECT vec_id, label, $quantizeSql AS q FROM embeddings),
-       |e AS (SELECT vec_id, label, q, $bucketExpr AS bucket FROM e0),
-       |qv AS (SELECT q AS qq, bucket AS qbucket FROM e WHERE vec_id = $QueryVecId)
-       |SELECT e.vec_id, e.label, e.bucket, ${cosineQSql("e.q", "qv.qq")} AS cos_sim
-       |FROM e JOIN qv ON e.bucket = qv.qbucket
-       |WHERE e.vec_id <> $QueryVecId
-       |ORDER BY cos_sim DESC, e.vec_id ASC
+  val annTopKSql: String =
+    s"""WITH $corpusSql,
+       |eb AS (SELECT vec_id, label, q, n2, $bucketExprSql AS bucket FROM e),
+       |qv AS (SELECT q AS qq, n2 AS qn2, bucket AS qbucket FROM eb WHERE vec_id = $QueryVecId)
+       |SELECT eb.vec_id, eb.label, eb.bucket, ${cosineFromSql(dotQSql("eb.q", "qv.qq"), "eb.n2", "qv.qn2")} AS cos_sim
+       |FROM eb JOIN qv ON eb.bucket = qv.qbucket
+       |WHERE eb.vec_id <> $QueryVecId
+       |ORDER BY cos_sim DESC, eb.vec_id ASC
        |LIMIT $TopK""".stripMargin
-  }
 
   /** Embedding-cosine near-duplicate candidates, LSH-bucketed: the
     * most-similar pairs WITHIN each bucket — Σ bucket² work, never n².
@@ -139,27 +147,22 @@ object Similarity {
   val NearDupPairs = 20
 
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .withColumn("bucket", annBucket(col("q")))
+    val emb = corpus(spark, sfDir).withColumn("bucket", annBucket(col("q")))
+      .select(col("vec_id"), col("q"), col("n2"), col("bucket"))
     emb.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosineQ(col("a.q"), col("b.q")).as("cos_sim"))
+        cosineFrom(dotQ(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(NearDupPairs)
   }
 
-  val embeddingNearDupsSql: String = {
-    val bucketExpr = (0 until AnnPlanes).map { p =>
-      val signs = planeSigns(p).mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum(list_transform(range(1, ${Dims + 1}), i -> q[i] * ($signs)[i])) >= 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH e0 AS (SELECT vec_id, $quantizeSql AS q FROM embeddings),
-       |e AS (SELECT vec_id, q, $bucketExpr AS bucket FROM e0)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineQSql("a.q", "b.q")} AS cos_sim
-       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  val embeddingNearDupsSql: String =
+    s"""WITH $corpusSql,
+       |eb AS (SELECT vec_id, q, n2, $bucketExprSql AS bucket FROM e)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${cosineFromSql(dotQSql("a.q", "b.q"), "a.n2", "b.n2")} AS cos_sim
+       |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
        |LIMIT $NearDupPairs""".stripMargin
-  }
 }
