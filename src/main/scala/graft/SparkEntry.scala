@@ -39,7 +39,13 @@ object SparkEntry {
     "events_hourly"       -> ((s, dir) => EventOps.hourlyEventCounts(s, dir)),
     "events_sessions"     -> ((s, dir) => EventOps.sessionize(s, dir)),
     "topk_per_group"      -> ((s, dir) => EventOps.topPartsPerFlag(s, dir)),
-    "multimodal_stats"    -> ((s, dir) => Multimodal.multimodalStats(s, dir))
+    "multimodal_stats"    -> ((s, dir) => Multimodal.multimodalStats(s, dir)),
+    // The declarative entry point (reference's Hive CLI path, SURVEY.md
+    // §3.3): the SAME SQL text the DuckDB oracle runs, executed by
+    // spark.sql over the registered views — full query compatibility.
+    "sql_q1a"             -> ((s, dir) => {
+      graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.q1aSql)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,6 +72,7 @@ object SparkEntry {
     "events_hourly"       -> EventOps.hourlyEventCountsSql,
     "events_sessions"     -> EventOps.sessionizeSql(),
     "topk_per_group"      -> EventOps.topPartsPerFlagSql,
-    "multimodal_stats"    -> Multimodal.multimodalStatsSql
+    "multimodal_stats"    -> Multimodal.multimodalStatsSql,
+    "sql_q1a"             -> RefQueries.q1aSql
   )
 }

@@ -93,6 +93,32 @@ object Tables {
   def writeGzip(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("sep", "\t").option("compression", "gzip").csv(path)
 
+  /** S6: external-table DDL — the Spark twin of the reference's
+    * `CREATE EXTERNAL TABLE ... row format delimited fields terminated
+    * by '|' location ...` (Software Documentation.pdf "stores.dat" DDL):
+    * a catalog table over a pipe-delimited directory, queryable by name
+    * through `spark.sql`. */
+  def createExternalPipeTable(spark: SparkSession, name: String, path: String,
+                              schema: StructType): Unit = {
+    val cols = schema.fields.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(
+      s"""CREATE TABLE `$name` ($cols)
+         |USING CSV
+         |OPTIONS (sep '|', timestampFormat 'yyyy-MM-dd HH:mm:ss', mode 'PERMISSIVE')
+         |LOCATION '$path'""".stripMargin)
+  }
+
+  /** Register every fixture table as a temp view so the declarative
+    * `spark.sql` path (the reference's Hive CLI entry point, SURVEY.md
+    * §3.3) can run ANSI SQL against the same names the DuckDB oracle
+    * uses. */
+  def registerAllViews(spark: SparkSession, sfDir: String): Unit =
+    fixtureNames.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
+
   /** S2 analogue: scan partition-size control. On a real cluster this
     * bounds bytes-per-task like the reference's min-split tuning. */
   def withMaxPartitionBytes[A](spark: SparkSession, bytes: Long)(body: => A): A = {

@@ -43,6 +43,32 @@ class SinksStreamingSpec extends SparkSpec {
       && col("l_shipdate").isNotNull).count() == 1)
   }
 
+  test("external-table DDL registers a catalog table over pipe text (S6 parity)") {
+    val dir = Files.createTempDirectory("graft_ext").toString
+    val cols = Tables.lineitemSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+    Tables.writePipeDelimited(Tables.lineitem(spark, sf).select(cols.toSeq: _*).limit(100), dir)
+    Tables.createExternalPipeTable(spark, "lineitem_ext", dir, Tables.lineitemSchema)
+    assert(spark.sql("SELECT count(*) FROM lineitem_ext").collect()(0).getLong(0) == 100)
+    assert(spark.sql("SELECT sum(l_quantity) FROM lineitem_ext").collect()(0).getDouble(0) > 0)
+    spark.sql("DROP TABLE lineitem_ext")
+  }
+
+  test("maxPartitionBytes controls scan parallelism (S2 parity)") {
+    val defaultParts = Tables.lineitem(spark, sf).rdd.getNumPartitions
+    val manyParts = Tables.withMaxPartitionBytes(spark, 16 * 1024) {
+      Tables.lineitem(spark, sf).rdd.getNumPartitions
+    }
+    assert(manyParts > defaultParts)
+  }
+
+  test("the declarative spark.sql path runs the oracle's own SQL (Hive-CLI parity)") {
+    graft.sources.Tables.registerAllViews(spark, sf)
+    val viaSql = spark.sql(graft.operators.RefQueries.q1aSql).collect()
+    val viaDf = graft.operators.RefQueries.q1aTopRevenue(spark, sf).collect()
+    assert(viaSql.map(r => (r.getLong(0), r.getDouble(1)))
+      .sameElements(viaDf.map(r => (r.getLong(0), r.getDouble(1)))))
+  }
+
   test("streaming hourly counts match the batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
