@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.DotLong
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (`ArrayType(FloatType)`
@@ -34,9 +35,10 @@ object Similarity {
   private def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1000000.0).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen'd [[DotLong]] kernel ([[corpus]] registers it). */
   private def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    call_function("dot_long", a, b)
 
   /** Cosine from a precomputed integer dot and two precomputed integer
     * squared norms: a fixed IEEE sqrt/multiply/divide tree. */
@@ -45,10 +47,12 @@ object Similarity {
 
   /** Corpus projection: quantized vector + its squared norm, computed
     * once on the scan side. */
-  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    DotLong.register(spark)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
       .withColumn("n2", dotQ(col("q"), col("q")))
+  }
 
   /** ±1 hyperplane components, derived from md5 at PLAN BUILD time (pure
     * Scala, same md5 the SQL twin would see) and inlined as literals —
