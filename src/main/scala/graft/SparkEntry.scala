@@ -45,7 +45,11 @@ object SparkEntry {
     // spark.sql over the registered views — full query compatibility.
     "sql_q1a"             -> ((s, dir) => {
       graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.q1aSql)
-    })
+    }),
+    "sql_q2"              -> ((s, dir) => {
+      graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.q2Sql)
+    }),
+    "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,6 +77,8 @@ object SparkEntry {
     "events_sessions"     -> EventOps.sessionizeSql(),
     "topk_per_group"      -> EventOps.topPartsPerFlagSql,
     "multimodal_stats"    -> Multimodal.multimodalStatsSql,
-    "sql_q1a"             -> RefQueries.q1aSql
+    "sql_q1a"             -> RefQueries.q1aSql,
+    "sql_q2"              -> RefQueries.q2Sql,
+    "sample_per_source"   -> TextAnalysis.samplePerSourceSql
   )
 }

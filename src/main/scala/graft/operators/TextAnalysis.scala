@@ -154,6 +154,33 @@ object TextAnalysis {
        |GROUP BY source
        |ORDER BY source ASC""".stripMargin
 
+  /** Consistent per-group sampling: the k documents with the SMALLEST
+    * content hash per source — the deterministic replacement for
+    * reservoir sampling in a training pipeline. Because membership is a
+    * pure function of content, the sample is stable across reruns,
+    * partitionings, and engines (min-k-by-hash ≡ consistent weighted
+    * sampling with uniform weights), and the per-group shuffle key makes
+    * it one window pass at any scale. */
+  def samplePerSource(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(TextOps.hash60(col("text")).asc, col("doc_id").asc)
+    docs(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source").asc, col("rk").asc)
+  }
+
+  val samplePerSourceSql: String =
+    s"""SELECT source, rk, doc_id
+       |FROM (SELECT source, doc_id,
+       |             ROW_NUMBER() OVER (PARTITION BY source
+       |                                ORDER BY ${TextOps.hash60Sql("text")} ASC, doc_id ASC) AS rk
+       |      FROM documents)
+       |WHERE rk <= 5
+       |ORDER BY source ASC, rk ASC""".stripMargin
+
   /** Document fingerprinting: a whole-document content hash over the
     * normalized text plus a min-shingle-hash (a 1-permutation MinHash) —
     * the cheap first-pass signature for corpus-level dedup bookkeeping. */
