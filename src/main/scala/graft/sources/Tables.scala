@@ -119,6 +119,18 @@ object Tables {
       df.createOrReplaceTempView(n)
     }
 
+  /** Bucketed persistent table: pre-shuffles by `key` into `buckets`
+    * files per partition so repeated joins/aggregations on `key` read
+    * co-located data and skip the exchange entirely — the storage-level
+    * answer to "this join runs every day on 100 TB". Requires
+    * `saveAsTable` (bucket metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S2 analogue: scan partition-size control. On a real cluster this
     * bounds bytes-per-task like the reference's min-split tuning. */
   def withMaxPartitionBytes[A](spark: SparkSession, bytes: Long)(body: => A): A = {

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.SkewOps
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Tests for the at-scale utilities: bucketed co-located joins (no
+  * exchange on the bucketed side) and deterministic salted joins
+  * (identical results to the plain join). */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("bucketed tables join without shuffling the bucketed sides") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey", "l_quantity")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    Tables.writeBucketed(li, "li_bkt", "l_orderkey", 4)
+    Tables.writeBucketed(ord.withColumnRenamed("o_orderkey", "l_orderkey"), "ord_bkt", "l_orderkey", 4)
+    val joined = spark.table("li_bkt").join(spark.table("ord_bkt"), "l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    // and it computes the same thing as the unbucketed join
+    assert(joined.count() ==
+      li.join(ord, li("l_orderkey") === ord("o_orderkey")).count())
+    spark.sql("DROP TABLE li_bkt"); spark.sql("DROP TABLE ord_bkt")
+  }
+
+  test("salted join returns exactly the plain join's result") {
+    val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+    val dim = Tables.supplier(spark, sf).select("s_suppkey", "s_acctbal")
+    val plain = fact.join(dim, fact("l_suppkey") === dim("s_suppkey"))
+      .select("l_orderkey", "l_linenumber", "s_acctbal")
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2))).sorted
+    val salted = SkewOps.saltedJoin(fact, dim.withColumnRenamed("s_suppkey", "l_suppkey"),
+        "l_suppkey", 8, Seq("l_orderkey", "l_linenumber"))
+      .select("l_orderkey", "l_linenumber", "s_acctbal")
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2))).sorted
+    assert(plain.sameElements(salted))
+  }
+
+  test("salted left join preserves unmatched fact rows") {
+    import spark.implicits._
+    val fact = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val dim = Seq((1L, 10.0)).toDF("k", "w")
+    val out = SkewOps.saltedJoin(fact, dim, "k", 4, Seq("v"), "left_outer")
+    assert(out.count() == 3)
+    assert(out.where(col("w").isNull).count() == 2)
+  }
+}
