@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DedupOps, EventOps, Multimodal, RefQueries, Similarity, TextAnalysis}
+import graft.operators.{AnalyticsExt, DedupOps, EventOps, Multimodal, RefQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,7 +49,11 @@ object SparkEntry {
     "sql_q2"              -> ((s, dir) => {
       graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.q2Sql)
     }),
-    "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir))
+    "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),
+    "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
+    "except_suppliers"    -> ((s, dir) => AnalyticsExt.exceptSuppliers(s, dir)),
+    "median_quantity"     -> ((s, dir) => AnalyticsExt.medianQuantity(s, dir)),
+    "revenue_by_month"    -> ((s, dir) => AnalyticsExt.revenueByMonth(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,6 +83,10 @@ object SparkEntry {
     "multimodal_stats"    -> Multimodal.multimodalStatsSql,
     "sql_q1a"             -> RefQueries.q1aSql,
     "sql_q2"              -> RefQueries.q2Sql,
-    "sample_per_source"   -> TextAnalysis.samplePerSourceSql
+    "sample_per_source"   -> TextAnalysis.samplePerSourceSql,
+    "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,
+    "except_suppliers"    -> AnalyticsExt.exceptSuppliersSql,
+    "median_quantity"     -> AnalyticsExt.medianQuantitySql,
+    "revenue_by_month"    -> AnalyticsExt.revenueByMonthSql
   )
 }
