@@ -37,6 +37,7 @@ object SparkEntry {
     "sim_ann_topk"        -> ((s, dir) => Similarity.annTopK(s, dir)),
     "sim_embedding_dups"  -> ((s, dir) => Similarity.embeddingNearDups(s, dir)),
     "events_hourly"       -> ((s, dir) => EventOps.hourlyEventCounts(s, dir)),
+    "events_sliding"      -> ((s, dir) => EventOps.slidingEventCounts(s, dir)),
     "events_sessions"     -> ((s, dir) => EventOps.sessionize(s, dir)),
     "topk_per_group"      -> ((s, dir) => EventOps.topPartsPerFlag(s, dir)),
     "multimodal_stats"    -> ((s, dir) => Multimodal.multimodalStats(s, dir)),
@@ -78,6 +79,7 @@ object SparkEntry {
     "sim_ann_topk"        -> Similarity.annTopKSql,
     "sim_embedding_dups"  -> Similarity.embeddingNearDupsSql,
     "events_hourly"       -> EventOps.hourlyEventCountsSql,
+    "events_sliding"      -> EventOps.slidingEventCountsSql,
     "events_sessions"     -> EventOps.sessionizeSql(),
     "topk_per_group"      -> EventOps.topPartsPerFlagSql,
     "multimodal_stats"    -> Multimodal.multimodalStatsSql,

@@ -57,6 +57,28 @@ object EventOps {
       .orderBy(col("l_returnflag").asc, col("rn").asc)
   }
 
+  /** Sliding 1-hour windows every 30 minutes: each event lands in
+    * exactly two epoch-aligned windows. The oracle enumerates the same
+    * two starts per event (trunc-to-30min and 30min earlier) with exact
+    * microsecond arithmetic. */
+  def slidingEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .where(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+      .orderBy(col("window_start").asc, col("event_type").asc)
+  }
+
+  val slidingEventCountsSql: String =
+    """SELECT window_start, event_type, COUNT(*) AS n_events
+      |FROM (SELECT event_type,
+      |             make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - s.off) AS window_start
+      |      FROM events, (SELECT unnest([0, 1800000000]) AS off) s
+      |      WHERE ts IS NOT NULL AND event_type IS NOT NULL)
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start ASC, event_type ASC""".stripMargin
+
   /** Gap-based sessionization (batch): a new session starts when the
     * per-user gap exceeds `gapMinutes`. Classic lag + running-sum window
     * pattern; all time arithmetic in exact microseconds (`unix_micros` /

@@ -36,6 +36,27 @@ class EventMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sliding windows hold each event exactly twice") {
+    val n = EventOps.slidingEventCounts(spark, sf).collect().map(_.getAs[Long]("n_events")).sum
+    assert(n == 2 * Tables.events(spark, sf).count())
+  }
+
+  test("rollup grand total equals the row count; subtotals are consistent") {
+    val rows = graft.operators.AnalyticsExt.rollupPricing(spark, sf).collect()
+    val total = Tables.lineitem(spark, sf).count()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand(0).getAs[Long]("n_rows") == total)
+    val perFlag = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1)).map(_.getAs[Long]("n_rows")).sum
+    assert(perFlag == total)
+  }
+
+  test("median is within the group's min/max and sample is k per source") {
+    val med = graft.operators.AnalyticsExt.medianQuantity(spark, sf).collect()
+    assert(med.nonEmpty && med.forall(r => r.getAs[Double]("median_qty") > 0))
+    val sample = graft.operators.TextAnalysis.samplePerSource(spark, sf).collect()
+    sample.groupBy(_.getAs[String]("source")).foreach { case (_, g) => assert(g.length <= 5) }
+  }
+
   test("multimodal stats cover every source with positive byte totals") {
     val rows = Multimodal.multimodalStats(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, sf).count())
