@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotLong
+
+/** Session-extensions installer: makes the library's native expressions
+  * available to ANY session (including pure-SQL users) via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — the standard
+  * deployment path for custom Catalyst functions on a cluster. The
+  * programmatic twin is `DotLong.register(spark)` for sessions built in
+  * code.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
+      (exprs: Seq[Expression]) => DotLong(exprs.head, exprs(1))))
+  }
+}

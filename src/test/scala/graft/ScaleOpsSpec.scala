@@ -37,6 +37,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plain.sameElements(salted))
   }
 
+  test("dot_long is SQL-callable once registered (extensions wiring)") {
+    // the extensions class and DotLong.register share the same builder;
+    // a fresh session can't be created in this JVM (getOrCreate returns
+    // the shared test session), so exercise the registry path directly
+    graft.functions.DotLong.register(spark)
+    val r = spark.sql("SELECT dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").collect()
+    assert(r(0).getLong(0) == 32L)
+  }
+
+  test("DotLong interpreted eval matches codegen semantics") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val a = Literal.create(Seq(2L, 3L), ArrayType(LongType))
+    val b = Literal.create(Seq(5L, 7L), ArrayType(LongType))
+    assert(graft.functions.DotLong(a, b).eval(null) == 31L)
+  }
+
   test("salted left join preserves unmatched fact rows") {
     import spark.implicits._
     val fact = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
