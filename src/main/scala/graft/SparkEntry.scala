@@ -35,6 +35,7 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, dir) => DedupOps.simhashSignatures(s, dir)),
     "sim_cosine_topk"     -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "sim_ann_topk"        -> ((s, dir) => Similarity.annTopK(s, dir)),
+    "sim_ivf_topk"        -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "sim_embedding_dups"  -> ((s, dir) => Similarity.embeddingNearDups(s, dir)),
     "events_hourly"       -> ((s, dir) => EventOps.hourlyEventCounts(s, dir)),
     "events_sliding"      -> ((s, dir) => EventOps.slidingEventCounts(s, dir)),
@@ -77,6 +78,7 @@ object SparkEntry {
     "dedup_simhash"       -> DedupOps.simhashSignaturesSql,
     "sim_cosine_topk"     -> Similarity.cosineTopKSql,
     "sim_ann_topk"        -> Similarity.annTopKSql,
+    "sim_ivf_topk"        -> Similarity.ivfTopKSql,
     "sim_embedding_dups"  -> Similarity.embeddingNearDupsSql,
     "events_hourly"       -> EventOps.hourlyEventCountsSql,
     "events_sliding"      -> EventOps.slidingEventCountsSql,

@@ -143,6 +143,64 @@ object Similarity {
        |ORDER BY cos_sim DESC, eb.vec_id ASC
        |LIMIT $TopK""".stripMargin
 
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into cells
+    * (nearest of NumCentroids probe vectors by exact integer squared
+    * distance, ties to the smallest centroid id); the query searches
+    * only its NumProbes nearest cells. At scale the assignment is the
+    * classic IVF build — NumCentroids dot products per vector against
+    * broadcast centroids, map-side — and the cell id becomes the
+    * partition key, so a query touches NumProbes/NumCentroids of the
+    * data. Centroids here are fixed probe vectors (vec_id 1..16) to
+    * keep the operator deterministic and oracle-able; a production
+    * build would plug k-means centroids into the same plan. */
+  val NumCentroids = 16
+  val NumProbes = 4
+
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = corpus(spark, sfDir)
+    val cent = emb.where(col("vec_id").between(1, NumCentroids))
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    // exact integer squared distance ||x-c||² = n2 - 2·dot + cn2
+    val dist2 = col("n2") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn2")
+    val byDist = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("cid").asc)
+    val assigned = emb.join(broadcast(cent))
+      .withColumn("dist2", dist2)
+      .withColumn("rn", row_number().over(byDist))
+    val cells = assigned.where(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("q"), col("n2"), col("cid"))
+    val probes = assigned.where(col("vec_id") === QueryVecId && col("rn") <= NumProbes)
+      .select(col("cid").as("probe_cid"))
+    val query = emb.where(col("vec_id") === QueryVecId)
+      .select(col("q").as("qq"), col("n2").as("qn2"))
+    cells.join(broadcast(probes), col("cid") === col("probe_cid"))
+      .join(broadcast(query))
+      .where(col("vec_id") =!= QueryVecId)
+      .select(col("vec_id"), col("label"), col("cid"),
+        cosineFrom(dotQ(col("q"), col("qq")), col("n2"), col("qn2")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(TopK)
+  }
+
+  val ivfTopKSql: String =
+    s"""WITH $corpusSql,
+       |cent AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM e WHERE vec_id BETWEEN 1 AND $NumCentroids),
+       |assigned AS (SELECT e.vec_id, e.label, e.q, e.n2, cent.cid,
+       |                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                                       ORDER BY e.n2 - 2 * ${dotQSql("e.q", "cent.cq")} + cent.cn2 ASC,
+       |                                                cent.cid ASC) AS rn
+       |             FROM e, cent),
+       |cells AS (SELECT vec_id, label, q, n2, cid FROM assigned WHERE rn = 1),
+       |probes AS (SELECT cid AS probe_cid FROM assigned WHERE vec_id = $QueryVecId AND rn <= $NumProbes),
+       |qv AS (SELECT q AS qq, n2 AS qn2 FROM e WHERE vec_id = $QueryVecId)
+       |SELECT cells.vec_id, cells.label, cells.cid,
+       |       ${cosineFromSql(dotQSql("cells.q", "qv.qq"), "cells.n2", "qv.qn2")} AS cos_sim
+       |FROM cells
+       |JOIN probes ON cells.cid = probes.probe_cid, qv
+       |WHERE cells.vec_id <> $QueryVecId
+       |ORDER BY cos_sim DESC, cells.vec_id ASC
+       |LIMIT $TopK""".stripMargin
+
   /** Embedding-cosine near-duplicate candidates, LSH-bucketed: the
     * most-similar pairs WITHIN each bucket — Σ bucket² work, never n².
     * (A production dedup would threshold; the fixture corpus has no

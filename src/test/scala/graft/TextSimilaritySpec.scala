@@ -38,6 +38,15 @@ class TextSimilaritySpec extends SparkSpec {
     assert(sims.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
   }
 
+  test("IVF top-K probes cells only and cannot beat brute force") {
+    val brute = Similarity.cosineTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.map(_.getAs[Double]("cos_sim")).max <= brute.max + 1e-12)
+    // every hit is assigned to one of the probed cells (cid in 1..16)
+    assert(ivf.forall { r => val c = r.getAs[Long]("cid"); c >= 1 && c <= Similarity.NumCentroids })
+  }
+
   test("ANN top-K is a subset of the corpus ranked no better than brute force") {
     val brute = Similarity.cosineTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
     val ann = Similarity.annTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
