@@ -52,6 +52,7 @@ object SparkEntry {
       graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.q2Sql)
     }),
     "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),
+    "sample_per_source_agg" -> ((s, dir) => TextAnalysis.samplePerSourceAgg(s, dir)),
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
     "except_suppliers"    -> ((s, dir) => AnalyticsExt.exceptSuppliers(s, dir)),
     "median_quantity"     -> ((s, dir) => AnalyticsExt.medianQuantity(s, dir)),
@@ -88,6 +89,7 @@ object SparkEntry {
     "sql_q1a"             -> RefQueries.q1aSql,
     "sql_q2"              -> RefQueries.q2Sql,
     "sample_per_source"   -> TextAnalysis.samplePerSourceSql,
+    "sample_per_source_agg" -> TextAnalysis.samplePerSourceSql,
     "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,
     "except_suppliers"    -> AnalyticsExt.exceptSuppliersSql,
     "median_quantity"     -> AnalyticsExt.medianQuantitySql,

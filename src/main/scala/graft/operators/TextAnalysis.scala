@@ -181,6 +181,23 @@ object TextAnalysis {
        |WHERE rk <= 5
        |ORDER BY source ASC, rk ASC""".stripMargin
 
+  /** The same min-k-by-hash sample computed with the bounded-buffer
+    * [[graft.functions.MinKByHash]] Aggregator instead of a window:
+    * map-side partial aggregation caps each partition's shuffle
+    * contribution at k rows per group (a window function shuffles every
+    * row). Same result, same oracle — the scale path for per-group
+    * sampling. */
+  def samplePerSourceAgg(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val minK = udaf(new graft.functions.MinKByHash(k))
+    docs(spark, sfDir)
+      .select(col("source"), TextOps.hash60(col("text")).as("h"), col("doc_id").as("id"))
+      .groupBy(col("source"))
+      .agg(minK(col("h"), col("id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "kv")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rk"), col("kv.id").as("doc_id"))
+      .orderBy(col("source").asc, col("rk").asc)
+  }
+
   /** Document fingerprinting: a whole-document content hash over the
     * normalized text plus a min-shingle-hash (a 1-permutation MinHash) —
     * the cheap first-pass signature for corpus-level dedup bookkeeping. */

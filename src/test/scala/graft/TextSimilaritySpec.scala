@@ -30,6 +30,14 @@ class TextSimilaritySpec extends SparkSpec {
     assert(rows.forall(!_.isNullAt(2)))
   }
 
+  test("aggregator sampler equals the window sampler under repartitioning") {
+    val win = TextAnalysis.samplePerSource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val agg = TextAnalysis.samplePerSourceAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(win.sameElements(agg))
+  }
+
   test("brute-force cosine top-K is sorted and within [-1, 1]") {
     val rows = Similarity.cosineTopK(spark, sf).collect()
     assert(rows.length == Similarity.TopK)
