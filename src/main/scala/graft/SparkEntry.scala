@@ -51,6 +51,18 @@ object SparkEntry {
     "sql_q2"              -> ((s, dir) => {
       graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.q2Sql)
     }),
+    "sql_q1b"             -> ((s, dir) => {
+      graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.q1bSql)
+    }),
+    "sql_q1c"             -> ((s, dir) => {
+      graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.q1cSql)
+    }),
+    "sql_eda"             -> ((s, dir) => {
+      graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.edaSql)
+    }),
+    "sql_pricing"         -> ((s, dir) => {
+      graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.aggPricingSql)
+    }),
     "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),
     "sample_per_source_agg" -> ((s, dir) => TextAnalysis.samplePerSourceAgg(s, dir)),
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
@@ -88,6 +100,10 @@ object SparkEntry {
     "multimodal_stats"    -> Multimodal.multimodalStatsSql,
     "sql_q1a"             -> RefQueries.q1aSql,
     "sql_q2"              -> RefQueries.q2Sql,
+    "sql_q1b"             -> RefQueries.q1bSql,
+    "sql_q1c"             -> RefQueries.q1cSql,
+    "sql_eda"             -> RefQueries.edaSql,
+    "sql_pricing"         -> RefQueries.aggPricingSql,
     "sample_per_source"   -> TextAnalysis.samplePerSourceSql,
     "sample_per_source_agg" -> TextAnalysis.samplePerSourceSql,
     "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,

@@ -23,6 +23,26 @@ object EventStream {
   case class SessionState(startUs: Long, lastUs: Long, n: Long)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 
+  /** File-source stream over a directory of events parquet: the
+    * production shape (files land in a directory, Spark discovers and
+    * processes them incrementally, `maxFilesPerTrigger` bounds batch
+    * size). Handles the fixture's TIMESTAMP(NANOS) encoding the same
+    * way as the batch loader (`nanosAsLong` + exact integer division —
+    * the session must set `spark.sql.legacy.parquet.nanosAsLong`). */
+  def readEventsStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       maxFilesPerTrigger: Int = 1): DataFrame = {
+    import org.apache.spark.sql.types._
+    val nanoSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream
+      .schema(nanoSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Tumbling 1-hour counts per event type with a 2-hour watermark —
     * identical aggregation expression to the batch
     * `EventOps.hourlyEventCounts`. Works on both streaming and batch

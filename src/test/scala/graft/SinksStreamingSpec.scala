@@ -89,6 +89,20 @@ class SinksStreamingSpec extends SparkSpec {
     assert(streamed.map(_.getAs[Long]("n_events")).sum == 100)
   }
 
+  test("file-source stream over the events fixture matches the batch aggregate") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    Files.copy(java.nio.file.Path.of(s"$sf/events.parquet"),
+      java.nio.file.Path.of(dir, "events.parquet"))
+    val q = EventStream.hourlyCounts(EventStream.readEventsStream(spark, dir))
+      .writeStream.format("memory").queryName("file_stream_test").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("file_stream_test")
+      .orderBy("window_start", "event_type").collect()
+    val batch = EventStream.hourlyCounts(Tables.events(spark, sf))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("streaming sessionization closes sessions on gap (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
