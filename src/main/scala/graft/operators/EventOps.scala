@@ -79,6 +79,34 @@ object EventOps {
       |GROUP BY window_start, event_type
       |ORDER BY window_start ASC, event_type ASC""".stripMargin
 
+  /** JSON property extraction (the `props` column is a JSON string —
+    * the semi-structured payload every event pipeline carries):
+    * get_json_object pulls `$.k`, aggregated per event type. Exact
+    * integer sums; CAST(... AS BIGINT) pins the type on both engines. */
+  def propsExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .where(col("props").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type").asc)
+  }
+
+  val propsExtractSql: String =
+    """SELECT event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events
+      |WHERE props IS NOT NULL AND event_type IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type ASC""".stripMargin
+
   /** Gap-based sessionization (batch): a new session starts when the
     * per-user gap exceeds `gapMinutes`. Classic lag + running-sum window
     * pattern; all time arithmetic in exact microseconds (`unix_micros` /
