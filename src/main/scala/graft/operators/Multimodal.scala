@@ -61,6 +61,27 @@ object Multimodal {
     }
   }
 
+  /** =========================== STUB ===============================
+    * Resize: recompute target dimensions preserving aspect ratio
+    * (exact integer arithmetic); a real deployment replaces the body
+    * with the codec's rescale call. The metadata plumbing — new dims
+    * propagated alongside the payload — is the real part.
+    * ================================================================ */
+  def resizeStub(meta: DecodedMeta, maxSide: Int): DecodedMeta = {
+    val side = math.max(meta.width, meta.height)
+    if (side <= maxSide) meta
+    else DecodedMeta(meta.doc_id, meta.source, meta.n_bytes,
+      math.max(1, meta.width * maxSide / side),
+      math.max(1, meta.height * maxSide / side),
+      meta.channels, meta.checksum)
+  }
+
+  /** Batch resize over partitions — same iterator shape as decodeAll. */
+  def resizeAll(decoded: Dataset[DecodedMeta], maxSide: Int): Dataset[DecodedMeta] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map(resizeStub(_, maxSide)))
+  }
+
   /** Frame sampling: pick `frames` evenly spaced byte offsets from each
     * payload and emit (doc_id, frame_no, offset, byte) — the plumbing a
     * video pipeline uses to fan one blob out to per-frame rows, done

@@ -73,6 +73,16 @@ class EventMultimodalSpec extends SparkSpec {
     assert(decoded.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
   }
 
+  test("resize stub preserves aspect ratio within bounds, keeps payload identity") {
+    import spark.implicits._
+    val media = Multimodal.withPayload(spark, sf).as[Multimodal.Media]
+    val decoded = Multimodal.decodeAll(media)
+    val resized = Multimodal.resizeAll(decoded, 16).collect()
+    assert(resized.forall(d => d.width <= 16 && d.height <= 16 && d.width >= 1 && d.height >= 1))
+    // checksums (payload identity) unchanged by resize metadata op
+    assert(resized.map(_.checksum).sorted.sameElements(decoded.collect().map(_.checksum).sorted))
+  }
+
   test("frame sampling emits `frames` rows per doc with valid bytes") {
     val frames = Multimodal.frameSample(Multimodal.withPayload(spark, sf), 4).collect()
     val perDoc = frames.groupBy(_.getAs[Long]("doc_id"))
