@@ -201,6 +201,69 @@ object Similarity {
        |ORDER BY cos_sim DESC, cells.vec_id ASC
        |LIMIT $TopK""".stripMargin
 
+  /** Deterministic k-means in quantized space, for building real IVF
+    * centroids: init = the fixed probe vectors; assignment by exact
+    * integer squared distance (ties to smallest cid); update = per-dim
+    * exact integer sums divided by counts, re-quantized — every
+    * iteration is a pure function of the data, so the trained centroids
+    * are reproducible across partitionings and reruns (the property
+    * float-mean k-means lacks). Feed the result into [[ivfSearchWith]].
+    */
+  def kmeansCentroids(spark: SparkSession, sfDir: String,
+                      k: Int = NumCentroids, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = corpus(spark, sfDir).select(col("vec_id"), col("q"), col("n2"))
+    var cent = emb.where(col("vec_id").between(1, k))
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    for (_ <- 1 to iters) {
+      val dist2 = col("n2") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn2")
+      val byDist = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("cid").asc)
+      val assigned = emb.join(broadcast(cent))
+        .withColumn("dist2", dist2)
+        .withColumn("rn", row_number().over(byDist))
+        .where(col("rn") === 1)
+        .select(col("cid"), col("q"))
+      val byDim = assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          round(col("s").cast("double") / col("n")).cast("long").as("m"))
+      cent = byDim.groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("cq"))
+        .withColumn("cn2", dotQ(col("cq"), col("cq")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    cent
+  }
+
+  /** IVF search against caller-supplied centroids (e.g. from
+    * [[kmeansCentroids]]): same probed-cell plan as [[ivfTopK]]. */
+  def ivfSearchWith(spark: SparkSession, sfDir: String, cent: DataFrame,
+                    nProbes: Int = NumProbes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = corpus(spark, sfDir)
+    val dist2 = col("n2") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn2")
+    val byDist = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("cid").asc)
+    val assigned = emb.join(broadcast(cent))
+      .withColumn("dist2", dist2)
+      .withColumn("rn", row_number().over(byDist))
+    val cells = assigned.where(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("q"), col("n2"), col("cid"))
+    val probes = assigned.where(col("vec_id") === QueryVecId && col("rn") <= nProbes)
+      .select(col("cid").as("probe_cid"))
+    val query = emb.where(col("vec_id") === QueryVecId)
+      .select(col("q").as("qq"), col("n2").as("qn2"))
+    cells.join(broadcast(probes), col("cid") === col("probe_cid"))
+      .join(broadcast(query))
+      .where(col("vec_id") =!= QueryVecId)
+      .select(col("vec_id"), col("label"), col("cid"),
+        cosineFrom(dotQ(col("q"), col("qq")), col("n2"), col("qn2")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(TopK)
+  }
+
   /** Embedding-cosine near-duplicate candidates, LSH-bucketed: the
     * most-similar pairs WITHIN each bucket — Σ bucket² work, never n².
     * (A production dedup would threshold; the fixture corpus has no

