@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: compare Verify's
+parquet dumps against the DuckDB oracle SQL, column-sorted like the
+driver does. Usage: local_verify.py <sfDir> <outDir> [query ...]"""
+import datetime, json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    # the driver's pandas compare sees date and midnight-timestamp as
+    # equal (r3 hash-matched revenue_by_month with exactly this shape)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return str(v)
+
+def rows_key(df):
+    cols = sorted(df.columns)
+    rows = [tuple(norm(r[df.columns.index(c)]) for c in cols) for r in df.fetchall()]
+    return cols, rows
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            ora_df = con.sql(sql)
+            sc, sr = rows_key(spark_df)
+            oc, orows = rows_key(ora_df)
+            schema_ok = sc == oc
+            # driver compares without a total order guarantee? queries are
+            # ordered; compare as multisets to be safe, and ordered too
+            ok = schema_ok and sorted(sr) == sorted(orows)
+            if ok:
+                n_pass += 1
+                print(f"PASS {name} ({len(sr)} rows)")
+            else:
+                n_fail += 1
+                print(f"FAIL {name}: schema_match={schema_ok} spark_cols={sc} oracle_cols={oc} "
+                      f"spark_rows={len(sr)} oracle_rows={len(orows)}")
+                for a, b in list(zip(sorted(sr), sorted(orows)))[:40]:
+                    if a != b:
+                        print(f"  spark={a}\n  oracle={b}")
+                        break
+        except Exception as e:
+            n_fail += 1
+            print(f"ERR  {name}: {e}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+main()

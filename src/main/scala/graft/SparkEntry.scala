@@ -47,22 +47,22 @@ object SparkEntry {
     // §3.3): the SAME SQL text the DuckDB oracle runs, executed by
     // spark.sql over the registered views — full query compatibility.
     "sql_q1a"             -> ((s, dir) => {
-      graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.q1aSql)
+      graft.sources.Tables.ensureViews(s, dir); s.sql(RefQueries.q1aSql)
     }),
     "sql_q2"              -> ((s, dir) => {
-      graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.q2Sql)
+      graft.sources.Tables.ensureViews(s, dir); s.sql(RefQueries.q2Sql)
     }),
     "sql_q1b"             -> ((s, dir) => {
-      graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.q1bSql)
+      graft.sources.Tables.ensureViews(s, dir); s.sql(RefQueries.q1bSql)
     }),
     "sql_q1c"             -> ((s, dir) => {
-      graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.q1cSql)
+      graft.sources.Tables.ensureViews(s, dir); s.sql(RefQueries.q1cSql)
     }),
     "sql_eda"             -> ((s, dir) => {
-      graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.edaSql)
+      graft.sources.Tables.ensureViews(s, dir); s.sql(RefQueries.edaSql)
     }),
     "sql_pricing"         -> ((s, dir) => {
-      graft.sources.Tables.registerAllViews(s, dir); s.sql(RefQueries.aggPricingSql)
+      graft.sources.Tables.ensureViews(s, dir); s.sql(RefQueries.aggPricingSql)
     }),
     "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),
     "sample_per_source_agg" -> ((s, dir) => TextAnalysis.samplePerSourceAgg(s, dir)),

@@ -16,12 +16,20 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
-  /** Canonical text normalization for exact dedup: lowercase, strip
-    * non-alphanumerics to single spaces, trim. SQL twin:
-    * `trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))`
-    * (Spark's regexp_replace is global by default; DuckDB needs 'g'). */
+  /** Canonical text normalization for exact dedup: lowercase, collapse
+    * every non-letter/non-digit run to a single space, trim. The classes
+    * are Unicode (`\p{L}\p{N}` means the same Letter/Number categories
+    * under Java regex and DuckDB's RE2) — an ASCII-only class would
+    * normalize any document with no Latin letters or digits (pure-CJK,
+    * emoji-only) to the empty string and silently report all such docs
+    * as copies of each other. */
   def normText(text: Column): Column =
-    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "))
+
+  /** SQL twin of [[normText]] (Spark's regexp_replace is global by
+    * default; DuckDB needs the 'g' flag). */
+  def normTextSql(text: String): String =
+    s"trim(regexp_replace(lower($text), '[^\\p{L}\\p{N}]+', ' ', 'g'))"
 
   /** BPE-ish subword segmentation regex: letter runs, digit runs, and
     * single non-alphanumeric marks — the standard pre-tokenizer split

@@ -47,7 +47,7 @@ object DedupOps {
   }
 
   val dedupExactSql: String = {
-    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    val norm = TextOps.normTextSql("text")
     s"""SELECT ${TextOps.hash60Sql(norm)} AS content_hash,
        |       MIN(doc_id) AS keep_doc_id,
        |       COUNT(*) AS n_copies

@@ -89,7 +89,12 @@ object Multimodal {
   def frameSample(payloads: DataFrame, frames: Int = 4): DataFrame = {
     val n = length(col("payload"))
     val step = greatest(lit(1), (n / frames).cast("int"))
-    val offsets = slice(sequence(lit(0), n - 1, step), 1, frames)
+    // empty payloads: sequence(0, -1, 1) is an illegal-bounds runtime
+    // error in Spark, so they contribute zero frame rows instead; a
+    // payload shorter than `frames` bytes yields one row per byte
+    // (fewer than `frames`) — offsets never exceed the payload.
+    val offsets = when(n === 0, array().cast("array<int>"))
+      .otherwise(slice(sequence(lit(0), n - 1, step), 1, frames))
     payloads
       .select(col("doc_id"), col("payload"), posexplode(offsets).as(Seq("frame_no", "offset")))
       .select(col("doc_id"), col("frame_no"), col("offset"),

@@ -212,7 +212,7 @@ object TextAnalysis {
   }
 
   val fingerprintsSql: String = {
-    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    val norm = TextOps.normTextSql("text")
     val docHash = TextOps.hash60Sql(norm)
     val shingleList =
       """list_distinct(list_transform(range(0, greatest(len(t) - 2, 0)),

@@ -113,11 +113,24 @@ object Tables {
     * `spark.sql` path (the reference's Hive CLI entry point, SURVEY.md
     * §3.3) can run ANSI SQL against the same names the DuckDB oracle
     * uses. */
-  def registerAllViews(spark: SparkSession, sfDir: String): Unit =
+  def registerAllViews(spark: SparkSession, sfDir: String): Unit = {
     fixtureNames.foreach { n =>
       val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
       df.createOrReplaceTempView(n)
     }
+    spark.conf.set(ViewsDirKey, sfDir)
+  }
+
+  private val ViewsDirKey = "spark.graft.views.dir"
+
+  /** Idempotent view setup: registers the fixture views only when the
+    * session isn't already pointed at `sfDir`. Catalog registration is
+    * session state, not query work — hoisting it out of the per-query
+    * path keeps the declarative `spark.sql` entries measuring the query
+    * rather than catalog churn. */
+  def ensureViews(spark: SparkSession, sfDir: String): Unit =
+    if (!spark.conf.getOption(ViewsDirKey).contains(sfDir))
+      registerAllViews(spark, sfDir)
 
   /** Bucketed persistent table: pre-shuffles by `key` into `buckets`
     * files per partition so repeated joins/aggregations on `key` read

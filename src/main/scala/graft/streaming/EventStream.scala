@@ -63,7 +63,18 @@ object EventStream {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
 
-    def toTs(us: Long): Timestamp = new Timestamp(us / 1000L)
+    // exact microseconds, matching the batch twin's unix_micros rule:
+    // Timestamp.getTime only carries millis — the sub-ms component lives
+    // in getNanos, so both directions must splice it explicitly or
+    // session boundaries drift from EventOps.sessionize at micro
+    // precision.
+    def toUs(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
 
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[SessionState]): Iterator[Session] = {
@@ -72,11 +83,11 @@ object EventStream {
         state.remove()
         Iterator.single(Session(userId, toTs(s.startUs), toTs(s.lastUs), s.n))
       } else {
-        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
         var closed = List.newBuilder[Session]
         var cur = state.getOption
         sorted.foreach { e =>
-          val us = e.ts.getTime * 1000L
+          val us = toUs(e.ts)
           cur match {
             case Some(s) if us - s.lastUs <= gapUs =>
               cur = Some(s.copy(lastUs = us, n = s.n + 1))
