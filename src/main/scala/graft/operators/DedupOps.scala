@@ -94,22 +94,26 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  private def bandsDf(spark: SparkSession, sfDir: String, keepHs: Boolean): DataFrame = {
+  /** Slim band rows (doc_id, band_id, band_key) from a signature frame.
+    * Deliberately carries NOTHING but the 8-byte doc id and the short
+    * band key: the band self-join duplicates every row into each
+    * matching pair, so any payload here (like the ~80-element
+    * shingle-hash array) is shipped once per PAIR instead of once per
+    * DOC — the scale defect this shape exists to avoid. */
+  private def bandRows(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until NumBands).map { b =>
       struct(lit(b).as("band_id"),
         concat_ws("_", (0 until RowsPerBand).map(j => col(s"m${b * RowsPerBand + j}")): _*).as("band_key"))
     }
-    val base = signatures(spark, sfDir, keepHs)
-    val kept = if (keepHs) Seq(col("doc_id"), col("hs")) else Seq(col("doc_id"))
-    base.select(kept :+ explode(array(bandStructs: _*)).as("bb"): _*)
-      .select(kept :+ col("bb.band_id").as("band_id") :+ col("bb.band_key").as("band_key"): _*)
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_id").as("band_id"), col("bb.band_key").as("band_key"))
   }
 
   /** Banded LSH candidate pairs: docs sharing at least one band bucket,
     * with the number of shared bands. The join key is (band_id,
     * band_key) — never a cross join. */
   def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = bandsDf(spark, sfDir, keepHs = false)
+    val bands = bandRows(signatures(spark, sfDir, keepHs = false))
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_key") === col("b.band_key") &&
@@ -141,7 +145,7 @@ object DedupOps {
        |             $minExprs,
        |             list(h) AS hs
        |        FROM h GROUP BY doc_id),
-       |bands AS (SELECT doc_id, hs, b.range AS band_id,
+       |bands AS (SELECT doc_id, b.range AS band_id,
        |                 CASE b.range $bandKeys END AS band_key
        |          FROM sig, range($NumBands) b)""".stripMargin
   }
@@ -154,24 +158,31 @@ object DedupOps {
        |GROUP BY doc_a, doc_b
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
 
-  /** Exact n-gram Jaccard over the LSH candidate pairs only: the two
-    * shingle-hash arrays ride along on the band join, and
-    * |A∩B| is an in-place `array_intersect` per candidate pair;
-    * jaccard = inter / (|A| + |B| - inter), thresholded. The division is
-    * one IEEE op over exact integers — deterministic. */
+  /** Exact n-gram Jaccard over the LSH candidate pairs only.
+    *
+    * Shuffle shape: candidate pairs come from the SLIM band join
+    * (doc ids only), then the deduplicated pair list joins back to the
+    * persisted [[signatures]] frame twice — once per side — so each
+    * doc's ~80-element shingle-hash array is shipped exactly once per
+    * doc, never once per (pair × shared-band). |A∩B| is an in-place
+    * `array_intersect`; jaccard = inter / (|A| + |B| - inter),
+    * thresholded. The division is one IEEE op over exact integers —
+    * deterministic. */
   def nearDupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = bandsDf(spark, sfDir, keepHs = true)
+    val sigs = signatures(spark, sfDir, keepHs = true)
+    val bands = bandRows(sigs)
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.hs").as("ha"), col("b.hs").as("hb"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(first(col("ha")).as("ha"), first(col("hb")).as("hb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
     val inter = size(array_intersect(col("ha"), col("hb"))).cast("double")
     val union = (size(col("ha")) + size(col("hb"))).cast("double") - inter
-    pairs
+    withSets
       .select(col("doc_a"), col("doc_b"), (inter / union).as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
@@ -179,15 +190,17 @@ object DedupOps {
 
   val nearDupJaccardSql: String =
     s"""WITH $minhashSqlPrefix,
-       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |                 any_value(a.hs) AS ha, any_value(b.hs) AS hb
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM bands a
-       |          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |          GROUP BY doc_a, doc_b)
+       |          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |withsets AS (SELECT p.doc_a, p.doc_b, sa.hs AS ha, sb.hs AS hb
+       |             FROM pairs p
+       |             JOIN sig sa ON p.doc_a = sa.doc_id
+       |             JOIN sig sb ON p.doc_b = sb.doc_id)
        |SELECT doc_a, doc_b,
        |       CAST(len(list_intersect(ha, hb)) AS DOUBLE) /
        |         (CAST(len(ha) + len(hb) AS DOUBLE) - CAST(len(list_intersect(ha, hb)) AS DOUBLE)) AS jaccard
-       |FROM pairs
+       |FROM withsets
        |WHERE CAST(len(list_intersect(ha, hb)) AS DOUBLE) /
        |        (CAST(len(ha) + len(hb) AS DOUBLE) - CAST(len(list_intersect(ha, hb)) AS DOUBLE)) >= $JaccardThreshold
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
