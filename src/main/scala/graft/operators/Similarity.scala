@@ -156,30 +156,47 @@ object Similarity {
   val NumCentroids = 16
   val NumProbes = 4
 
+  /** One-row frame holding the whole coarse quantizer as an array of
+    * (cid, cq, cn2) structs — the broadcastable form. Cell assignment
+    * against it is a per-row array fold, so the build side of IVF needs
+    * ZERO exchanges: no window, no shuffle of n×k assignment rows. */
+  private def centroidArray(cent: DataFrame): DataFrame =
+    cent.agg(collect_list(struct(col("cid"), col("cq"), col("cn2"))).as("cents"))
+
+  /** Exact integer squared distance ||x-c||² = n2 - 2·dot + cn2 for one
+    * centroid struct. */
+  private def cellDist2(c: Column, q: Column, n2: Column): Column =
+    n2 - lit(2L) * dotQ(q, c.getField("cq")) + c.getField("cn2")
+
+  /** Map-side argmin cell id: the lexicographic min of (dist2, cid) over
+    * the broadcast centroid array — identical to ranking by dist2 asc,
+    * cid asc and keeping rank 1, but computed as a fold so it is
+    * order-independent (collect_list's nondeterministic array order
+    * cannot leak into the result). */
+  private def nearestCid(cents: Column, q: Column, n2: Column): Column =
+    aggregate(cents,
+      struct(lit(Long.MaxValue).as("d2"), lit(Long.MaxValue).as("cid")),
+      (acc, c) => {
+        val d2 = cellDist2(c, q, n2)
+        val cid = c.getField("cid")
+        when(d2 < acc.getField("d2") ||
+             (d2 === acc.getField("d2") && cid < acc.getField("cid")),
+          struct(d2.as("d2"), cid.as("cid"))).otherwise(acc)
+      }).getField("cid")
+
+  /** The query's nProbes nearest cell ids, nearest first — array_sort on
+    * (dist2, cid) structs is exactly the dist2-asc, cid-asc rank. */
+  private def probeCids(cents: Column, q: Column, n2: Column, nProbes: Int): Column =
+    transform(
+      slice(array_sort(transform(cents, c =>
+        struct(cellDist2(c, q, n2).as("d2"), c.getField("cid").as("cid")))), 1, nProbes),
+      x => x.getField("cid"))
+
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = corpus(spark, sfDir)
     val cent = emb.where(col("vec_id").between(1, NumCentroids))
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
-    // exact integer squared distance ||x-c||² = n2 - 2·dot + cn2
-    val dist2 = col("n2") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn2")
-    val byDist = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("cid").asc)
-    val assigned = emb.join(broadcast(cent))
-      .withColumn("dist2", dist2)
-      .withColumn("rn", row_number().over(byDist))
-    val cells = assigned.where(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("q"), col("n2"), col("cid"))
-    val probes = assigned.where(col("vec_id") === QueryVecId && col("rn") <= NumProbes)
-      .select(col("cid").as("probe_cid"))
-    val query = emb.where(col("vec_id") === QueryVecId)
-      .select(col("q").as("qq"), col("n2").as("qn2"))
-    cells.join(broadcast(probes), col("cid") === col("probe_cid"))
-      .join(broadcast(query))
-      .where(col("vec_id") =!= QueryVecId)
-      .select(col("vec_id"), col("label"), col("cid"),
-        cosineFrom(dotQ(col("q"), col("qq")), col("n2"), col("qn2")).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(TopK)
+    ivfSearchWith(spark, sfDir, cent)
   }
 
   val ivfTopKSql: String =
@@ -201,6 +218,14 @@ object Similarity {
        |ORDER BY cos_sim DESC, cells.vec_id ASC
        |LIMIT $TopK""".stripMargin
 
+  /** Frees the executor blocks behind a `localCheckpoint`ed frame (the
+    * cached RDD a checkpoint materializes into). No-op on frames that
+    * aren't checkpointed. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Deterministic k-means in quantized space, for building real IVF
     * centroids: init = the fixed probe vectors; assignment by exact
     * integer squared distance (ties to smallest cid); update = per-dim
@@ -208,51 +233,59 @@ object Similarity {
     * iteration is a pure function of the data, so the trained centroids
     * are reproducible across partitionings and reruns (the property
     * float-mean k-means lacks). Feed the result into [[ivfSearchWith]].
+    *
+    * Iteration hygiene: each new centroid frame is `localCheckpoint`ed
+    * (truncating the plan so iteration i does not embed all i-1
+    * predecessors) and the previous iteration's blocks are freed, so
+    * executor storage and plan size stay CONSTANT in `iters`. A cell
+    * that receives no assignments keeps its previous centroid — the
+    * trained result always has exactly k centroids (no silent shrink).
     */
   def kmeansCentroids(spark: SparkSession, sfDir: String,
                       k: Int = NumCentroids, iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = corpus(spark, sfDir).select(col("vec_id"), col("q"), col("n2"))
     var cent = emb.where(col("vec_id").between(1, k))
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
     for (_ <- 1 to iters) {
-      val dist2 = col("n2") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn2")
-      val byDist = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("cid").asc)
-      val assigned = emb.join(broadcast(cent))
-        .withColumn("dist2", dist2)
-        .withColumn("rn", row_number().over(byDist))
-        .where(col("rn") === 1)
-        .select(col("cid"), col("q"))
+      val assigned = emb.join(broadcast(centroidArray(cent)))
+        .select(nearestCid(col("cents"), col("q"), col("n2")).as("cid"), col("q"))
       val byDim = assigned
         .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
         .select(col("cid"), col("pos"),
           round(col("s").cast("double") / col("n")).cast("long").as("m"))
-      cent = byDim.groupBy(col("cid"))
+      val means = byDim.groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("cq"))
+        .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("mq"))
+      val next = cent.select(col("cid"), col("cq").as("prev_cq"))
+        .join(means, Seq("cid"), "left_outer")
+        .select(col("cid"), coalesce(col("mq"), col("prev_cq")).as("cq"))
         .withColumn("cn2", dotQ(col("cq"), col("cq")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
+      unpersistCheckpoint(cent)
+      cent = next
     }
     cent
   }
 
   /** IVF search against caller-supplied centroids (e.g. from
-    * [[kmeansCentroids]]): same probed-cell plan as [[ivfTopK]]. */
+    * [[kmeansCentroids]]): same probed-cell plan as [[ivfTopK]].
+    *
+    * Assignment stage is exchange-free: the centroid set rides in as a
+    * broadcast one-row array and each vector folds over it
+    * ([[nearestCid]]), so the only shuffle anywhere in the serving path
+    * is the final top-K (TakeOrderedAndProject). */
   def ivfSearchWith(spark: SparkSession, sfDir: String, cent: DataFrame,
                     nProbes: Int = NumProbes): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = corpus(spark, sfDir)
-    val dist2 = col("n2") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn2")
-    val byDist = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("cid").asc)
-    val assigned = emb.join(broadcast(cent))
-      .withColumn("dist2", dist2)
-      .withColumn("rn", row_number().over(byDist))
-    val cells = assigned.where(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("q"), col("n2"), col("cid"))
-    val probes = assigned.where(col("vec_id") === QueryVecId && col("rn") <= nProbes)
-      .select(col("cid").as("probe_cid"))
+    val centArr = centroidArray(cent)
+    val cells = emb.join(broadcast(centArr))
+      .select(col("vec_id"), col("label"), col("q"), col("n2"),
+        nearestCid(col("cents"), col("q"), col("n2")).as("cid"))
+    val probes = emb.where(col("vec_id") === QueryVecId)
+      .join(broadcast(centArr))
+      .select(explode(probeCids(col("cents"), col("q"), col("n2"), nProbes)).as("probe_cid"))
     val query = emb.where(col("vec_id") === QueryVecId)
       .select(col("q").as("qq"), col("n2").as("qn2"))
     cells.join(broadcast(probes), col("cid") === col("probe_cid"))

@@ -69,6 +69,18 @@ class TextSimilaritySpec extends SparkSpec {
     assert(hits.map(_.getAs[Double]("cos_sim")).max <= brute.max + 1e-12)
   }
 
+  test("k-means keeps executor storage and plan size constant across iterations") {
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val cent = Similarity.kmeansCentroids(spark, sf, 8, 10)
+    // each iteration checkpoints the new centroids and frees the prior
+    // ones, so 10 iterations leave exactly one live checkpoint RDD
+    assert(spark.sparkContext.getPersistentRDDs.size <= baseline + 1)
+    assert(cent.count() == 8) // empty cells keep their centroid — never fewer than k
+    // lineage is truncated: the 10th iteration's plan must not embed the
+    // whole 9-iteration pipeline (which would be thousands of nodes)
+    assert(cent.queryExecution.analyzed.collectLeaves().size <= 2)
+  }
+
   test("ANN top-K is a subset of the corpus ranked no better than brute force") {
     val brute = Similarity.cosineTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
     val ann = Similarity.annTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
