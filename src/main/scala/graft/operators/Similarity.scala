@@ -20,16 +20,38 @@ import graft.sources.Tables
   * Scale design: squared norms are computed ONCE per vector on the scan
   * side (not per candidate pair); the query vector joins via broadcast
   * (one row), so brute-force is a single scan + TakeOrderedAndProject.
-  * The ANN variant buckets the corpus by hyperplane sign bits; at scale
-  * the bucket id becomes the shuffle/partition key and each query
-  * probes one bucket instead of the full corpus.
+  * The ANN variants bucket the corpus by random-hyperplane sign bits in
+  * [[AnnTables]] independent hash tables whose per-table bit count
+  * grows with the corpus ([[annPlanesFor]]), so bucket occupancy — and
+  * with it candidate-pair work — stays bounded per vector at any scale;
+  * at cluster scale the (tbl, bucket) id is the shuffle key.
   */
 object Similarity {
 
   val Dims = 64
   val QueryVecId = 0L
   val TopK = 10
-  val AnnPlanes = 4
+
+  /** Multi-table LSH geometry. Each of [[AnnTables]] independent hash
+    * tables packs [[annPlanesFor]]-many hyperplane sign bits into a
+    * bucket id; candidates are vectors sharing a bucket in ANY table
+    * (OR-probing). The bit count per table GROWS with the corpus —
+    * 2^planes ≈ n / [[AnnBucketTarget]], clamped — so expected bucket
+    * occupancy stays ~constant and candidate work stays O(n · tables ·
+    * occupancy) instead of the n²/2^k all-pairs a fixed bucket count
+    * degenerates to. More tables buy recall, not quadratic work. */
+  val AnnTables = 4
+  val AnnMinPlanes = 4
+  val AnnMaxPlanes = 20
+  val AnnBucketTarget = 32
+
+  /** Bits per table for a corpus of n vectors: the bit-length of
+    * (n-1)/target, clamped to [min, max]. Integer-exact (no float log),
+    * so the DuckDB twin `length(bin(...))` agrees at every n. */
+  def annPlanesFor(n: Long): Int = {
+    val bits = java.lang.Long.toBinaryString(math.max(0L, (n - 1) / AnnBucketTarget)).length
+    math.min(AnnMaxPlanes, math.max(AnnMinPlanes, bits))
+  }
 
   /** Exact integer quantization of a float vector. */
   private def quantize(v: Column): Column =
@@ -65,14 +87,37 @@ object Similarity {
     }
   }
 
-  /** LSH bucket id: sign bit of each hyperplane projection, packed. The
-    * projection is an exact integer sum (±1 × quantized component). */
-  private def annBucket(q: Column): Column =
-    (0 until AnnPlanes).map { p =>
-      val signs = array(planeSigns(p).map(s => lit(s.toLong)): _*)
-      val proj = aggregate(zip_with(q, signs, (x, s) => x * s), lit(0L), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+  /** Bucket id of hash table `t`: `planes` hyperplane sign bits packed
+    * into a long. The projection is an exact integer dot product
+    * against the ±1 plane literals — the codegen'd [[DotLong]] kernel,
+    * not an interpreted lambda, since this runs once per (row × table ×
+    * plane). Tables are independent: table t consumes planes
+    * t·AnnMaxPlanes … t·AnnMaxPlanes+planes-1. */
+  private def tableBucket(q: Column, t: Int, planes: Int): Column =
+    (0 until planes).map { p =>
+      val signs = array(planeSigns(t * AnnMaxPlanes + p).map(s => lit(s.toLong)): _*)
+      when(dotQ(q, signs) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Slim (vec_id, tbl, bucket) rows — one per vector per hash table.
+    * Like the dedup band rows, these deliberately carry NOTHING but the
+    * id and the key: bucket joins must never ship vector payloads. */
+  private[graft] def bucketRows(embQ: DataFrame, planes: Int): DataFrame =
+    embQ.select(col("vec_id"),
+      posexplode(array((0 until AnnTables).map(t => tableBucket(col("q"), t, planes)): _*))
+        .as(Seq("tbl", "bucket")))
+
+  /** Distinct candidate pairs sharing a bucket in at least one table —
+    * the scale-bounded substitute for the n²/2 cross product. Input
+    * must have (vec_id, q) columns with q already quantized. */
+  private[graft] def candidatePairs(embQ: DataFrame, planes: Int): DataFrame = {
+    val buckets = bucketRows(embQ, planes)
+    buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+  }
 
   /** Brute-force cosine top-K against the query vector (vec_id = 0):
     * one broadcast of the single query row, one scan of the corpus, one
@@ -112,35 +157,68 @@ object Similarity {
        |ORDER BY cos_sim DESC, e.vec_id ASC
        |LIMIT $TopK""".stripMargin
 
-  private def bucketExprSql: String =
-    (0 until AnnPlanes).map { p =>
-      val signs = planeSigns(p).mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum(list_transform(range(1, ${Dims + 1}), i -> q[i] * ($signs)[i])) >= 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
+  /** The 4×20 ±1 plane components as one nested SQL list literal,
+    * indexed [tbl+1][p+1][i] in the twin queries. */
+  private def signsSqlLiteral: String =
+    (0 until AnnTables).map { t =>
+      (0 until AnnMaxPlanes).map { p =>
+        planeSigns(t * AnnMaxPlanes + p).mkString("[", ", ", "]")
+      }.mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
 
-  /** ANN: bucket the corpus by hyperplane signs, search only the query's
-    * bucket. Same result schema as [[cosineTopK]] plus the bucket id —
-    * the judge-visible contract is "no corpus-wide pairwise work". */
+  /** SQL scaffolding shared by the ANN twins: the plane count derived
+    * from COUNT(*) with the same integer bit-length formula as
+    * [[annPlanesFor]], and per-(vector, table) bucket ids. The nested
+    * signs literal is hoisted into the tiny `sg` CTE (one row per
+    * (table, plane)) — referencing it inside the per-element lambda
+    * makes DuckDB rebuild the whole 5120-element list per element. */
+  private def annSqlPrefix: String =
+    s"""$corpusSql,
+       |nn AS (SELECT LEAST($AnnMaxPlanes, GREATEST($AnnMinPlanes,
+       |                    length(bin(GREATEST(COUNT(*) - 1, 0) // $AnnBucketTarget)))) AS planes FROM e),
+       |sg AS (SELECT t.range AS tbl, p.range AS p, ($signsSqlLiteral)[t.range + 1][p.range + 1] AS signs
+       |       FROM range($AnnTables) t, range($AnnMaxPlanes) p, nn WHERE p.range < nn.planes),
+       |bits AS (SELECT e.vec_id, sg.tbl, sg.p,
+       |                CASE WHEN list_sum(list_transform(range(1, ${Dims + 1}), i -> e.q[i] * sg.signs[i])) >= 0
+       |                     THEN (CAST(1 AS BIGINT) << sg.p) ELSE 0 END AS bit
+       |         FROM e, sg),
+       |eb AS (SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id, tbl)""".stripMargin
+
+  /** ANN top-K: probe the query's bucket in each hash table, take the
+    * OR-union of bucket-mates as the candidate set, then score ONLY the
+    * candidates. Candidate discovery runs on the slim bucket rows and
+    * the candidate id list broadcasts back onto the corpus scan, so the
+    * corpus itself is never shuffled and never pairwise-compared. */
   def annTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = corpus(spark, sfDir).withColumn("bucket", annBucket(col("q")))
-    val query = emb.where(col("vec_id") === QueryVecId)
-      .select(col("q").as("qq"), col("n2").as("qn2"), col("bucket").as("qbucket"))
-    emb.join(broadcast(query), col("bucket") === col("qbucket"))
+    val emb = corpus(spark, sfDir)
+    val planes = annPlanesFor(Tables.embeddings(spark, sfDir).count())
+    val buckets = bucketRows(emb, planes)
+    val qb = buckets.where(col("vec_id") === QueryVecId)
+      .select(col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    val cand = buckets.join(broadcast(qb),
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket"))
       .where(col("vec_id") =!= QueryVecId)
-      .select(col("vec_id"), col("label"), col("bucket"),
+      .select(col("vec_id")).distinct()
+    val query = emb.where(col("vec_id") === QueryVecId)
+      .select(col("q").as("qq"), col("n2").as("qn2"))
+    emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(query))
+      .select(col("vec_id"), col("label"),
         cosineFrom(dotQ(col("q"), col("qq")), col("n2"), col("qn2")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(TopK)
   }
 
   val annTopKSql: String =
-    s"""WITH $corpusSql,
-       |eb AS (SELECT vec_id, label, q, n2, $bucketExprSql AS bucket FROM e),
-       |qv AS (SELECT q AS qq, n2 AS qn2, bucket AS qbucket FROM eb WHERE vec_id = $QueryVecId)
-       |SELECT eb.vec_id, eb.label, eb.bucket, ${cosineFromSql(dotQSql("eb.q", "qv.qq"), "eb.n2", "qv.qn2")} AS cos_sim
-       |FROM eb JOIN qv ON eb.bucket = qv.qbucket
-       |WHERE eb.vec_id <> $QueryVecId
-       |ORDER BY cos_sim DESC, eb.vec_id ASC
+    s"""WITH $annSqlPrefix,
+       |qb AS (SELECT tbl, bucket FROM eb WHERE vec_id = $QueryVecId),
+       |cand AS (SELECT DISTINCT eb.vec_id
+       |         FROM eb JOIN qb ON eb.tbl = qb.tbl AND eb.bucket = qb.bucket
+       |         WHERE eb.vec_id <> $QueryVecId),
+       |qv AS (SELECT q AS qq, n2 AS qn2 FROM e WHERE vec_id = $QueryVecId)
+       |SELECT e.vec_id, e.label, ${cosineFromSql(dotQSql("e.q", "qv.qq"), "e.n2", "qv.qn2")} AS cos_sim
+       |FROM e JOIN cand ON e.vec_id = cand.vec_id, qv
+       |ORDER BY cos_sim DESC, e.vec_id ASC
        |LIMIT $TopK""".stripMargin
 
   /** IVF-style ANN: a coarse quantizer partitions the corpus into cells
@@ -297,30 +375,39 @@ object Similarity {
       .limit(TopK)
   }
 
-  /** Embedding-cosine near-duplicate candidates, LSH-bucketed: the
-    * most-similar pairs WITHIN each bucket — Σ bucket² work, never n².
-    * (A production dedup would threshold; the fixture corpus has no
-    * planted embedding dups — max pairwise cosine ≈ 0.51 — so this
-    * surfaces the top candidates instead of an always-empty set.) */
+  /** Embedding-cosine near-duplicate candidates: the most-similar pairs
+    * among the multi-table bucket collisions — O(n · tables · bucket
+    * occupancy) candidate work at any corpus size, never n². The pair
+    * list is discovered on the slim bucket rows and joined back to the
+    * corpus once per side for scoring, so no vector payload rides the
+    * bucket self-join. (A production dedup would threshold; the fixture
+    * corpus has no planted embedding dups — max pairwise cosine ≈ 0.51 —
+    * so this surfaces the top candidates instead of an always-empty
+    * set.) */
   val NearDupPairs = 20
 
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = corpus(spark, sfDir).withColumn("bucket", annBucket(col("q")))
-      .select(col("vec_id"), col("q"), col("n2"), col("bucket"))
-    emb.as("a").join(emb.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosineFrom(dotQ(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")).as("cos_sim"))
+    val emb = corpus(spark, sfDir)
+    val planes = annPlanesFor(Tables.embeddings(spark, sfDir).count())
+    val pairs = candidatePairs(emb, planes)
+    val a = emb.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("n2a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("n2").as("n2b"))
+    pairs.join(a, "vec_a").join(b, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosineFrom(dotQ(col("qa"), col("qb")), col("n2a"), col("n2b")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(NearDupPairs)
   }
 
   val embeddingNearDupsSql: String =
-    s"""WITH $corpusSql,
-       |eb AS (SELECT vec_id, q, n2, $bucketExprSql AS bucket FROM e)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       ${cosineFromSql(dotQSql("a.q", "b.q"), "a.n2", "b.n2")} AS cos_sim
-       |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    s"""WITH $annSqlPrefix,
+       |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |          FROM eb a JOIN eb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT p.vec_a, p.vec_b,
+       |       ${cosineFromSql(dotQSql("ea.q", "eb2.q"), "ea.n2", "eb2.n2")} AS cos_sim
+       |FROM pairs p
+       |JOIN e ea ON p.vec_a = ea.vec_id
+       |JOIN e eb2 ON p.vec_b = eb2.vec_id
        |ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
        |LIMIT $NearDupPairs""".stripMargin
 }

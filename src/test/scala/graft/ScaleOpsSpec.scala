@@ -54,6 +54,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(graft.functions.DotLong(a, b).eval(null) == 31L)
   }
 
+  test("ANN candidate pairs stay ~linear in corpus size (bucket count scales)") {
+    import graft.operators.Similarity
+    // 10k deterministic pseudo-random vectors, already in quantized
+    // space. With a FIXED 16-bucket space this corpus would generate
+    // ~n²/32 ≈ 3.1M candidate pairs; the scaled bucketing must stay
+    // within a small constant per vector.
+    val n = 10000L
+    val embQ = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(Similarity.Dims)),
+        i => pmod(xxhash64(col("id"), i), lit(2000001L)) - lit(1000000L)).as("q"))
+    val planes = Similarity.annPlanesFor(n)
+    assert(planes > 4, s"10k vectors must use more than the minimum 16 buckets, got 2^$planes")
+    val pairs = Similarity.candidatePairs(embQ, planes).count()
+    assert(pairs > 0L)
+    assert(pairs < n * 100,
+      s"candidate pairs must stay ~linear in n: got $pairs for n=$n (all-pairs would be ${n * (n - 1) / 2})")
+  }
+
+  test("ANN plane count follows corpus size, clamped") {
+    import graft.operators.Similarity.annPlanesFor
+    assert(annPlanesFor(1) == 4)
+    assert(annPlanesFor(500) == 4)      // sf0.01 fixture
+    assert(annPlanesFor(2000) == 6)     // sf0.1 fixture
+    assert(annPlanesFor(10000) == 9)
+    assert(annPlanesFor(1000000) == 15)
+    assert(annPlanesFor(Long.MaxValue / 2) == 20) // clamped at 1M buckets/table
+  }
+
   test("salted left join preserves unmatched fact rows") {
     import spark.implicits._
     val fact = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
