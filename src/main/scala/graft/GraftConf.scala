@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Runtime query parameters — the Spark-native twin of the reference's
+  * CLI-argument surface (`Query 1a/TopKNetProfitDriver.java:29-30,
+  * 201-205` threads K and the date bounds through the MapReduce job
+  * config). Here the channel is `spark.conf`, settable per session or
+  * per `spark-submit --conf`, with the library constants as defaults:
+  *
+  * {{{
+  *   spark.conf.set("spark.graft.topK", 20)
+  *   spark.conf.set("spark.graft.q1.start", "1995-01-01")
+  *   RefQueries.q1aTopRevenue(spark, sfDir)   // top-20, new range
+  * }}}
+  *
+  * Every `SparkEntry.queries` closure resolves through these, so the
+  * registered defaults stay bit-identical to the oracle SQL while a
+  * user can re-run any query shape with different K / bounds / session
+  * gap without recompiling.
+  */
+object GraftConf {
+
+  val TopKKey = "spark.graft.topK"
+  val Q1StartKey = "spark.graft.q1.start"
+  val Q1EndKey = "spark.graft.q1.end"
+  val Q1cStartKey = "spark.graft.q1c.start"
+  val Q1cEndKey = "spark.graft.q1c.end"
+  val SessionGapKey = "spark.graft.session.gapMinutes"
+  val GroupTopKKey = "spark.graft.groupTopK"
+
+  val DefaultTopK = 10
+  val DefaultQ1Start = "1996-01-01"
+  val DefaultQ1End = "1997-12-31 23:59:59"
+  val DefaultQ1cStart = "1996-06-01"
+  val DefaultQ1cEnd = "1996-12-31 23:59:59"
+  val DefaultSessionGap = 30
+  val DefaultGroupTopK = 3
+
+  def topK(s: SparkSession): Int = s.conf.get(TopKKey, DefaultTopK.toString).toInt
+  def q1Start(s: SparkSession): String = s.conf.get(Q1StartKey, DefaultQ1Start)
+  def q1End(s: SparkSession): String = s.conf.get(Q1EndKey, DefaultQ1End)
+  def q1cStart(s: SparkSession): String = s.conf.get(Q1cStartKey, DefaultQ1cStart)
+  def q1cEnd(s: SparkSession): String = s.conf.get(Q1cEndKey, DefaultQ1cEnd)
+  def sessionGapMinutes(s: SparkSession): Int =
+    s.conf.get(SessionGapKey, DefaultSessionGap.toString).toInt
+  def groupTopK(s: SparkSession): Int =
+    s.conf.get(GroupTopKKey, DefaultGroupTopK.toString).toInt
+}

@@ -45,7 +45,10 @@ object EventOps {
   /** Top-3 parts per return flag by revenue — ROW_NUMBER over a
     * partitioned window with a deterministic tiebreak. The window
     * partition key (l_returnflag) is the shuffle key; no global sort. */
-  def topPartsPerFlag(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+  def topPartsPerFlag(spark: SparkSession, sfDir: String): DataFrame =
+    topPartsPerFlag(spark, sfDir, graft.GraftConf.groupTopK(spark))
+
+  def topPartsPerFlag(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val rev = Tables.lineitem(spark, sfDir)
       .where(col("l_partkey").isNotNull && col("l_returnflag").isNotNull)
       .groupBy(col("l_returnflag"), col("l_partkey"))
@@ -114,7 +117,10 @@ object EventOps {
     * the shuffle key — sessionizing 100 TB shuffles each user's events
     * once, no global sort. Streaming twin with explicit state:
     * `graft.streaming.EventSessions`. */
-  def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    sessionize(spark, sfDir, graft.GraftConf.sessionGapMinutes(spark))
+
+  def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val us = unix_micros(col("ts"))

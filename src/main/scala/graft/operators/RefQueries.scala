@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.GraftConf
 import graft.sources.Tables
 
 /** The four reference query shapes (SURVEY.md §2.8) re-expressed
@@ -54,9 +55,14 @@ object RefQueries {
   /** Q1a shape (`Query 1a/TopKNetProfitDriver.java:38-198`): top-K keys
     * by SUM(measure) within a date range, descending, with a
     * deterministic tiebreak. */
-  def q1aTopRevenue(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+  def q1aTopRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    q1aTopRevenue(spark, sfDir, GraftConf.topK(spark),
+      GraftConf.q1Start(spark), GraftConf.q1End(spark))
+
+  def q1aTopRevenue(spark: SparkSession, sfDir: String,
+                    k: Int, start: String, end: String): DataFrame = {
     Tables.lineitem(spark, sfDir)
-      .where(col("l_shipdate").between(lit("1996-01-01"), lit("1997-12-31 23:59:59"))
+      .where(col("l_shipdate").between(lit(start), lit(end))
         && col("l_suppkey").isNotNull && col("l_shipdate").isNotNull
         && col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
       .groupBy(col("l_suppkey"))
@@ -65,23 +71,32 @@ object RefQueries {
       .limit(k)
   }
 
-  val q1aSql: String =
+  def q1aSqlWith(k: Int = GraftConf.DefaultTopK,
+                 start: String = GraftConf.DefaultQ1Start,
+                 end: String = GraftConf.DefaultQ1End): String =
     s"""SELECT l_suppkey,
        |       ${revenueExactSql("l_extendedprice", "l_discount")} AS revenue
        |FROM lineitem
-       |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31 23:59:59'
+       |WHERE l_shipdate BETWEEN TIMESTAMP '$start' AND TIMESTAMP '$end'
        |  AND l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
        |  AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
        |GROUP BY l_suppkey
        |ORDER BY revenue DESC, l_suppkey ASC
-       |LIMIT 10""".stripMargin
+       |LIMIT $k""".stripMargin
+
+  val q1aSql: String = q1aSqlWith()
 
   /** Q1b shape (`Query 1b/TopKSoldItemsDriver.java:36-189`): long-sum
     * variant — top-K parts by total quantity. l_quantity is
     * integer-valued, so a double sum is exact and order-independent. */
-  def q1bTopQuantity(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+  def q1bTopQuantity(spark: SparkSession, sfDir: String): DataFrame =
+    q1bTopQuantity(spark, sfDir, GraftConf.topK(spark),
+      GraftConf.q1Start(spark), GraftConf.q1End(spark))
+
+  def q1bTopQuantity(spark: SparkSession, sfDir: String,
+                     k: Int, start: String, end: String): DataFrame = {
     Tables.lineitem(spark, sfDir)
-      .where(col("l_shipdate").between(lit("1996-01-01"), lit("1997-12-31 23:59:59"))
+      .where(col("l_shipdate").between(lit(start), lit(end))
         && col("l_partkey").isNotNull && col("l_quantity").isNotNull)
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_quantity")).as("num_sold"))
@@ -89,20 +104,29 @@ object RefQueries {
       .limit(k)
   }
 
-  val q1bSql: String =
-    """SELECT l_partkey, SUM(l_quantity) AS num_sold
-      |FROM lineitem
-      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31 23:59:59'
-      |  AND l_partkey IS NOT NULL AND l_quantity IS NOT NULL
-      |GROUP BY l_partkey
-      |ORDER BY num_sold DESC, l_partkey ASC
-      |LIMIT 10""".stripMargin
+  def q1bSqlWith(k: Int = GraftConf.DefaultTopK,
+                 start: String = GraftConf.DefaultQ1Start,
+                 end: String = GraftConf.DefaultQ1End): String =
+    s"""SELECT l_partkey, SUM(l_quantity) AS num_sold
+       |FROM lineitem
+       |WHERE l_shipdate BETWEEN TIMESTAMP '$start' AND TIMESTAMP '$end'
+       |  AND l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+       |GROUP BY l_partkey
+       |ORDER BY num_sold DESC, l_partkey ASC
+       |LIMIT $k""".stripMargin
+
+  val q1bSql: String = q1bSqlWith()
 
   /** Q1c shape (`Query 1c/TopKNetProfitByDateDriver.java:38-190`):
     * date-keyed variant — top-K ship dates by revenue. */
-  def q1cRevenueByDate(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+  def q1cRevenueByDate(spark: SparkSession, sfDir: String): DataFrame =
+    q1cRevenueByDate(spark, sfDir, GraftConf.topK(spark),
+      GraftConf.q1cStart(spark), GraftConf.q1cEnd(spark))
+
+  def q1cRevenueByDate(spark: SparkSession, sfDir: String,
+                       k: Int, start: String, end: String): DataFrame = {
     Tables.lineitem(spark, sfDir)
-      .where(col("l_shipdate").between(lit("1996-06-01"), lit("1996-12-31 23:59:59"))
+      .where(col("l_shipdate").between(lit(start), lit(end))
         && col("l_shipdate").isNotNull
         && col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
       .groupBy(col("l_shipdate"))
@@ -111,15 +135,19 @@ object RefQueries {
       .limit(k)
   }
 
-  val q1cSql: String =
+  def q1cSqlWith(k: Int = GraftConf.DefaultTopK,
+                 start: String = GraftConf.DefaultQ1cStart,
+                 end: String = GraftConf.DefaultQ1cEnd): String =
     s"""SELECT l_shipdate,
        |       ${revenueExactSql("l_extendedprice", "l_discount")} AS revenue
        |FROM lineitem
-       |WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01' AND TIMESTAMP '1996-12-31 23:59:59'
+       |WHERE l_shipdate BETWEEN TIMESTAMP '$start' AND TIMESTAMP '$end'
        |  AND l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
        |GROUP BY l_shipdate
        |ORDER BY revenue DESC, l_shipdate ASC
-       |LIMIT 10""".stripMargin
+       |LIMIT $k""".stripMargin
+
+  val q1cSql: String = q1cSqlWith()
 
   /** Q2 shape (`Query 2/TopKStoreProfitEmployeesDriver.java:111-331`):
     * aggregate ⋈ dimension with outer-join null repair —
@@ -131,9 +159,14 @@ object RefQueries {
     * shuffle join plus a third MapReduce job for the ordering
     * (`Query 2/TopKStoreProfitEmployeesDriver.java:289-331`); here the
     * only exchange is the one under the aggregate. */
-  def q2SupplierRevenueJoin(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+  def q2SupplierRevenueJoin(spark: SparkSession, sfDir: String): DataFrame =
+    q2SupplierRevenueJoin(spark, sfDir, GraftConf.topK(spark),
+      GraftConf.q1Start(spark), GraftConf.q1End(spark))
+
+  def q2SupplierRevenueJoin(spark: SparkSession, sfDir: String,
+                            k: Int, start: String, end: String): DataFrame = {
     val rev = Tables.lineitem(spark, sfDir)
-      .where(col("l_shipdate").between(lit("1996-01-01"), lit("1997-12-31 23:59:59"))
+      .where(col("l_shipdate").between(lit(start), lit(end))
         && col("l_suppkey").isNotNull
         && col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
       .groupBy(col("l_suppkey"))
@@ -152,20 +185,24 @@ object RefQueries {
       .limit(k)
   }
 
-  val q2Sql: String =
+  def q2SqlWith(k: Int = GraftConf.DefaultTopK,
+                start: String = GraftConf.DefaultQ1Start,
+                end: String = GraftConf.DefaultQ1End): String =
     s"""SELECT b.s_suppkey,
        |       COALESCE(a.rev, 0.0) AS revenue,
        |       b.s_acctbal
        |FROM (SELECT l_suppkey,
        |             ${revenueExactSql("l_extendedprice", "l_discount")} AS rev
        |      FROM lineitem
-       |      WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31 23:59:59'
+       |      WHERE l_shipdate BETWEEN TIMESTAMP '$start' AND TIMESTAMP '$end'
        |        AND l_suppkey IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
        |      GROUP BY l_suppkey) a
        |RIGHT OUTER JOIN (SELECT s_suppkey, s_acctbal FROM supplier WHERE s_acctbal IS NOT NULL) b
        |  ON a.l_suppkey = b.s_suppkey
        |ORDER BY b.s_suppkey ASC
-       |LIMIT 10""".stripMargin
+       |LIMIT $k""".stripMargin
+
+  val q2Sql: String = q2SqlWith()
 
   /** EDA aggregates (CS346 Report.pdf §3.2-3.3, SURVEY.md §2.3 A3):
     * COUNT(*), MIN/MAX bounds, distinct cardinalities. */

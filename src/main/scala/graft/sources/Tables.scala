@@ -65,6 +65,30 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
+  /** Store-like dimension schema exercising the reference's full
+    * external-table type surface on the pipe path (Software
+    * Documentation.pdf "stores.dat" DDL: decimal(5,2), char(n),
+    * varchar(n), date). This is the READ schema — Spark forbids
+    * char/varchar in source read schemas, so the id/name columns read
+    * as STRING; [[storeDdlSchema]] carries the declared widths for the
+    * catalog DDL path. */
+  val storeSchema: StructType = StructType(Seq(
+    StructField("s_store_sk", LongType),
+    StructField("s_store_id", StringType),
+    StructField("s_store_name", StringType),
+    StructField("s_floor_space", IntegerType),
+    StructField("s_tax_percentage", DecimalType(5, 2)),
+    StructField("s_rec_start_date", DateType)))
+
+  /** [[storeSchema]] with the reference DDL's CHAR(16)/VARCHAR(50)
+    * widths, for `CREATE TABLE` statements (where Spark does accept
+    * them and enforces padding/length semantics). */
+  val storeDdlSchema: StructType = StructType(storeSchema.fields.map {
+    case f if f.name == "s_store_id" => f.copy(dataType = CharType(16))
+    case f if f.name == "s_store_name" => f.copy(dataType = VarcharType(50))
+    case f => f
+  })
+
   /** S1/S6: read a pipe-delimited text "external table" with a typed
     * schema. PERMISSIVE mode turns malformed cells into nulls, which a
     * downstream `isNotNull` filter then drops — the HiveQL semantics the

@@ -36,6 +36,31 @@ class RefQueriesSpec extends SparkSpec {
     assert(df.map(_.getAs[Long]("count_order")).sum == Tables.lineitem(spark, sf).count())
   }
 
+  test("runtime parameters thread through spark.conf (reference CLI-args parity)") {
+    // sf0.01 — the sf0.001 fixture has only 10 suppliers, too few for k=20
+    val dir = "/root/testdata/sf0.01"
+    val params = Seq(GraftConf.TopKKey -> "20",
+      GraftConf.Q1StartKey -> "1996-01-01", GraftConf.Q1EndKey -> "1996-12-31 23:59:59")
+    try {
+      params.foreach { case (k, v) => spark.conf.set(k, v) }
+      val viaConf = RefQueries.q1aTopRevenue(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // the conf path must equal the explicit-parameter path...
+      val explicit = RefQueries.q1aTopRevenue(spark, dir, 20, "1996-01-01", "1996-12-31 23:59:59")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(viaConf.sameElements(explicit))
+      assert(viaConf.length == 20)
+      // ...and differ from the default range (narrower window, lower revenue)
+      spark.conf.unset(GraftConf.Q1StartKey); spark.conf.unset(GraftConf.Q1EndKey)
+      val defaults = RefQueries.q1aTopRevenue(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(defaults.length == 20 && !defaults.sameElements(viaConf))
+      // the parameterized SQL twin text carries the same knobs
+      assert(RefQueries.q1aSqlWith(20, "1996-01-01", "1996-12-31 23:59:59").contains("LIMIT 20"))
+      assert(RefQueries.q1aSql == RefQueries.q1aSqlWith())
+    } finally params.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
   test("revenue is invariant under repartitioning (exact arithmetic)") {
     val base = RefQueries.q1aTopRevenue(spark, sf).collect().map(r => (r.getLong(0), r.getDouble(1)))
     val spark2 = spark

@@ -43,6 +43,35 @@ class SinksStreamingSpec extends SparkSpec {
       && col("l_shipdate").isNotNull).count() == 1)
   }
 
+  test("decimal/char/varchar/date ride the pipe path (store DDL parity)") {
+    val dir = Files.createTempDirectory("graft_store").toString
+    Files.writeString(java.nio.file.Path.of(dir, "stores.dat"),
+      "1|AAAAAAAABAAAAAAA|ok store|7245|0.35|1997-03-13\n" +
+        "2|AAAAAAAACAAAAAAA|big store|30000|12.34|2001-01-01\n" +
+        "3|AAAAAAAADAAAAAAA|bad decimal|100|99999.99|1999-05-05\n" + // overflows DECIMAL(5,2)
+        "4|AAAAAAAAEAAAAAAA|bad date|100|1.00|not_a_date\n")
+    val df = Tables.readPipeDelimited(spark, dir, Tables.storeSchema)
+    import org.apache.spark.sql.types._
+    assert(df.schema("s_tax_percentage").dataType == DecimalType(5, 2))
+    assert(df.schema("s_rec_start_date").dataType == DateType)
+    assert(df.count() == 4)
+    // PERMISSIVE: the unparseable decimal and date become nulls, rows survive
+    val good = df.where(col("s_tax_percentage").isNotNull && col("s_rec_start_date").isNotNull)
+    assert(good.count() == 2)
+    val r = good.where(col("s_store_sk") === 2).collect()(0)
+    assert(r.getAs[java.math.BigDecimal]("s_tax_percentage").toString == "12.34")
+    assert(r.getAs[java.sql.Date]("s_rec_start_date").toString == "2001-01-01")
+    // catalog DDL carries the declared CHAR/VARCHAR widths
+    Tables.createExternalPipeTable(spark, "store_ext", dir, Tables.storeDdlSchema)
+    assert(spark.sql("DESCRIBE store_ext").collect()
+      .exists(row => row.getString(0) == "s_store_id" && row.getString(1) == "char(16)"))
+    val viaSql = spark.sql(
+      "SELECT s_store_id, s_tax_percentage FROM store_ext WHERE s_store_sk = 1").collect()(0)
+    assert(viaSql.getString(0) == "AAAAAAAABAAAAAAA")
+    assert(viaSql.getDecimal(1).toString == "0.35")
+    spark.sql("DROP TABLE store_ext")
+  }
+
   test("external-table DDL registers a catalog table over pipe text (S6 parity)") {
     val dir = Files.createTempDirectory("graft_ext").toString
     val cols = Tables.lineitemSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
@@ -101,6 +130,66 @@ class SinksStreamingSpec extends SparkSpec {
     val batch = EventStream.hourlyCounts(Tables.events(spark, sf))
       .orderBy("window_start", "event_type").collect()
     assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
+  test("streaming checkpoint recovery resumes exactly-once after a restart") {
+    import org.apache.spark.sql.expressions.Window
+    val inDir = Files.createTempDirectory("graft_rec_in").toString
+    val outDir = Files.createTempDirectory("graft_rec_out").toString
+    val ckpt = Files.createTempDirectory("graft_rec_ckpt").toString
+
+    // the events fixture re-encoded in the file-stream's nano-long
+    // shape, split into time-ordered thirds so each restart only ever
+    // sees strictly-later data (no late-arrival ambiguity in the test)
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), expr("unix_micros(ts) * 1000").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val n = raw.count()
+    val withRn = raw.withColumn("rn",
+      row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+    def writeChunk(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_rec_chunk").toString
+      withRn.where(col("rn") > lo && col("rn") <= hi).drop("rn")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Path.of(inDir, name))
+    }
+    def runStream(): Unit = {
+      val q = EventStream.hourlyCounts(EventStream.readEventsStream(spark, inDir))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    writeChunk(0, n / 3, "f1.parquet")
+    writeChunk(n / 3, 2 * n / 3, "f2.parquet")
+    runStream() // phase 1, then the query is killed
+
+    writeChunk(2 * n / 3, n, "f3.parquet")
+    // far-future sentinel pushes the watermark past every real window so
+    // the append-mode sink flushes them all after the restart
+    val maxTs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
+    spark.range(1).select(lit(-1L).as("event_id"),
+        lit(maxTs + 10L * 24 * 3600 * 1000000000L).as("ts"),
+        lit(0L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$inDir-sent")
+    val sent = new java.io.File(s"$inDir-sent").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(sent.toPath, java.nio.file.Path.of(inDir, "f4.parquet"))
+    runStream() // phase 2: recovery from the checkpoint
+
+    val streamed = spark.read.parquet(outDir).where(col("event_type") =!= "sentinel")
+      .orderBy("window_start", "event_type").collect()
+    val batch = EventStream.hourlyCounts(Tables.events(spark, sf))
+      .orderBy("window_start", "event_type").collect()
+    // exactly-once: every window exactly once — a replayed f1/f2 batch
+    // would duplicate rows, a lost state store would drop or undercount
+    assert(streamed.length == batch.length,
+      s"window count ${streamed.length} != batch ${batch.length}")
+    assert(streamed.sameElements(batch))
   }
 
   test("streaming sessionization closes sessions on gap (flatMapGroupsWithState)") {
