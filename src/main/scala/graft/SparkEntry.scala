@@ -29,6 +29,7 @@ object SparkEntry {
     "quality_score"       -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "token_counts"        -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
     "fingerprints"        -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
+    "text_keywords"       -> ((s, dir) => TextAnalysis.keywordsPerSource(s, dir)),
     "dedup_exact"         -> ((s, dir) => DedupOps.dedupExact(s, dir)),
     "dedup_minhash_cand"  -> ((s, dir) => DedupOps.minhashCandidates(s, dir)),
     "dedup_jaccard"       -> ((s, dir) => DedupOps.nearDupJaccard(s, dir)),
@@ -87,6 +88,7 @@ object SparkEntry {
     "quality_score"       -> TextAnalysis.qualityScoreSql,
     "token_counts"        -> TextAnalysis.tokenCountsSql,
     "fingerprints"        -> TextAnalysis.fingerprintsSql,
+    "text_keywords"       -> TextAnalysis.keywordsPerSourceSql(),
     "dedup_exact"         -> DedupOps.dedupExactSql,
     "dedup_minhash_cand"  -> DedupOps.minhashCandidatesSql,
     "dedup_jaccard"       -> DedupOps.nearDupJaccardSql,

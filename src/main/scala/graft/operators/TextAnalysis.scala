@@ -198,6 +198,55 @@ object TextAnalysis {
       .orderBy(col("source").asc, col("rk").asc)
   }
 
+  /** Distinctive-keyword extraction per source — a tf-idf-shaped score
+    * kept in exact rationals so it is bit-identical across engines: no
+    * logarithm (ln is not guaranteed correctly rounded), instead
+    * score = tf · N / df computed as one integer product and ONE IEEE
+    * division. Terms appearing in every source (df = N: stopwords,
+    * boilerplate) are dropped; top-k per source, term-asc tiebreak.
+    *
+    * Scale: explode → (source, term) partial-aggregated counts (the
+    * shuffle is vocabulary-sized, not token-sized), document-frequency
+    * over the tf rows, N as a broadcast 1-row aggregate, and a
+    * WindowGroupLimit-pruned top-k per source. */
+  def keywordsPerSource(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, sfDir)
+      .select(col("source"),
+        explode(TextOps.tokens(TextOps.normText(col("text")))).as("term"))
+    val tf = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs(spark, sfDir).agg(countDistinct(col("source")).as("n_sources"))
+    val byScore = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .where(col("df") < col("n_sources"))
+      .withColumn("score", (col("tf") * col("n_sources")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(byScore))
+      .where(col("rk") <= k)
+      .select(col("source"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("source").asc, col("rk").asc)
+  }
+
+  def keywordsPerSourceSql(k: Int = 5): String = {
+    val norm = TextOps.normTextSql("text")
+    s"""WITH toks AS (SELECT source, unnest(list_filter(string_split($norm, ' '), x -> x <> '')) AS term
+       |              FROM documents),
+       |tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY source, term),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+       |scored AS (SELECT tf.source, tf.term, tf.tf, dfreq.df,
+       |                  CAST(tf.tf * n.n_sources AS DOUBLE) / dfreq.df AS score
+       |           FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+       |           WHERE dfreq.df < n.n_sources),
+       |ranked AS (SELECT source, term, tf, df, score,
+       |                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rk
+       |           FROM scored)
+       |SELECT source, rk, term, tf, df, score
+       |FROM ranked WHERE rk <= $k
+       |ORDER BY source ASC, rk ASC""".stripMargin
+  }
+
   /** Document fingerprinting: a whole-document content hash over the
     * normalized text plus a min-shingle-hash (a 1-permutation MinHash) —
     * the cheap first-pass signature for corpus-level dedup bookkeeping. */

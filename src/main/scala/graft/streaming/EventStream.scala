@@ -43,6 +43,19 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming exact ingest-dedup: drop re-delivered events by id with
+    * watermark-BOUNDED state (`dropDuplicatesWithinWatermark`), the
+    * streaming twin of `DedupOps.dedupExact` for at-least-once feeds.
+    * Plain `dropDuplicates` would keep every id ever seen — state grows
+    * with stream length; bounding by the event-time watermark keeps
+    * state proportional to the (re)delivery window instead, which is
+    * what survives a year-long run at 100 TB. */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .where(col("ts").isNotNull && col("event_id").isNotNull)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Tumbling 1-hour counts per event type with a 2-hour watermark —
     * identical aggregation expression to the batch
     * `EventOps.hourlyEventCounts`. Works on both streaming and batch

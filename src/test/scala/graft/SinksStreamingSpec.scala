@@ -132,6 +132,26 @@ class SinksStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("streaming ingest-dedup drops redelivered events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.Event]
+    def ev(id: Long, t: String) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(t), 1L, "view", 1.0)
+    val q = EventStream.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      input.addData(Seq(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:01:00"),
+        ev(1, "2024-01-01 00:00:00"))) // duplicate within the batch
+      q.processAllAvailable()
+      // redelivery in a LATER batch must also be dropped (state held)
+      input.addData(Seq(ev(2, "2024-01-01 00:01:00"), ev(3, "2024-01-01 00:05:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_test").collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("streaming checkpoint recovery resumes exactly-once after a restart") {
     import org.apache.spark.sql.expressions.Window
     val inDir = Files.createTempDirectory("graft_rec_in").toString
