@@ -34,6 +34,7 @@ object SparkEntry {
     "dedup_minhash_cand"  -> ((s, dir) => DedupOps.minhashCandidates(s, dir)),
     "dedup_jaccard"       -> ((s, dir) => DedupOps.nearDupJaccard(s, dir)),
     "dedup_simhash"       -> ((s, dir) => DedupOps.simhashSignatures(s, dir)),
+    "dedup_simhash_pairs" -> ((s, dir) => DedupOps.simhashNearDups(s, dir)),
     "sim_cosine_topk"     -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "sim_ann_topk"        -> ((s, dir) => Similarity.annTopK(s, dir)),
     "sim_ivf_topk"        -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -93,6 +94,7 @@ object SparkEntry {
     "dedup_minhash_cand"  -> DedupOps.minhashCandidatesSql,
     "dedup_jaccard"       -> DedupOps.nearDupJaccardSql,
     "dedup_simhash"       -> DedupOps.simhashSignaturesSql,
+    "dedup_simhash_pairs" -> DedupOps.simhashNearDupsSql,
     "sim_cosine_topk"     -> Similarity.cosineTopKSql,
     "sim_ann_topk"        -> Similarity.annTopKSql,
     "sim_ivf_topk"        -> Similarity.ivfTopKSql,

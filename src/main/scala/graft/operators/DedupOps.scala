@@ -205,12 +205,20 @@ object DedupOps {
        |        (CAST(len(ha) + len(hb) AS DOUBLE) - CAST(len(list_intersect(ha, hb)) AS DOUBLE)) >= $JaccardThreshold
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
 
-  val SimHashBits = 16
+  /** 32 bits: at 16 bits a 500-doc corpus already has thousands of
+    * small-distance pairs BY CHANCE (birthday saturation); 32 bits keep
+    * random pairs near distance 16 so hamming ≤ [[SimHashMaxHamming]]
+    * selects genuinely similar text. Positive range — no sign-bit
+    * games in either engine. */
+  val SimHashBits = 32
+  val SimHashBands = 4
+  val SimHashBandBits: Int = SimHashBits / SimHashBands
+  val SimHashMaxHamming = 3
 
   /** SimHash: per token occurrence, each of the low SimHashBits of the
     * token hash votes ±1; the signature packs the signs of the per-bit
     * sums. Near-identical docs land within small Hamming distance. */
-  def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+  private def simhashCore(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
       .select(col("doc_id"), TextOps.hash60(col("tk")).as("h"))
@@ -222,22 +230,77 @@ object DedupOps {
     }.reduce(_ + _)
     tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))
-      .orderBy(col("doc_id").asc)
   }
 
-  val simhashSignaturesSql: String = {
+  def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    simhashCore(spark, sfDir).orderBy(col("doc_id").asc)
+
+  /** Shared SQL: tokens → token hashes → per-bit vote sums → packed
+    * signature (`sig` CTE). */
+  private def simhashSqlCore: String = {
     val sums = (0 until SimHashBits)
       .map(b => s"SUM(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n             ")
     val packed = (0 until SimHashBits)
       .map(b => s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tk
-       |             FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tk
+       |        FROM documents),
        |h AS (SELECT doc_id, ${TextOps.hash60Sql("tk")} AS h FROM tok),
-       |sig AS (SELECT doc_id,
+       |sig0 AS (SELECT doc_id,
        |             $sums
-       |        FROM h GROUP BY doc_id)
-       |SELECT doc_id, $packed AS simhash
+       |         FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $packed AS simhash FROM sig0)""".stripMargin
+  }
+
+  val simhashSignaturesSql: String =
+    s"""WITH $simhashSqlCore
+       |SELECT doc_id, simhash
        |FROM sig
        |ORDER BY doc_id ASC""".stripMargin
+
+  /** SimHash near-dup pairs within Hamming distance [[SimHashMaxHamming]],
+    * found by banding the signature into [[SimHashBands]] chunks: a pair
+    * within distance d < bands must share at least one untouched band
+    * (pigeonhole), so the banded self-join retrieves EVERY qualifying
+    * pair — exact retrieval, LSH-shaped cost. Same slim-rows discipline
+    * as the other dedup joins: the band join carries doc ids + band
+    * values only; signatures ride the two per-doc join-backs. */
+  def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simhashCore(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandVals = (0 until SimHashBands).map { b =>
+      shiftright(col("simhash"), b * SimHashBandBits)
+        .bitwiseAND(lit((1L << SimHashBandBits) - 1))
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .where(col("hamming") <= SimHashMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
+
+  val simhashNearDupsSql: String =
+    s"""WITH $simhashSqlCore,
+       |bands AS (SELECT doc_id, b.range AS band_id,
+       |                 (simhash >> (b.range * $SimHashBandBits)) & ${(1L << SimHashBandBits) - 1} AS band_val
+       |          FROM sig, range($SimHashBands) b),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a
+       |          JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |SELECT p.doc_a, p.doc_b,
+       |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+       |FROM pairs p
+       |JOIN sig sa ON p.doc_a = sa.doc_id
+       |JOIN sig sb ON p.doc_b = sb.doc_id
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $SimHashMaxHamming
+       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
 }

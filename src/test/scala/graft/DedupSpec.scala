@@ -28,12 +28,25 @@ class DedupSpec extends SparkSpec {
     })
   }
 
-  test("simhash: one signature per doc, within 16 bits") {
+  test("simhash: one signature per doc, within SimHashBits bits") {
     val rows = DedupOps.simhashSignatures(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
     assert(rows.forall { r =>
       val h = r.getAs[Long]("simhash"); h >= 0 && h < (1L << DedupOps.SimHashBits)
     })
+  }
+
+  test("simhash banding retrieves EVERY pair within the hamming bound (pigeonhole)") {
+    val sigs = DedupOps.simhashSignatures(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= DedupOps.SimHashMaxHamming
+    } yield (ida, idb, d.toLong)).sortBy(p => (p._1, p._2))
+    val banded = DedupOps.simhashNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(banded.sameElements(brute),
+      s"banded ${banded.length} pairs vs brute-force ${brute.length}")
   }
 
   test("no cartesian product in the candidate-pair plan") {
