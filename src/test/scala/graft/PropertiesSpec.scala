@@ -29,6 +29,39 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("as-of join equals the brute-force per-row maximum (seeded random)") {
+    import spark.implicits._
+    val rng = new Random(1234)
+    for (round <- 1 to 5) {
+      val left = List.fill(1 + rng.nextInt(60))(
+        (rng.nextLong(1000000), rng.nextLong(5), rng.nextLong(100)))
+        .zipWithIndex.map { case ((_, k, t), i) => (i.toLong, k, t) }
+      // right unique per (key, ts) by construction (distinct on those)
+      val right = List.fill(1 + rng.nextInt(60))((rng.nextLong(5), rng.nextLong(100)))
+        .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+      val l = left.toDF("event_id", "user_id", "ts")
+      val r = right.toDF("user_id", "ts", "click_id")
+      val got = graft.operators.AsofJoin
+        .asofJoin(l, r, "user_id", "ts", Seq("click_id"))
+        .collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(3)) -1L else x.getLong(3)))
+        .sortBy(_._1)
+      val expect = left.map { case (id, k, t) =>
+        val matches = right.filter { case (rk, rt, _) => rk == k && rt <= t }
+        (id, if (matches.isEmpty) -1L else matches.maxBy(_._2)._3)
+      }.sortBy(_._1)
+      assert(got.sameElements(expect), s"round=$round")
+    }
+  }
+
+  test("no CartesianProduct in any registered query's physical plan") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+    spark.catalog.clearCache() // drop the dedup/similarity persists this planned
+  }
+
   test("group-by sum is invariant under repartitioning") {
     import spark.implicits._
     val rng = new Random(7)
