@@ -119,4 +119,19 @@ class EventMultimodalSpec extends SparkSpec {
       val b = r.getAs[Int]("byte_value"); b >= 0 && b <= 255
     })
   }
+
+  test("frame sampling survives empty and short payloads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, ""), (2L, "ab"), (3L, "abcdefgh"))
+      .toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("payload"))
+    val frames = Multimodal.frameSample(df, 4).collect()
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length).toMap
+    // empty payload: zero rows (not a sequence-bounds crash);
+    // short payload: one row per byte; full payload: `frames` rows
+    assert(byDoc.getOrElse(1L, 0) == 0)
+    assert(byDoc(2L) == 2)
+    assert(byDoc(3L) == 4)
+  }
 }
