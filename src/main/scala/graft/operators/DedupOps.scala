@@ -205,12 +205,17 @@ object DedupOps {
        |        (CAST(len(ha) + len(hb) AS DOUBLE) - CAST(len(list_intersect(ha, hb)) AS DOUBLE)) >= $JaccardThreshold
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
 
-  /** 32 bits: at 16 bits a 500-doc corpus already has thousands of
-    * small-distance pairs BY CHANCE (birthday saturation); 32 bits keep
-    * random pairs near distance 16 so hamming ≤ [[SimHashMaxHamming]]
-    * selects genuinely similar text. Positive range — no sign-bit
-    * games in either engine. */
-  val SimHashBits = 32
+  /** 60 bits (the full width of the 60-bit token hashes; positive — no
+    * sign-bit games in either engine). Width picks BOTH selectivity and
+    * scale: random pairs sit near distance 30 so hamming ≤
+    * [[SimHashMaxHamming]] selects genuinely similar text, and the
+    * 4-band pigeonhole retrieval gets 2^15 = 32k buckets per band —
+    * the bucket space grows as 2^(bits/bands), so a larger corpus calls
+    * for a wider signature (e.g. a two-long 128-bit SimHash → 2^32
+    * buckets), never a change to the retrieval logic. (At 16 bits a
+    * 500-doc corpus already has thousands of small-distance pairs by
+    * chance — birthday saturation.) */
+  val SimHashBits = 60
   val SimHashBands = 4
   val SimHashBandBits: Int = SimHashBits / SimHashBands
   val SimHashMaxHamming = 3
