@@ -38,6 +38,7 @@ object SparkEntry {
     "sim_cosine_topk"     -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "sim_ann_topk"        -> ((s, dir) => Similarity.annTopK(s, dir)),
     "sim_ivf_topk"        -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "sim_ivf_trained"     -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "sim_embedding_dups"  -> ((s, dir) => Similarity.embeddingNearDups(s, dir)),
     "events_hourly"       -> ((s, dir) => EventOps.hourlyEventCounts(s, dir)),
     "events_sliding"      -> ((s, dir) => EventOps.slidingEventCounts(s, dir)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "sim_cosine_topk"     -> Similarity.cosineTopKSql,
     "sim_ann_topk"        -> Similarity.annTopKSql,
     "sim_ivf_topk"        -> Similarity.ivfTopKSql,
+    "sim_ivf_trained"     -> Similarity.ivfTrainedTopKSql,
     "sim_embedding_dups"  -> Similarity.embeddingNearDupsSql,
     "events_hourly"       -> EventOps.hourlyEventCountsSql,
     "events_sliding"      -> EventOps.slidingEventCountsSql,

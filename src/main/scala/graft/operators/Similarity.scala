@@ -375,6 +375,62 @@ object Similarity {
       .limit(TopK)
   }
 
+  /** End-to-end trained IVF: [[kmeansCentroids]] (k=8, 2 iterations)
+    * feeding [[ivfSearchWith]] — the full build+serve pipeline as ONE
+    * oracle-verified query. Possible only because the k-means is
+    * deterministic in quantized space: the DuckDB twin replays the
+    * identical iterations (argmin assignment with (dist2, cid) ties,
+    * per-dim integer sums, round-half-away mean, empty-cell keep) and
+    * must land on bit-identical centroids, then the same probed search.
+    */
+  val TrainedK = 8
+  val TrainedIters = 2
+
+  def ivfTrainedTopK(spark: SparkSession, sfDir: String): DataFrame =
+    ivfSearchWith(spark, sfDir, kmeansCentroids(spark, sfDir, TrainedK, TrainedIters))
+
+  val ivfTrainedTopKSql: String = {
+    val dims = Dims
+    // one k-means iteration: cIn -> cOut (CTE names), matching
+    // kmeansCentroids' assignment/update/keep semantics exactly
+    def iterSql(i: Int, cIn: String): String = {
+      s"""a$i AS (SELECT e.vec_id, e.q, c.cid,
+         |               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                                  ORDER BY e.n2 - 2 * ${dotQSql("e.q", "c.cq")} + c.cn2 ASC,
+         |                                           c.cid ASC) AS rn
+         |        FROM e, $cIn c),
+         |m$i AS (SELECT cid, i.range AS pos,
+         |               CAST(round(CAST(SUM(q[i.range]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+         |        FROM (SELECT cid, q FROM a$i WHERE rn = 1) t, range(1, ${dims + 1}) i
+         |        GROUP BY cid, i.range),
+         |cm$i AS (SELECT cid, list(m ORDER BY pos) AS cq FROM m$i GROUP BY cid),
+         |c$i AS (SELECT c.cid, COALESCE(mm.cq, c.cq) AS cq,
+         |               ${dotQSql("COALESCE(mm.cq, c.cq)", "COALESCE(mm.cq, c.cq)")} AS cn2
+         |        FROM $cIn c LEFT JOIN cm$i mm ON c.cid = mm.cid)""".stripMargin
+    }
+    val iters = (1 to TrainedIters).map(i => iterSql(i, if (i == 1) "c0" else s"c${i - 1}"))
+      .mkString(",\n")
+    val cent = s"c$TrainedIters"
+    s"""WITH $corpusSql,
+       |c0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM e WHERE vec_id BETWEEN 1 AND $TrainedK),
+       |$iters,
+       |assigned AS (SELECT e.vec_id, e.label, e.q, e.n2, c.cid,
+       |                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                                       ORDER BY e.n2 - 2 * ${dotQSql("e.q", "c.cq")} + c.cn2 ASC,
+       |                                                c.cid ASC) AS rn
+       |             FROM e, $cent c),
+       |cells AS (SELECT vec_id, label, q, n2, cid FROM assigned WHERE rn = 1),
+       |probes AS (SELECT cid AS probe_cid FROM assigned WHERE vec_id = $QueryVecId AND rn <= $NumProbes),
+       |qv AS (SELECT q AS qq, n2 AS qn2 FROM e WHERE vec_id = $QueryVecId)
+       |SELECT cells.vec_id, cells.label, cells.cid,
+       |       ${cosineFromSql(dotQSql("cells.q", "qv.qq"), "cells.n2", "qv.qn2")} AS cos_sim
+       |FROM cells
+       |JOIN probes ON cells.cid = probes.probe_cid, qv
+       |WHERE cells.vec_id <> $QueryVecId
+       |ORDER BY cos_sim DESC, cells.vec_id ASC
+       |LIMIT $TopK""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate candidates: the most-similar pairs
     * among the multi-table bucket collisions — O(n · tables · bucket
     * occupancy) candidate work at any corpus size, never n². The pair
