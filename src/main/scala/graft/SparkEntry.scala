@@ -30,6 +30,7 @@ object SparkEntry {
     "token_counts"        -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
     "fingerprints"        -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     "text_keywords"       -> ((s, dir) => TextAnalysis.keywordsPerSource(s, dir)),
+    "approx_distinct_tokens" -> ((s, dir) => TextAnalysis.approxDistinctTokens(s, dir)),
     "dedup_exact"         -> ((s, dir) => DedupOps.dedupExact(s, dir)),
     "dedup_minhash_cand"  -> ((s, dir) => DedupOps.minhashCandidates(s, dir)),
     "dedup_jaccard"       -> ((s, dir) => DedupOps.nearDupJaccard(s, dir)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "token_counts"        -> TextAnalysis.tokenCountsSql,
     "fingerprints"        -> TextAnalysis.fingerprintsSql,
     "text_keywords"       -> TextAnalysis.keywordsPerSourceSql(),
+    "approx_distinct_tokens" -> TextAnalysis.approxDistinctTokensSql,
     "dedup_exact"         -> DedupOps.dedupExactSql,
     "dedup_minhash_cand"  -> DedupOps.minhashCandidatesSql,
     "dedup_jaccard"       -> DedupOps.nearDupJaccardSql,

@@ -198,6 +198,44 @@ object TextAnalysis {
       .orderBy(col("source").asc, col("rk").asc)
   }
 
+  /** Approximate distinct tokens per language via the bounded
+    * [[graft.functions.KmvSketch]] Aggregator, alongside the exact
+    * count. At 100 TB the exact COUNT(DISTINCT) shuffles every distinct
+    * hash; the sketch ships ≤ k longs per group per partition. KMV over
+    * a fixed hash is deterministic, so even the "approximate" column
+    * has an exact oracle: DuckDB computes the same k-th smallest
+    * distinct hash and applies the same (k-1)·2^60/h₍k₎ estimator. */
+  val KmvK = 256
+
+  def approxDistinctTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(KmvK))
+    docs(spark, sfDir)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tk"))
+      .select(col("lang"), TextOps.hash60(col("tk")).as("h"))
+      .groupBy(col("lang"))
+      .agg(kmv(col("h")).as("approx_distinct"),
+        countDistinct(col("h")).as("exact_distinct"))
+      .orderBy(col("lang").asc)
+  }
+
+  val approxDistinctTokensSql: String = {
+    val scale = s"${(KmvK - 1)}.0 * 1152921504606846976.0"
+    s"""WITH tok AS (SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tk
+       |             FROM documents),
+       |h AS (SELECT DISTINCT lang, ${TextOps.hash60Sql("tk")} AS h FROM tok),
+       |r AS (SELECT lang, h,
+       |             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC) AS rn,
+       |             COUNT(*) OVER (PARTITION BY lang) AS nd
+       |      FROM h)
+       |SELECT lang,
+       |       CASE WHEN MAX(nd) < $KmvK THEN CAST(MAX(nd) AS DOUBLE)
+       |            ELSE $scale / CAST(MAX(CASE WHEN rn = $KmvK THEN h END) AS DOUBLE) END AS approx_distinct,
+       |       CAST(MAX(nd) AS BIGINT) AS exact_distinct
+       |FROM r
+       |GROUP BY lang
+       |ORDER BY lang ASC""".stripMargin
+  }
+
   /** Distinctive-keyword extraction per source — a tf-idf-shaped score
     * kept in exact rationals so it is bit-identical across engines: no
     * logarithm (ln is not guaranteed correctly rounded), instead

@@ -62,6 +62,25 @@ class PropertiesSpec extends SparkSpec {
     spark.catalog.clearCache() // drop the dedup/similarity persists this planned
   }
 
+  test("KMV sketch is invariant under partitioning and close to exact") {
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    val rng = new Random(99)
+    // ~3000 distinct values with duplicates, hashed into [0, 2^60)
+    val vals = List.fill(8000)(rng.nextLong(3000))
+      .map(v => java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(v.toString.getBytes).map("%02x".format(_)).mkString.substring(0, 15), 16))
+    val kmv = udaf(new KmvSketch(256))
+    def estimate(parts: Int): Double =
+      vals.toDF("h").repartition(parts)
+        .agg(kmv(col("h"))).collect()(0).getDouble(0)
+    val exact = vals.distinct.length.toDouble
+    val e1 = estimate(1)
+    assert(e1 == estimate(13), "estimate must not depend on partitioning")
+    assert(math.abs(e1 - exact) / exact < 0.2, s"estimate $e1 vs exact $exact")
+  }
+
   test("group-by sum is invariant under repartitioning") {
     import spark.implicits._
     val rng = new Random(7)
