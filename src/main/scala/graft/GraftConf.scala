@@ -28,6 +28,9 @@ object GraftConf {
   val Q1cEndKey = "spark.graft.q1c.end"
   val SessionGapKey = "spark.graft.session.gapMinutes"
   val GroupTopKKey = "spark.graft.groupTopK"
+  /** Override for the ANN per-table plane count (normally derived from
+    * the corpus size; see `Similarity.annPlanesFor`). */
+  val AnnPlanesKey = "spark.graft.ann.planes"
 
   val DefaultTopK = 10
   val DefaultQ1Start = "1996-01-01"

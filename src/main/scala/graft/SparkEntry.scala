@@ -108,7 +108,7 @@ object SparkEntry {
     "events_sessions"     -> EventOps.sessionizeSql(),
     "events_json_props"   -> EventOps.propsExtractSql,
     "events_asof"         -> EventOps.purchaseAttributionSql,
-    "topk_per_group"      -> EventOps.topPartsPerFlagSql,
+    "topk_per_group"      -> EventOps.topPartsPerFlagSql(),
     "multimodal_stats"    -> Multimodal.multimodalStatsSql,
     "sql_q1a"             -> RefQueries.q1aSql,
     "sql_q2"              -> RefQueries.q2Sql,

@@ -8,6 +8,9 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: only dump the named queries (local iteration)
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here would verify nothing and exit 0")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -39,7 +39,9 @@ case class DotLong(left: Expression, right: Expression)
           s"dot_long requires ARRAY<BIGINT> arguments, argument ${i + 1} is ${e.dataType.sql}")
     }.getOrElse(TypeCheckResult.TypeCheckSuccess)
 
-  private def mayHaveNullElements: Boolean = Seq(left, right).exists {
+  // lazy val: dataType is fixed after resolution, and interpreted eval
+  // (HOF lambdas call eval per element) must not re-derive this per row
+  private lazy val mayHaveNullElements: Boolean = Seq(left, right).exists {
     _.dataType match {
       case ArrayType(_, containsNull) => containsNull
       case _ => true

@@ -31,6 +31,9 @@ object AsofJoin {
     * any engine). Right-side columns listed in `payload` are carried
     * onto each left row from its as-of match (all null when the group
     * has no right row at or before the left ts, i.e. LEFT semantics).
+    * Payload columns MAY be null on right rows: the fill runs over one
+    * struct per right row, so every payload column always comes from
+    * the SAME matched row — never a torn mix of two rows.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                key: String, ts: String, payload: Seq[String]): DataFrame = {
@@ -42,11 +45,15 @@ object AsofJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("_is_l").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // payload columns are non-null exactly on right rows, so each
-    // last(_, ignoreNulls) resolves to the SAME (latest) right row
-    val filled = payload.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.where(col("_is_l") === 1).drop("_is_l")
+    // ONE struct, non-null exactly on right rows (even when every field
+    // inside is null), filled by ONE last(ignoreNulls): all payload
+    // columns unpack from the same as-of row
+    val filled = u
+      .withColumn("_pay",
+        last(when(col("_is_l") === 0, struct(payload.map(col): _*)),
+          ignoreNulls = true).over(w))
+    payload.foldLeft(filled) { (df, c) => df.withColumn(c, col(s"_pay.$c")) }
+      .where(col("_is_l") === 1)
+      .drop("_pay", "_is_l")
   }
 }

@@ -167,7 +167,7 @@ object EventOps {
       .orderBy(col("user_id").asc, col("session_id").asc)
   }
 
-  def sessionizeSql(gapMinutes: Int = 30): String = {
+  def sessionizeSql(gapMinutes: Int = graft.GraftConf.DefaultSessionGap): String = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     s"""SELECT user_id, session_id,
        |       MIN(ts) AS session_start,
@@ -185,7 +185,7 @@ object EventOps {
        |ORDER BY user_id ASC, session_id ASC""".stripMargin
   }
 
-  val topPartsPerFlagSql: String =
+  def topPartsPerFlagSql(k: Int = graft.GraftConf.DefaultGroupTopK): String =
     s"""SELECT l_returnflag, l_partkey, revenue, rn
        |FROM (SELECT l_returnflag, l_partkey, revenue,
        |             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY revenue DESC, l_partkey ASC) AS rn
@@ -194,6 +194,6 @@ object EventOps {
        |            FROM lineitem
        |            WHERE l_partkey IS NOT NULL AND l_returnflag IS NOT NULL
        |            GROUP BY l_returnflag, l_partkey))
-       |WHERE rn <= 3
+       |WHERE rn <= $k
        |ORDER BY l_returnflag ASC, rn ASC""".stripMargin
 }

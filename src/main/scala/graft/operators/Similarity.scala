@@ -53,6 +53,19 @@ object Similarity {
     math.min(AnnMaxPlanes, math.max(AnnMinPlanes, bits))
   }
 
+  private val planesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Int]()
+
+  /** Plane count for a corpus dir: `spark.graft.ann.planes` if set
+    * (runtime override, same channel as GraftConf), else derived from
+    * the corpus row count ONCE per (session, dir) — the count is
+    * parquet-footer metadata, but there is no reason to re-run even
+    * that job on every query construction. */
+  private def annPlanes(spark: SparkSession, sfDir: String): Int =
+    spark.conf.getOption(graft.GraftConf.AnnPlanesKey).map(_.toInt).getOrElse(
+      planesCache.computeIfAbsent((spark, sfDir),
+        _ => annPlanesFor(Tables.embeddings(spark, sfDir).count())))
+
   /** Exact integer quantization of a float vector. */
   private def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1000000.0).cast("long"))
@@ -191,7 +204,7 @@ object Similarity {
     * corpus itself is never shuffled and never pairwise-compared. */
   def annTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = corpus(spark, sfDir)
-    val planes = annPlanesFor(Tables.embeddings(spark, sfDir).count())
+    val planes = annPlanes(spark, sfDir)
     val buckets = bucketRows(emb, planes)
     val qb = buckets.where(col("vec_id") === QueryVecId)
       .select(col("tbl").as("qtbl"), col("bucket").as("qbucket"))
@@ -318,6 +331,13 @@ object Similarity {
     * executor storage and plan size stay CONSTANT in `iters`. A cell
     * that receives no assignments keeps its previous centroid — the
     * trained result always has exactly k centroids (no silent shrink).
+    *
+    * Fault-tolerance trade-off: a local checkpoint lives only in
+    * executor storage with NO lineage to recompute it, so an executor
+    * loss mid-training fails the job (acceptable: training is cheap to
+    * re-run and the result is deterministic, so a retry is exact). On a
+    * preemption-heavy cluster, set a checkpoint dir and swap in
+    * reliable `checkpoint()` — the iteration structure is unchanged.
     */
   def kmeansCentroids(spark: SparkSession, sfDir: String,
                       k: Int = NumCentroids, iters: Int = 3): DataFrame = {
@@ -444,7 +464,7 @@ object Similarity {
 
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = corpus(spark, sfDir)
-    val planes = annPlanesFor(Tables.embeddings(spark, sfDir).count())
+    val planes = annPlanes(spark, sfDir)
     val pairs = candidatePairs(emb, planes)
     val a = emb.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("n2a"))
     val b = emb.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("n2").as("n2b"))

@@ -148,12 +148,15 @@ object Tables {
   private val ViewsDirKey = "spark.graft.views.dir"
 
   /** Idempotent view setup: registers the fixture views only when the
-    * session isn't already pointed at `sfDir`. Catalog registration is
-    * session state, not query work — hoisting it out of the per-query
-    * path keeps the declarative `spark.sql` entries measuring the query
-    * rather than catalog churn. */
+    * session isn't already pointed at `sfDir` AND every view actually
+    * exists (the conf flag alone would go stale if other code dropped
+    * or shadowed a temp view). Catalog registration is session state,
+    * not query work — hoisting it out of the per-query path keeps the
+    * declarative `spark.sql` entries measuring the query rather than
+    * catalog churn. */
   def ensureViews(spark: SparkSession, sfDir: String): Unit =
-    if (!spark.conf.getOption(ViewsDirKey).contains(sfDir))
+    if (!spark.conf.getOption(ViewsDirKey).contains(sfDir) ||
+        !fixtureNames.forall(spark.catalog.tableExists))
       registerAllViews(spark, sfDir)
 
   /** Bucketed persistent table: pre-shuffles by `key` into `buckets`

@@ -55,6 +55,19 @@ class EventMultimodalSpec extends SparkSpec {
       .orderBy("event_id").collect()
     assert(out.map(r => (r.getLong(0), if (r.isNullAt(4)) -1L else r.getLong(4)))
       .sameElements(Array((1L, 101L), (2L, 100L), (3L, -1L), (4L, -1L))))
+    // nullable payload: every payload column must come from the SAME
+    // matched row — a null field on the latest right row stays null, it
+    // must NOT be backfilled from an older right row (torn row)
+    val leftN = Seq((1L, 9L, t("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val rightN = Seq(
+      (9L, t("2024-01-01 09:00:00"), Some(t("2024-01-01 09:00:00")), Some(200L)),
+      (9L, t("2024-01-01 09:30:00"), Some(t("2024-01-01 09:30:00")), None: Option[Long])
+    ).toDF("user_id", "ts", "click_ts", "click_id")
+    val torn = graft.operators.AsofJoin
+      .asofJoin(leftN, rightN, "user_id", "ts", Seq("click_ts", "click_id")).collect()(0)
+    assert(torn.getAs[java.sql.Timestamp]("click_ts").toString.startsWith("2024-01-01 09:30"))
+    assert(torn.isNullAt(torn.fieldIndex("click_id")),
+      "click_id must be the 09:30 row's null, not backfilled from 09:00")
     // the fixture query: one output row per purchase, attribution never
     // in the future
     val attr = EventOps.purchaseAttribution(spark, sf).collect()

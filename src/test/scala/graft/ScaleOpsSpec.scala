@@ -56,6 +56,7 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("ANN candidate pairs stay ~linear in corpus size (bucket count scales)") {
     import graft.operators.Similarity
+    graft.functions.DotLong.register(spark) // don't depend on suite order
     // 10k deterministic pseudo-random vectors, already in quantized
     // space. With a FIXED 16-bucket space this corpus would generate
     // ~n²/32 ≈ 3.1M candidate pairs; the scaled bucketing must stay
