@@ -26,6 +26,7 @@ object SparkEntry {
     "agg_pricing_summary" -> ((s, dir) => RefQueries.aggPricingSummary(s, dir)),
     "text_stats"          -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "lang_id_confusion"   -> ((s, dir) => TextAnalysis.langIdConfusion(s, dir)),
+    "lang_id_ngram"       -> ((s, dir) => TextAnalysis.langIdNgramConfusion(s, dir)),
     "quality_score"       -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "token_counts"        -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
     "fingerprints"        -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
@@ -88,6 +89,7 @@ object SparkEntry {
     "agg_pricing_summary" -> RefQueries.aggPricingSql,
     "text_stats"          -> TextAnalysis.textStatsSql,
     "lang_id_confusion"   -> TextAnalysis.langIdConfusionSql,
+    "lang_id_ngram"       -> TextAnalysis.langIdNgramConfusionSql,
     "quality_score"       -> TextAnalysis.qualityScoreSql,
     "token_counts"        -> TextAnalysis.tokenCountsSql,
     "fingerprints"        -> TextAnalysis.fingerprintsSql,

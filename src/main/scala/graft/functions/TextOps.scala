@@ -55,6 +55,25 @@ object TextOps {
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
 
+  /** Matched-character mass of variable-length character n-grams (the
+    * profile words themselves) in the lowercased text: for each gram,
+    * occurrences × gram length, summed — `len(t) - len(replace(t, g))`
+    * counts exactly that, character-position based so it needs no
+    * tokenization and works on unsegmented CJK text. All integer
+    * arithmetic; `replace` is literal (not regex) on both engines. */
+  def charGramMass(text: Column, grams: Seq[String]): Column = {
+    val t = lower(text)
+    grams.map { g =>
+      length(t) - length(call_function("replace", t, lit(g), lit("")))
+    }.reduce(_ + _)
+  }
+
+  /** SQL twin of [[charGramMass]]. */
+  def charGramMassSql(text: String, grams: Seq[String]): String =
+    grams.map { g =>
+      s"(len(lower($text)) - len(replace(lower($text), '$g', '')))"
+    }.mkString(" + ")
+
   /** Word k-shingles (k consecutive tokens joined by a space), distinct.
     * Empty array when the doc has fewer than k tokens. */
   def shingles(toks: Column, k: Int): Column = {

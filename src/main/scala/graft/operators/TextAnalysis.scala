@@ -86,6 +86,46 @@ object TextAnalysis {
        |ORDER BY pred_lang ASC, lang ASC""".stripMargin
   }
 
+  /** Character-n-gram language ID: score each doc by the matched
+    * character MASS of each language's stopwords used as variable-length
+    * char n-grams (substring occurrences × gram length — no
+    * tokenization), argmax with the same deterministic tie order as
+    * [[langIdConfusion]]. Character-position matching is what
+    * generalizes to unsegmented scripts: zh documents score through
+    * their CJK grams wherever they occur, not through whitespace
+    * tokens. Same confusion-matrix output shape. */
+  def langIdNgramConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val scores: Seq[(String, Column)] = TextOps.StopwordsByLang.map {
+      case (lang, words) => lang -> TextOps.charGramMass(col("text"), words)
+    }
+    val mx = greatest(scores.map(_._2): _*)
+    val pred = scores.foldLeft(when(mx === 0, lit("unknown"))) {
+      case (acc, (lang, s)) => acc.when(s === mx, lit(lang))
+    }
+    docs(spark, sfDir)
+      .select(col("lang"), pred.as("pred_lang"))
+      .groupBy(col("pred_lang"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("pred_lang").asc, col("lang").asc)
+  }
+
+  val langIdNgramConfusionSql: String = {
+    val scoreExprs = TextOps.StopwordsByLang.map {
+      case (l, ws) => s"${TextOps.charGramMassSql("text", ws)} AS s_$l"
+    }
+    val langs = TextOps.StopwordsByLang.map(_._1)
+    val mx = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $mx THEN '$l'").mkString(" ")
+    s"""SELECT pred_lang, lang, COUNT(*) AS n
+       |FROM (SELECT lang,
+       |             CASE WHEN $mx = 0 THEN 'unknown' $cases END AS pred_lang
+       |      FROM (SELECT lang,
+       |                   ${scoreExprs.mkString(",\n                   ")}
+       |            FROM documents))
+       |GROUP BY pred_lang, lang
+       |ORDER BY pred_lang ASC, lang ASC""".stripMargin
+  }
+
   /** Per-document quality score from length / punctuation / stopword /
     * token-shape signals — the standard pre-training quality gate. The
     * score is a fixed IEEE expression tree over exact integer counts, so
