@@ -47,6 +47,7 @@ object SparkEntry {
     "events_sessions"     -> ((s, dir) => EventOps.sessionize(s, dir)),
     "events_json_props"   -> ((s, dir) => EventOps.propsExtract(s, dir)),
     "events_asof"         -> ((s, dir) => EventOps.purchaseAttribution(s, dir)),
+    "events_range_join"   -> ((s, dir) => EventOps.nearbyClickCounts(s, dir)),
     "topk_per_group"      -> ((s, dir) => EventOps.topPartsPerFlag(s, dir)),
     "multimodal_stats"    -> ((s, dir) => Multimodal.multimodalStats(s, dir)),
     // The declarative entry point (reference's Hive CLI path, SURVEY.md
@@ -110,6 +111,7 @@ object SparkEntry {
     "events_sessions"     -> EventOps.sessionizeSql(),
     "events_json_props"   -> EventOps.propsExtractSql,
     "events_asof"         -> EventOps.purchaseAttributionSql,
+    "events_range_join"   -> EventOps.nearbyClickCountsSql,
     "topk_per_group"      -> EventOps.topPartsPerFlagSql(),
     "multimodal_stats"    -> Multimodal.multimodalStatsSql,
     "sql_q1a"             -> RefQueries.q1aSql,

@@ -118,6 +118,53 @@ object EventOps {
       .orderBy(col("event_id").asc)
   }
 
+  /** Time-range join without a cartesian: for each error event, the
+    * count of the same user's clicks within ±[[RangeJoinWindowSec]]
+    * seconds. A naive inequality join plans as a per-user nested loop;
+    * instead both sides are bucketed into window-width time chunks and
+    * the error side probes its chunk ± 1 — an EQUI-join on (user,
+    * chunk) whose shuffle is O(rows), with the exact |Δt| predicate
+    * applied after. Each click lives in exactly one chunk, so no
+    * double counting; chunk width = window width guarantees every
+    * qualifying pair lands in a probed chunk. Same banding idea as the
+    * dedup/ANN joins, applied to a numeric range. */
+  val RangeJoinWindowSec = 300
+
+  def nearbyClickCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val winUs = RangeJoinWindowSec.toLong * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+    val errs = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val probes = errs.select(col("event_id"), col("user_id"), col("us"),
+      explode(array(expr(s"us div $winUs") - 1, expr(s"us div $winUs"),
+        expr(s"us div $winUs") + 1)).as("ck"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cus"))
+      .withColumn("ck", expr(s"cus div $winUs"))
+    val matched = probes.join(clicks, Seq("user_id", "ck"))
+      .where(abs(col("us") - col("cus")) <= winUs)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_nearby"))
+    errs.select(col("event_id"), col("user_id"))
+      .join(matched, Seq("event_id"), "left_outer")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
+      .orderBy(col("event_id").asc)
+  }
+
+  val nearbyClickCountsSql: String = {
+    val winUs = RangeJoinWindowSec.toLong * 1000000L
+    s"""WITH errs AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+       |              WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type = 'error'),
+       |clicks AS (SELECT user_id, epoch_us(ts) AS cus FROM events
+       |           WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type = 'click')
+       |SELECT e.event_id, e.user_id, CAST(COUNT(c.cus) AS BIGINT) AS n_nearby
+       |FROM errs e LEFT JOIN clicks c
+       |  ON e.user_id = c.user_id AND abs(e.us - c.cus) <= $winUs
+       |GROUP BY e.event_id, e.user_id
+       |ORDER BY e.event_id ASC""".stripMargin
+  }
+
   val purchaseAttributionSql: String =
     """WITH purchases AS (SELECT event_id, user_id, ts FROM events
       |                   WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type = 'purchase'),
