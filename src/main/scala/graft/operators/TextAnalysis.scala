@@ -276,30 +276,33 @@ object TextAnalysis {
        |ORDER BY lang ASC""".stripMargin
   }
 
-  /** Distinctive-keyword extraction per source — a tf-idf-shaped score
-    * kept in exact rationals so it is bit-identical across engines: no
-    * logarithm (ln is not guaranteed correctly rounded), instead
-    * score = tf · N / df computed as one integer product and ONE IEEE
-    * division. Terms appearing in every source (df = N: stopwords,
-    * boilerplate) are dropped; top-k per source, term-asc tiebreak.
+  /** Keyword extraction per source — doc-level tf-idf kept in exact
+    * rationals so it is bit-identical across engines: no logarithm (ln
+    * is not guaranteed correctly rounded), instead
+    * score = tf · N / df — tf = term count within the source, df =
+    * number of DOCUMENTS containing the term corpus-wide, N = total
+    * documents — computed as one integer product and ONE IEEE division.
+    * Top-k per source, term-asc tiebreak. (Doc-level df, not
+    * source-level: with a handful of sources sharing one vocabulary,
+    * source-level df saturates at N for every term and selects
+    * nothing.)
     *
     * Scale: explode → (source, term) partial-aggregated counts (the
-    * shuffle is vocabulary-sized, not token-sized), document-frequency
-    * over the tf rows, N as a broadcast 1-row aggregate, and a
+    * shuffle is vocabulary-sized, not token-sized), per-doc-distinct
+    * document frequency, N as a broadcast 1-row aggregate, and a
     * WindowGroupLimit-pruned top-k per source. */
   def keywordsPerSource(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs(spark, sfDir)
-      .select(col("source"),
+      .select(col("source"), col("doc_id"),
         explode(TextOps.tokens(TextOps.normText(col("text")))).as("term"))
     val tf = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs(spark, sfDir).agg(countDistinct(col("source")).as("n_sources"))
+    val dfreq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val byScore = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(dfreq, "term").crossJoin(broadcast(n))
-      .where(col("df") < col("n_sources"))
-      .withColumn("score", (col("tf") * col("n_sources")).cast("double") / col("df"))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rk", row_number().over(byScore))
       .where(col("rk") <= k)
       .select(col("source"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
@@ -308,15 +311,15 @@ object TextAnalysis {
 
   def keywordsPerSourceSql(k: Int = 5): String = {
     val norm = TextOps.normTextSql("text")
-    s"""WITH toks AS (SELECT source, unnest(list_filter(string_split($norm, ' '), x -> x <> '')) AS term
+    s"""WITH toks AS (SELECT source, doc_id,
+       |                     unnest(list_filter(string_split($norm, ' '), x -> x <> '')) AS term
        |              FROM documents),
        |tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY source, term),
-       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-       |n AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+       |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
        |scored AS (SELECT tf.source, tf.term, tf.tf, dfreq.df,
-       |                  CAST(tf.tf * n.n_sources AS DOUBLE) / dfreq.df AS score
-       |           FROM tf JOIN dfreq ON tf.term = dfreq.term, n
-       |           WHERE dfreq.df < n.n_sources),
+       |                  CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
+       |           FROM tf JOIN dfreq ON tf.term = dfreq.term, n),
        |ranked AS (SELECT source, term, tf, df, score,
        |                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rk
        |           FROM scored)
