@@ -83,6 +83,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(annPlanesFor(Long.MaxValue / 2) == 20) // clamped at 1M buckets/table
   }
 
+  test("spark.graft.ann.planes overrides the derived plane count") {
+    import graft.operators.Similarity
+    graft.functions.DotLong.register(spark)
+    try {
+      spark.conf.set(GraftConf.AnnPlanesKey, "4")
+      // with 4 forced planes the query must still run and stay a
+      // subset of the corpus (semantics, not geometry, fixed)
+      val rows = Similarity.annTopK(spark, sf).collect()
+      assert(rows.length <= Similarity.TopK)
+    } finally spark.conf.unset(GraftConf.AnnPlanesKey)
+  }
+
   test("salted left join preserves unmatched fact rows") {
     import spark.implicits._
     val fact = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
