@@ -31,6 +31,18 @@ object GraftConf {
   /** Override for the ANN per-table plane count (normally derived from
     * the corpus size; see `Similarity.annPlanesFor`). */
   val AnnPlanesKey = "spark.graft.ann.planes"
+  /** SimHash band buckets larger than this are split by sub-band
+    * signature bits before pair generation (`DedupOps.simhashNearDups`).
+    * A pure performance knob: retrieval stays exact at ANY cap, so the
+    * oracle (brute-force Hamming) is invariant to it — unlike the other
+    * keys here, overriding it can never diverge from the oracle. */
+  val SimhashHotCapKey = "spark.graft.simhash.hotBucketCap"
+  /** Minhash band buckets larger than this are DROPPED from candidate
+    * generation (`DedupOps`) — the standard LSH hot-bucket guard
+    * (boilerplate buckets generate quadratic pairs that verification
+    * would reject anyway). Mirrored in the oracle at the default; an
+    * override has the same caveat as [[TopKKey]]. */
+  val MinhashBucketCapKey = "spark.graft.minhash.bucketCap"
 
   val DefaultTopK = 10
   val DefaultQ1Start = "1996-01-01"
@@ -39,6 +51,8 @@ object GraftConf {
   val DefaultQ1cEnd = "1996-12-31 23:59:59"
   val DefaultSessionGap = 30
   val DefaultGroupTopK = 3
+  val DefaultSimhashHotCap = 32
+  val DefaultMinhashBucketCap = 1000
 
   def topK(s: SparkSession): Int = s.conf.get(TopKKey, DefaultTopK.toString).toInt
   def q1Start(s: SparkSession): String = s.conf.get(Q1StartKey, DefaultQ1Start)
@@ -49,4 +63,8 @@ object GraftConf {
     s.conf.get(SessionGapKey, DefaultSessionGap.toString).toInt
   def groupTopK(s: SparkSession): Int =
     s.conf.get(GroupTopKKey, DefaultGroupTopK.toString).toInt
+  def simhashHotCap(s: SparkSession): Int =
+    s.conf.get(SimhashHotCapKey, DefaultSimhashHotCap.toString).toInt
+  def minhashBucketCap(s: SparkSession): Int =
+    s.conf.get(MinhashBucketCapKey, DefaultMinhashBucketCap.toString).toInt
 }

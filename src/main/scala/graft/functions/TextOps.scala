@@ -95,6 +95,18 @@ object TextOps {
   def hash60Sql(s: String): String =
     s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
 
+  /** Second, independent 60-bit hash from the SAME md5 digest (hex chars
+    * 16..30) — md5's output bits are independent, so this widens any
+    * hash-keyed operator to 120 bits at zero extra hashing cost (the
+    * digest is computed once; common-subexpression elimination shares it
+    * between [[hash60]] and this). */
+  def hash60b(s: Column): Column =
+    conv(substring(md5(s), 16, 15), 16, 10).cast("long")
+
+  /** SQL twin of [[hash60b]]. */
+  def hash60bSql(s: String): String =
+    s"CAST(concat('0x', substr(md5($s), 16, 15)) AS BIGINT)"
+
   /** Mersenne prime modulus for the MinHash permutation family. */
   val MinHashPrime: Long = 2147483647L
 

@@ -205,107 +205,162 @@ object DedupOps {
        |        (CAST(len(ha) + len(hb) AS DOUBLE) - CAST(len(list_intersect(ha, hb)) AS DOUBLE)) >= $JaccardThreshold
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
 
-  /** 60 bits (the full width of the 60-bit token hashes; positive — no
-    * sign-bit games in either engine). Width picks BOTH selectivity and
-    * scale: random pairs sit near distance 30 so hamming ≤
-    * [[SimHashMaxHamming]] selects genuinely similar text, and the
-    * 4-band pigeonhole retrieval gets 2^15 = 32k buckets per band —
-    * the bucket space grows as 2^(bits/bands), so a larger corpus calls
-    * for a wider signature (e.g. a two-long 128-bit SimHash → 2^32
-    * buckets), never a change to the retrieval logic. (At 16 bits a
-    * 500-doc corpus already has thousands of small-distance pairs by
-    * chance — birthday saturation.) */
-  val SimHashBits = 60
+  /** 120 bits, carried as TWO 60-bit longs (`simhash_lo` = bits 0..59,
+    * `simhash_hi` = bits 60..119; both halves come from the one md5 per
+    * token — [[TextOps.hash60]]/[[TextOps.hash60b]] — so widening costs
+    * no extra hashing). Width picks BOTH selectivity and scale: random
+    * pairs sit near distance 60 so hamming ≤ [[SimHashMaxHamming]]
+    * selects genuinely similar text, and the 4-band pigeonhole retrieval
+    * gets 2^30 ≈ 1e9 buckets per band. The width is the primary skew
+    * defense: SimHash bits are sign-sums of a shared vocabulary, so on a
+    * real corpus band values CLUSTER — measured on the sf0.1 fixture,
+    * 15-bit bands (a 60-bit signature) put 260 of 5,000 docs in one
+    * bucket (271,260 candidate pairs for 496 true pairs); these 30-bit
+    * bands cut that to a 12-doc hottest bucket and 5,009 candidates.
+    * [[simhashNearDups]]' hot-bucket split bounds whatever correlation
+    * survives the width. */
+  val SimHashBits = 120
+  val SimHashHalfBits: Int = SimHashBits / 2
   val SimHashBands = 4
   val SimHashBandBits: Int = SimHashBits / SimHashBands
   val SimHashMaxHamming = 3
+  /** Hot buckets re-band the OTHER 3 chunks' 90 bits as 6 × 15-bit
+    * sub-bands: d ≤ 3 touches ≤ 3 of them, so ≥ 3 stay untouched —
+    * pigeonhole-exact again, one level down. */
+  val SimHashSubBandBits = 15
 
-  /** SimHash: per token occurrence, each of the low SimHashBits of the
-    * token hash votes ±1; the signature packs the signs of the per-bit
-    * sums. Near-identical docs land within small Hamming distance. */
+  /** SimHash: per token occurrence, each of the 120 hash bits votes ±1;
+    * the signature packs the signs of the per-bit sums into two longs.
+    * Near-identical docs land within small Hamming distance. */
   private def simhashCore(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
-      .select(col("doc_id"), TextOps.hash60(col("tk")).as("h"))
-    val bitSums = (0 until SimHashBits).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s$b")
+      .select(col("doc_id"),
+        TextOps.hash60(col("tk")).as("h1"), TextOps.hash60b(col("tk")).as("h2"))
+    def sums(h: String, p: String) = (0 until SimHashHalfBits).map { b =>
+      sum(shiftright(col(h), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"$p$b")
     }
-    val packed = (0 until SimHashBits).map { b =>
-      when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    def packed(p: String) = (0 until SimHashHalfBits).map { b =>
+      when(col(s"$p$b") >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
+    val aggs = sums("h1", "a") ++ sums("h2", "b")
+    tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), packed("a").as("simhash_lo"), packed("b").as("simhash_hi"))
   }
 
   def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     simhashCore(spark, sfDir).orderBy(col("doc_id").asc)
 
-  /** Shared SQL: tokens → token hashes → per-bit vote sums → packed
-    * signature (`sig` CTE). */
+  /** Shared SQL: tokens → token hashes (both md5 halves) → per-bit vote
+    * sums → packed two-long signature (`sig` CTE). */
   private def simhashSqlCore: String = {
-    val sums = (0 until SimHashBits)
-      .map(b => s"SUM(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n             ")
-    val packed = (0 until SimHashBits)
-      .map(b => s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    def sums(h: String, p: String) = (0 until SimHashHalfBits)
+      .map(b => s"SUM((($h >> $b) & 1) * 2 - 1) AS $p$b")
+    def packed(p: String) = (0 until SimHashHalfBits)
+      .map(b => s"CASE WHEN $p$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    val allSums = (sums("h1", "a") ++ sums("h2", "b")).mkString(",\n             ")
     s"""tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tk
        |        FROM documents),
-       |h AS (SELECT doc_id, ${TextOps.hash60Sql("tk")} AS h FROM tok),
+       |h AS (SELECT doc_id, ${TextOps.hash60Sql("tk")} AS h1, ${TextOps.hash60bSql("tk")} AS h2 FROM tok),
        |sig0 AS (SELECT doc_id,
-       |             $sums
+       |             $allSums
        |         FROM h GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $packed AS simhash FROM sig0)""".stripMargin
+       |sig AS (SELECT doc_id, ${packed("a")} AS simhash_lo, ${packed("b")} AS simhash_hi FROM sig0)""".stripMargin
   }
 
   val simhashSignaturesSql: String =
     s"""WITH $simhashSqlCore
-       |SELECT doc_id, simhash
+       |SELECT doc_id, simhash_lo, simhash_hi
        |FROM sig
        |ORDER BY doc_id ASC""".stripMargin
+
+  /** Chunk `b` (30 bits) of the 120-bit signature held in (lo, hi). */
+  private def bandChunk(lo: Column, hi: Column, b: Int): Column = {
+    val mask = (1L << SimHashBandBits) - 1
+    val src = if (b < 2) lo else hi
+    shiftright(src, (b % 2) * SimHashBandBits).bitwiseAND(lit(mask))
+  }
 
   /** SimHash near-dup pairs within Hamming distance [[SimHashMaxHamming]],
     * found by banding the signature into [[SimHashBands]] chunks: a pair
     * within distance d < bands must share at least one untouched band
     * (pigeonhole), so the banded self-join retrieves EVERY qualifying
-    * pair — exact retrieval, LSH-shaped cost. Same slim-rows discipline
-    * as the other dedup joins: the band join carries doc ids + band
-    * values only; signatures ride the two per-doc join-backs. */
+    * pair — exact retrieval, LSH-shaped cost.
+    *
+    * Hot-bucket split — the defense against corpus correlation that
+    * band WIDTH alone cannot give: any (band, value) bucket holding more
+    * than `spark.graft.simhash.hotBucketCap` docs is excluded from the
+    * direct self-join and re-banded by the 6 × 15-bit sub-chunks of the
+    * OTHER three bands. A qualifying pair found via band b has all its
+    * ≤ 3 differing bits outside band b, touching ≤ 3 of those 6
+    * sub-bands — so they share at least one (band, value, sub-band,
+    * sub-value) key and retrieval stays EXACT at any cap, while no
+    * bucket's pair generation can go quadratic in corpus-correlated
+    * band values. The occupancy count is a window over the slim band
+    * rows, partitioned by the same keys the self-join shuffles on, so
+    * the exchange is reused.
+    *
+    * The ORACLE for this query is deliberately brute-force Hamming over
+    * all pairs (not a replay of the banding): it verifies the
+    * banded+split retrieval is exact, rather than sharing any retrieval
+    * bug with it — and it is invariant to the cap, so tests can force
+    * the hot path against the same oracle. Same slim-rows discipline as
+    * the other dedup joins: band rows carry doc ids + band values only;
+    * signatures ride the two per-doc join-backs. */
   def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = graft.GraftConf.simhashHotCap(spark)
     val sig = simhashCore(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandVals = (0 until SimHashBands).map { b =>
-      shiftright(col("simhash"), b * SimHashBandBits)
-        .bitwiseAND(lit((1L << SimHashBandBits) - 1))
+    val lo = col("simhash_lo"); val hi = col("simhash_hi")
+    val bands = sig.select(col("doc_id"), lo, hi,
+      posexplode(array((0 until SimHashBands).map(bandChunk(lo, hi, _)): _*))
+        .as(Seq("band_id", "band_val")))
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy(col("band_id"), col("band_val"))))
+    def pairsOf(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.as("a").join(df.as("b"),
+          keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val smallPairs = pairsOf(
+      bands.where(col("occ") <= cap).select(col("doc_id"), col("band_id"), col("band_val")),
+      Seq("band_id", "band_val"))
+    val subMask = (1L << SimHashSubBandBits) - 1
+    def subBands(b: Int): Column = array((0 until SimHashBands).filter(_ != b).flatMap { j =>
+      val c = bandChunk(lo, hi, j)
+      Seq(c.bitwiseAND(lit(subMask)), shiftright(c, SimHashSubBandBits))
+    }: _*)
+    val subArr = (0 until SimHashBands - 1).foldRight(subBands(SimHashBands - 1)) {
+      (b, acc) => when(col("band_id") === b, subBands(b)).otherwise(acc)
     }
-    val bands = sig.select(col("doc_id"),
-      posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
-    val pairs = bands.as("a").join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    pairs
-      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
-      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+    val hotPairs = pairsOf(
+      bands.where(col("occ") > cap)
+        .select(col("doc_id"), col("band_id"), col("band_val"),
+          posexplode(subArr).as(Seq("sub_id", "sub_val"))),
+      Seq("band_id", "band_val", "sub_id", "sub_val"))
+    val hamming = (bit_count(col("la").bitwiseXOR(col("lb"))) +
+      bit_count(col("ha").bitwiseXOR(col("hb")))).cast("long")
+    smallPairs.unionByName(hotPairs).distinct()
+      .join(sig.select(col("doc_id").as("doc_a"), lo.as("la"), hi.as("ha")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), lo.as("lb"), hi.as("hb")), "doc_b")
+      .withColumn("hamming", hamming)
       .where(col("hamming") <= SimHashMaxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
-  val simhashNearDupsSql: String =
-    s"""WITH $simhashSqlCore,
-       |bands AS (SELECT doc_id, b.range AS band_id,
-       |                 (simhash >> (b.range * $SimHashBandBits)) & ${(1L << SimHashBandBits) - 1} AS band_val
-       |          FROM sig, range($SimHashBands) b),
-       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |          FROM bands a
-       |          JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
-       |SELECT p.doc_a, p.doc_b,
-       |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
-       |FROM pairs p
-       |JOIN sig sa ON p.doc_a = sa.doc_id
-       |JOIN sig sb ON p.doc_b = sb.doc_id
-       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $SimHashMaxHamming
+  /** Brute-force twin (see [[simhashNearDups]] — intentionally NOT a
+    * replay of the banding, so the oracle independently proves exact
+    * retrieval). n²/2 Hamming evaluations are fine at oracle scale;
+    * the banded Spark plan is the one that runs at 100 TB. */
+  val simhashNearDupsSql: String = {
+    val d = "bit_count(xor(a.simhash_lo, b.simhash_lo)) + bit_count(xor(a.simhash_hi, b.simhash_hi))"
+    s"""WITH $simhashSqlCore
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST($d AS BIGINT) AS hamming
+       |FROM sig a
+       |JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE $d <= $SimHashMaxHamming
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
+  }
 }
