@@ -20,6 +20,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The ANN plane override changes only the Spark side (the oracle SQL
+    // derives planes from a live COUNT(*)), so verifying under it would
+    // report false mismatches — refuse rather than mislead.
+    require(spark.conf.getOption(GraftConf.AnnPlanesKey).isEmpty,
+      s"${GraftConf.AnnPlanesKey} is set; unset it before verifying " +
+        "(the oracle SQL always derives the plane count from the corpus)")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

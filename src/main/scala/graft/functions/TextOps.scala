@@ -68,10 +68,13 @@ object TextOps {
     }.reduce(_ + _)
   }
 
-  /** SQL twin of [[charGramMass]]. */
+  /** SQL twin of [[charGramMass]]. Grams are escaped for single-quoted
+    * SQL literals (a gram like French "n'" would otherwise break the
+    * oracle text while the Spark side stays correct). */
   def charGramMassSql(text: String, grams: Seq[String]): String =
     grams.map { g =>
-      s"(len(lower($text)) - len(replace(lower($text), '$g', '')))"
+      val esc = g.replace("'", "''")
+      s"(len(lower($text)) - len(replace(lower($text), '$esc', '')))"
     }.mkString(" + ")
 
   /** Word k-shingles (k consecutive tokens joined by a space), distinct.

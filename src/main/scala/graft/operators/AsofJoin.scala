@@ -37,6 +37,13 @@ object AsofJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                key: String, ts: String, payload: Seq[String]): DataFrame = {
+    // the helper columns would silently clobber same-named input columns
+    // (withColumn replaces) and then be dropped — corrupt results, not an
+    // error — so reject such inputs up front
+    val reserved = Seq("_is_l", "_pay")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asofJoin reserves column name(s) ${clash.distinct.mkString(", ")}; rename them on the inputs")
     // side tag orders right rows BEFORE left rows at equal ts, so an
     // exactly-simultaneous right row is visible to the left row (<=)
     val l = left.withColumn("_is_l", lit(1))

@@ -53,18 +53,26 @@ object Similarity {
     math.min(AnnMaxPlanes, math.max(AnnMinPlanes, bits))
   }
 
-  private val planesCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Int]()
-
   /** Plane count for a corpus dir: `spark.graft.ann.planes` if set
     * (runtime override, same channel as GraftConf), else derived from
     * the corpus row count ONCE per (session, dir) — the count is
     * parquet-footer metadata, but there is no reason to re-run even
-    * that job on every query construction. */
+    * that job on every query construction. The memo lives in the
+    * session's own conf (`spark.graft.ann.planes.derived:<dir>`), NOT a
+    * static map: nothing outlives or pins the session, and the cached
+    * value is user-visible. Staleness caveat: rewriting the corpus at
+    * the same path within the same session keeps the memo — unset the
+    * derived key or set the override (the SQL twin always derives from
+    * a live COUNT(*)). */
   private def annPlanes(spark: SparkSession, sfDir: String): Int =
-    spark.conf.getOption(graft.GraftConf.AnnPlanesKey).map(_.toInt).getOrElse(
-      planesCache.computeIfAbsent((spark, sfDir),
-        _ => annPlanesFor(Tables.embeddings(spark, sfDir).count())))
+    spark.conf.getOption(graft.GraftConf.AnnPlanesKey).map(_.toInt).getOrElse {
+      val memoKey = s"${graft.GraftConf.AnnPlanesKey}.derived:$sfDir"
+      spark.conf.getOption(memoKey).map(_.toInt).getOrElse {
+        val p = annPlanesFor(Tables.embeddings(spark, sfDir).count())
+        spark.conf.set(memoKey, p.toString)
+        p
+      }
+    }
 
   /** Exact integer quantization of a float vector. */
   private def quantize(v: Column): Column =

@@ -75,6 +75,13 @@ class EventMultimodalSpec extends SparkSpec {
     assert(attr.length == nPurch)
     assert(attr.filter(!_.isNullAt(3)).forall(r =>
       !r.getAs[java.sql.Timestamp]("click_ts").after(r.getAs[java.sql.Timestamp]("ts"))))
+    // reserved helper names on an input must fail fast, not silently
+    // clobber the caller's column
+    val clash = left.withColumn("_pay", lit(0))
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.AsofJoin.asofJoin(clash, right, "user_id", "ts", Seq("click_id"))
+    }
+    assert(err.getMessage.contains("_pay"))
   }
 
   test("sliding windows hold each event exactly twice") {
