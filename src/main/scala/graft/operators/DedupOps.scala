@@ -99,14 +99,30 @@ object DedupOps {
     * band key: the band self-join duplicates every row into each
     * matching pair, so any payload here (like the ~80-element
     * shingle-hash array) is shipped once per PAIR instead of once per
-    * DOC — the scale defect this shape exists to avoid. */
+    * DOC — the scale defect this shape exists to avoid.
+    *
+    * Hot-bucket guard: buckets over `spark.graft.minhash.bucketCap`
+    * docs are DROPPED before the self-join — the standard LSH cap
+    * (boilerplate buckets generate pair counts quadratic in occupancy;
+    * AQE can split the oversized partitions but cannot reduce the pairs
+    * a hot bucket GENERATES). Docs in a dropped bucket still pair
+    * through their other bands. The oracle mirrors the cap at the
+    * default, so the trimmed candidate set is still exactly verified;
+    * the occupancy window shuffles on the same keys as the self-join,
+    * so it reuses the exchange rather than adding one. */
   private def bandRows(sigs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = graft.GraftConf.minhashBucketCap(sigs.sparkSession)
     val bandStructs = (0 until NumBands).map { b =>
       struct(lit(b).as("band_id"),
         concat_ws("_", (0 until RowsPerBand).map(j => col(s"m${b * RowsPerBand + j}")): _*).as("band_key"))
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band_id").as("band_id"), col("bb.band_key").as("band_key"))
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy(col("band_id"), col("band_key"))))
+      .where(col("occ") <= cap)
+      .drop("occ")
   }
 
   /** Banded LSH candidate pairs: docs sharing at least one band bucket,
@@ -147,7 +163,8 @@ object DedupOps {
        |        FROM h GROUP BY doc_id),
        |bands AS (SELECT doc_id, b.range AS band_id,
        |                 CASE b.range $bandKeys END AS band_key
-       |          FROM sig, range($NumBands) b)""".stripMargin
+       |          FROM sig, range($NumBands) b
+       |          QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_key) <= ${graft.GraftConf.DefaultMinhashBucketCap})""".stripMargin
   }
 
   val minhashCandidatesSql: String =

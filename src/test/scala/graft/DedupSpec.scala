@@ -70,6 +70,21 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset(graft.GraftConf.SimhashHotCapKey)
   }
 
+  test("minhash bucket cap drops only hot-bucket candidates") {
+    val full = DedupOps.minhashCandidates(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // cap 2: only 2-doc buckets survive; still a subset of the full set
+      spark.conf.set(graft.GraftConf.MinhashBucketCapKey, "2")
+      val capped = DedupOps.minhashCandidates(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped.subsetOf(full), "capped candidates must be a subset")
+      // cap 1: every >=2-doc bucket is hot, so no pairs can be generated
+      spark.conf.set(graft.GraftConf.MinhashBucketCapKey, "1")
+      assert(DedupOps.minhashCandidates(spark, sf).collect().isEmpty)
+    } finally spark.conf.unset(graft.GraftConf.MinhashBucketCapKey)
+  }
+
   test("no cartesian product in the candidate-pair plan") {
     val plan = DedupOps.minhashCandidates(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"plan has a cartesian product:\n$plan")
