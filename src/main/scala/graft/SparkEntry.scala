@@ -31,6 +31,7 @@ object SparkEntry {
     "token_counts"        -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
     "fingerprints"        -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     "text_keywords"       -> ((s, dir) => TextAnalysis.keywordsPerSource(s, dir)),
+    "text_keywords_kmv"   -> ((s, dir) => TextAnalysis.keywordsPerSourceKmv(s, dir)),
     "approx_distinct_tokens" -> ((s, dir) => TextAnalysis.approxDistinctTokens(s, dir)),
     "dedup_exact"         -> ((s, dir) => DedupOps.dedupExact(s, dir)),
     "dedup_minhash_cand"  -> ((s, dir) => DedupOps.minhashCandidates(s, dir)),
@@ -95,6 +96,7 @@ object SparkEntry {
     "token_counts"        -> TextAnalysis.tokenCountsSql,
     "fingerprints"        -> TextAnalysis.fingerprintsSql,
     "text_keywords"       -> TextAnalysis.keywordsPerSourceSql(),
+    "text_keywords_kmv"   -> TextAnalysis.keywordsPerSourceKmvSql(),
     "approx_distinct_tokens" -> TextAnalysis.approxDistinctTokensSql,
     "dedup_exact"         -> DedupOps.dedupExactSql,
     "dedup_minhash_cand"  -> DedupOps.minhashCandidatesSql,

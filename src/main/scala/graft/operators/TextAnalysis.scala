@@ -328,6 +328,71 @@ object TextAnalysis {
        |ORDER BY source ASC, rk ASC""".stripMargin
   }
 
+  /** [[keywordsPerSource]] with the document frequency SKETCHED instead
+    * of exact: the per-term df becomes a [[graft.functions.KmvSketch]]
+    * over the 60-bit hash of each doc id, so the df shuffle is bounded
+    * at O(vocabulary × k) longs — the exact formulation's
+    * `countDistinct(doc_id)` shuffles every distinct (term, doc) pair
+    * through an Expand + two-exchange plan, which is TOKEN-scale work
+    * at 100 TB. Rare terms (df < k) still get their exact count (KMV
+    * returns the exact cardinality below its buffer size), so the tail
+    * vocabulary — the part tf-idf actually selects — scores
+    * identically; only saturated common terms get the ±1/√(k−2)
+    * estimate. KMV over a fixed hash is deterministic, so even the
+    * sketched scores have an exact oracle (the twin replays the k-th
+    * smallest distinct hash estimator). */
+  val KeywordDfK = 128
+
+  def keywordsPerSourceKmv(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kmv = udaf(new graft.functions.KmvSketch(KeywordDfK))
+    val toks = docs(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        explode(TextOps.tokens(TextOps.normText(col("text")))).as("term"))
+    val tf = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfe = toks
+      .select(col("term"), TextOps.hash60(col("doc_id").cast("string")).as("dh"))
+      .groupBy(col("term")).agg(kmv(col("dh")).as("df_est"))
+    val n = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val byScore = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfe, "term").crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df_est"))
+      .withColumn("rk", row_number().over(byScore))
+      .where(col("rk") <= k)
+      .select(col("source"), col("rk"), col("term"), col("tf"), col("df_est"), col("score"))
+      .orderBy(col("source").asc, col("rk").asc)
+  }
+
+  def keywordsPerSourceKmvSql(k: Int = 5): String = {
+    val norm = TextOps.normTextSql("text")
+    val kk = KeywordDfK
+    val scale = s"${kk - 1}.0 * 1152921504606846976.0"
+    s"""WITH toks AS (SELECT source, doc_id,
+       |                     unnest(list_filter(string_split($norm, ' '), x -> x <> '')) AS term
+       |              FROM documents),
+       |tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY source, term),
+       |dh AS (SELECT DISTINCT term, ${TextOps.hash60Sql("CAST(doc_id AS VARCHAR)")} AS h FROM toks),
+       |r AS (SELECT term, h,
+       |             ROW_NUMBER() OVER (PARTITION BY term ORDER BY h ASC) AS rn,
+       |             COUNT(*) OVER (PARTITION BY term) AS nd
+       |      FROM dh),
+       |dfe AS (SELECT term,
+       |               CASE WHEN MAX(nd) < $kk THEN CAST(MAX(nd) AS DOUBLE)
+       |                    ELSE $scale / CAST(MAX(CASE WHEN rn = $kk THEN h END) AS DOUBLE) END AS df_est
+       |        FROM r GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (SELECT tf.source, tf.term, tf.tf, dfe.df_est,
+       |                  CAST(tf.tf * n.n_docs AS DOUBLE) / dfe.df_est AS score
+       |           FROM tf JOIN dfe ON tf.term = dfe.term, n),
+       |ranked AS (SELECT source, term, tf, df_est, score,
+       |                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rk
+       |           FROM scored)
+       |SELECT source, rk, term, tf, df_est, score
+       |FROM ranked WHERE rk <= $k
+       |ORDER BY source ASC, rk ASC""".stripMargin
+  }
+
   /** Document fingerprinting: a whole-document content hash over the
     * normalized text plus a min-shingle-hash (a 1-permutation MinHash) —
     * the cheap first-pass signature for corpus-level dedup bookkeeping. */

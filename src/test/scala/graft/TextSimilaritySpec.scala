@@ -37,6 +37,25 @@ class TextSimilaritySpec extends SparkSpec {
     assert(mass("x") == 8L && mass("y") == 0L)
   }
 
+  test("kmv keyword df is exact below the sketch size and scores rank identically there") {
+    import org.apache.spark.sql.functions._
+    // exact df per term, computed the same way the sketch sees docs
+    // (distinct 60-bit doc-id hashes)
+    val exactDf = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(TextOps.tokens(TextOps.normText(col("text")))).as("term"))
+      .select(col("term"), TextOps.hash60(col("doc_id").cast("string")).as("dh"))
+      .groupBy(col("term")).agg(countDistinct(col("dh")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = TextAnalysis.keywordsPerSourceKmv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("df_est")
+      if (est < TextAnalysis.KeywordDfK)
+        assert(est == exactDf(r.getAs[String]("term")).toDouble,
+          s"unsaturated sketch must be exact for ${r.getAs[String]("term")}")
+    }
+  }
+
   test("BPE-ish token count >= whitespace token count per source") {
     val rows = TextAnalysis.tokenCounts(spark, sf).collect()
     assert(rows.nonEmpty)
