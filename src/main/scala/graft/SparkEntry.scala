@@ -72,6 +72,22 @@ object SparkEntry {
     "sql_pricing"         -> ((s, dir) => {
       graft.sources.Tables.ensureViews(s, dir); s.sql(RefQueries.aggPricingSql)
     }),
+    // The SAME declarative surface over the pipeline operators: plain
+    // SQL against registered graft_* views (a SQL-only deployment's
+    // path to near-dedup / sessionization), verified against the same
+    // oracles as their Scala twins.
+    "sql_dedup_exact"     -> ((s, dir) => {
+      graft.operators.PipelineViews.ensure(s, dir)
+      s.sql("SELECT content_hash, keep_doc_id, n_copies FROM graft_dedup_exact ORDER BY keep_doc_id ASC")
+    }),
+    "sql_near_dups"       -> ((s, dir) => {
+      graft.operators.PipelineViews.ensure(s, dir)
+      s.sql("SELECT doc_a, doc_b, jaccard FROM graft_near_dups ORDER BY doc_a ASC, doc_b ASC")
+    }),
+    "sql_sessions"        -> ((s, dir) => {
+      graft.operators.PipelineViews.ensure(s, dir)
+      s.sql("SELECT user_id, session_id, session_start, session_end, n_events FROM graft_sessions ORDER BY user_id ASC, session_id ASC")
+    }),
     "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),
     "sample_per_source_agg" -> ((s, dir) => TextAnalysis.samplePerSourceAgg(s, dir)),
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
@@ -122,6 +138,9 @@ object SparkEntry {
     "sql_q1c"             -> RefQueries.q1cSql,
     "sql_eda"             -> RefQueries.edaSql,
     "sql_pricing"         -> RefQueries.aggPricingSql,
+    "sql_dedup_exact"     -> DedupOps.dedupExactSql,
+    "sql_near_dups"       -> DedupOps.nearDupJaccardSql,
+    "sql_sessions"        -> EventOps.sessionizeSql(),
     "sample_per_source"   -> TextAnalysis.samplePerSourceSql,
     "sample_per_source_agg" -> TextAnalysis.samplePerSourceSql,
     "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Declarative (`spark.sql`) surface for the LLM-pipeline operators —
+  * the same parity the six relational queries already have through
+  * `Tables.ensureViews` (the reference's Hive-CLI entry point,
+  * SURVEY.md §3.3), extended to dedup / similarity / text / events: a
+  * SQL-only deployment registers these views once and runs plain SQL
+  * (`SELECT * FROM graft_near_dups WHERE jaccard > 0.8`) without ever
+  * touching the Scala API.
+  *
+  * Views are lazy logical plans — registration constructs the plan,
+  * execution happens per query, with Catalyst free to prune/push into
+  * the pipeline underneath the view like any other subquery. */
+object PipelineViews {
+
+  /** Every pipeline operator whose result is a relation worth naming.
+    * One entry per view; all take (session, fixture dir). */
+  def views: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "graft_dedup_exact"        -> ((s, d) => DedupOps.dedupExact(s, d)),
+    "graft_minhash_candidates" -> ((s, d) => DedupOps.minhashCandidates(s, d)),
+    "graft_near_dups"          -> ((s, d) => DedupOps.nearDupJaccard(s, d)),
+    "graft_simhash"            -> ((s, d) => DedupOps.simhashSignatures(s, d)),
+    "graft_simhash_pairs"      -> ((s, d) => DedupOps.simhashNearDups(s, d)),
+    "graft_fingerprints"       -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "graft_keywords"           -> ((s, d) => TextAnalysis.keywordsPerSource(s, d)),
+    "graft_quality"            -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "graft_sessions"           -> ((s, d) => EventOps.sessionize(s, d)),
+    "graft_cosine_topk"        -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "graft_ann_topk"           -> ((s, d) => Similarity.annTopK(s, d)))
+
+  private val ViewsDirKey = "spark.graft.pipelineViews.dir"
+
+  /** Idempotent registration, same contract as `Tables.ensureViews`:
+    * re-registers only when the session points elsewhere or a view has
+    * been dropped. (Registration is catalog state, not query work —
+    * the one execution it triggers is the ANN plane-count derivation,
+    * which memoizes into the session conf.) */
+  def ensure(spark: SparkSession, sfDir: String): Unit =
+    if (!spark.conf.getOption(ViewsDirKey).contains(sfDir) ||
+        !views.forall { case (n, _) => spark.catalog.tableExists(n) }) {
+      views.foreach { case (n, fn) => fn(spark, sfDir).createOrReplaceTempView(n) }
+      spark.conf.set(ViewsDirKey, sfDir)
+    }
+}
