@@ -78,7 +78,7 @@ object SparkEntry {
     // oracles as their Scala twins.
     "sql_dedup_exact"     -> ((s, dir) => {
       graft.operators.PipelineViews.ensure(s, dir)
-      s.sql("SELECT content_hash, keep_doc_id, n_copies FROM graft_dedup_exact ORDER BY keep_doc_id ASC")
+      s.sql("SELECT content_hash, content_hash_b, keep_doc_id, n_copies FROM graft_dedup_exact ORDER BY keep_doc_id ASC")
     }),
     "sql_near_dups"       -> ((s, dir) => {
       graft.operators.PipelineViews.ensure(s, dir)

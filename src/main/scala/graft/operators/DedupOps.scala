@@ -36,12 +36,19 @@ object DedupOps {
   val ShingleK = 3
   val JaccardThreshold = 0.4
 
-  /** Exact dedup: group by the 60-bit hash of normalized text, keep the
-    * smallest doc_id as the canonical representative. */
+  /** Exact dedup: group by the 120-bit hash of normalized text (both
+    * md5 halves as two longs), keep the smallest doc_id as the
+    * canonical representative. 120 bits matter at corpus scale: a
+    * 60-bit hash hits birthday collisions around 2^30 ≈ 1e9 documents —
+    * certain false merges on a 1e11-doc corpus — while 120 bits push
+    * the bound past 2^60. Shuffle keys stay 16 fixed bytes per doc,
+    * never the text. */
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = TextOps.normText(col("text"))
     Tables.documents(spark, sfDir)
-      .select(TextOps.hash60(TextOps.normText(col("text"))).as("content_hash"), col("doc_id"))
-      .groupBy(col("content_hash"))
+      .select(TextOps.hash60(norm).as("content_hash"),
+        TextOps.hash60b(norm).as("content_hash_b"), col("doc_id"))
+      .groupBy(col("content_hash"), col("content_hash_b"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_doc_id").asc)
   }
@@ -49,10 +56,11 @@ object DedupOps {
   val dedupExactSql: String = {
     val norm = TextOps.normTextSql("text")
     s"""SELECT ${TextOps.hash60Sql(norm)} AS content_hash,
+       |       ${TextOps.hash60bSql(norm)} AS content_hash_b,
        |       MIN(doc_id) AS keep_doc_id,
        |       COUNT(*) AS n_copies
        |FROM documents
-       |GROUP BY content_hash
+       |GROUP BY content_hash, content_hash_b
        |ORDER BY keep_doc_id ASC""".stripMargin
   }
 
