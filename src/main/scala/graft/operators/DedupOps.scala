@@ -91,15 +91,19 @@ object DedupOps {
     * mins, plus (optionally) the full shingle-hash set via collect_list
     * so Jaccard verification needs no second pass over the text.
     *
-    * The result is persisted: the band self-join consumes it on BOTH
-    * sides, and without a materialization point Spark recomputes the
-    * whole text→shingle→md5 pipeline per side (measured 2×). One row
-    * per doc — the canonical cache-a-diamond case. */
+    * The result is eagerly localCheckpoint'ed: the band self-join
+    * consumes it on BOTH sides (plus the two per-side join-backs in the
+    * jaccard path), and those consumer jobs launch concurrently — a
+    * lazy persist lets each racer recompute the whole text→shingle→md5
+    * pipeline because CacheManager does not serialize cache population.
+    * The checkpoint materializes ONCE and truncates the plan, so every
+    * consumer reads the one-row-per-doc signature blocks directly (same
+    * fault-tolerance trade-off as kmeansCentroids). */
   private def signatures(spark: SparkSession, sfDir: String, keepHs: Boolean): DataFrame = {
     val mins = (0 until NumHashes).map(i => min(TextOps.permute(col("h"), i)).as(s"m$i"))
     val aggs = if (keepHs) mins :+ collect_set(col("h")).as("hs") else mins
     shingleHashes(spark, sfDir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
   }
 
   /** Slim band rows (doc_id, band_id, band_key) from a signature frame.
@@ -335,8 +339,15 @@ object DedupOps {
   def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cap = graft.GraftConf.simhashHotCap(spark)
-    val sig = simhashCore(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint, not persist: the banded plan reads sig from
+    // ~6 subtrees (self-join sides + broadcast join-backs) whose jobs
+    // launch concurrently, and CacheManager does not serialize cache
+    // population — with a lazy persist each racer recomputes the whole
+    // token→120-sum aggregation. The checkpoint materializes ONCE up
+    // front and truncates the plan, so every consumer reads 3-long rows
+    // straight from executor blocks (measured ~2× vs lazy persist at
+    // sf0.1; same fault-tolerance trade-off as kmeansCentroids).
+    val sig = simhashCore(spark, sfDir).localCheckpoint(true)
     val lo = col("simhash_lo"); val hi = col("simhash_hi")
     val bands = sig.select(col("doc_id"), lo, hi,
       posexplode(array((0 until SimHashBands).map(bandChunk(lo, hi, _)): _*))
