@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.sources.Tables
+
+/** End-to-end corpus curation: the query a training-data pipeline
+  * actually runs to cut a raw crawl down to a training manifest —
+  * composed ENTIRELY from the library's own operators, as one
+  * oracle-verified plan:
+  *
+  *   1. exact-dedup canonicalization ([[DedupOps.dedupExact]] — keep
+  *      the smallest doc_id per 120-bit content hash),
+  *   2. quality gate ([[TextAnalysis.qualityScore]] ≥ [[QualityMin]]),
+  *   3. language allowlist,
+  *   4. deterministic per-source stratified downsampling to
+  *      ~[[TargetPerSource]] docs: keep a doc when
+  *      `hash60(doc_id) % c_source < target`, where c_source is the
+  *      source's surviving-doc count. Hash-modulo selection is a pure
+  *      function of the data (no rand(), no row order), so the sample
+  *      is reproducible across partitionings, engines, and reruns —
+  *      and when a source has at most `target` survivors the modulo is
+  *      always below the bound, so small sources are kept whole.
+  *
+  * Scale shape: every join is doc-scale on 8-byte keys with the text
+  * column dropped before the first shuffle; the per-source count table
+  * is sources-sized and broadcast back. The survivor frame feeds BOTH
+  * the count aggregation and the final filter, so it is eagerly
+  * checkpointed like the dedup signature diamonds (concurrent
+  * consumers must not recompute the dedup+quality pipeline). */
+object Curation {
+
+  val QualityMin = 0.5
+  val LangAllow: Seq[String] = Seq("de", "en", "es", "fr")
+  val TargetPerSource = 100L
+
+  def corpusManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val keep = DedupOps.dedupExact(spark, sfDir)
+      .select(col("keep_doc_id").as("doc_id"))
+    val quality = TextAnalysis.qualityScore(spark, sfDir)
+    val survivors = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .join(keep, "doc_id")
+      .join(quality, "doc_id")
+      .where(col("lang").isin(LangAllow.map(l => l: Any): _*) &&
+        col("quality") >= QualityMin)
+      .localCheckpoint(true)
+    val counts = survivors.groupBy(col("source")).agg(count(lit(1)).as("c_s"))
+    survivors.join(broadcast(counts), "source")
+      .where(TextOps.hash60(col("doc_id").cast("string")) % col("c_s") < TargetPerSource)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** The oracle composes the SAME sub-oracles ([[DedupOps.dedupExactSql]],
+    * [[TextAnalysis.qualityScoreSql]]) as CTEs — operator reuse on both
+    * engines. */
+  val corpusManifestSql: String = {
+    val langs = LangAllow.map(l => s"'$l'").mkString(", ")
+    s"""WITH keep AS (${DedupOps.dedupExactSql}),
+       |q AS (${TextAnalysis.qualityScoreSql}),
+       |d AS (SELECT dd.doc_id, dd.source, dd.lang, q.n_tokens, q.quality
+       |      FROM documents dd
+       |      JOIN keep ON dd.doc_id = keep.keep_doc_id
+       |      JOIN q ON dd.doc_id = q.doc_id
+       |      WHERE dd.lang IN ($langs) AND q.quality >= $QualityMin),
+       |c AS (SELECT source, COUNT(*) AS c_s FROM d GROUP BY source)
+       |SELECT d.doc_id, d.source, d.lang, d.n_tokens, d.quality
+       |FROM d JOIN c ON d.source = c.source
+       |WHERE ${TextOps.hash60Sql("CAST(d.doc_id AS VARCHAR)")} % c.c_s < $TargetPerSource
+       |ORDER BY d.doc_id ASC""".stripMargin
+  }
+}

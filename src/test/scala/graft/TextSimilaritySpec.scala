@@ -56,6 +56,23 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("corpus manifest: canonical, quality-gated, allowlisted, deterministic") {
+    import graft.operators.{Curation, DedupOps}
+    val keep = DedupOps.dedupExact(spark, sf).collect()
+      .map(_.getAs[Long]("keep_doc_id")).toSet
+    val rows = Curation.corpusManifest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(keep(r.getAs[Long]("doc_id")), "manifest doc must be a canonical representative")
+      assert(r.getAs[Double]("quality") >= Curation.QualityMin)
+      assert(Curation.LangAllow.contains(r.getAs[String]("lang")))
+    }
+    // hash-modulo sampling is a pure function of the data: a rerun is
+    // bit-identical, no rand() anywhere
+    val again = Curation.corpusManifest(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).sameElements(again.map(_.getLong(0))))
+  }
+
   test("BPE-ish token count >= whitespace token count per source") {
     val rows = TextAnalysis.tokenCounts(spark, sf).collect()
     assert(rows.nonEmpty)
