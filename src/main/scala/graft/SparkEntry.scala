@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsExt, Curation, DedupOps, EventOps, Multimodal, RefQueries, Similarity, TextAnalysis}
+import graft.operators.{AnalyticsExt, BloomJoin, Curation, DedupOps, EventOps, Multimodal, RefQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,6 +52,7 @@ object SparkEntry {
     "topk_per_group"      -> ((s, dir) => EventOps.topPartsPerFlag(s, dir)),
     "multimodal_stats"    -> ((s, dir) => Multimodal.multimodalStats(s, dir)),
     "corpus_manifest"     -> ((s, dir) => Curation.corpusManifest(s, dir)),
+    "bloom_semi_join"     -> ((s, dir) => BloomJoin.bloomSemiJoinVolume(s, dir)),
     // The declarative entry point (reference's Hive CLI path, SURVEY.md
     // §3.3): the SAME SQL text the DuckDB oracle runs, executed by
     // spark.sql over the registered views — full query compatibility.
@@ -134,6 +135,7 @@ object SparkEntry {
     "topk_per_group"      -> EventOps.topPartsPerFlagSql(),
     "multimodal_stats"    -> Multimodal.multimodalStatsSql,
     "corpus_manifest"     -> Curation.corpusManifestSql,
+    "bloom_semi_join"     -> BloomJoin.bloomSemiJoinVolumeSql,
     "sql_q1a"             -> RefQueries.q1aSql,
     "sql_q2"              -> RefQueries.q2Sql,
     "sql_q1b"             -> RefQueries.q1bSql,

@@ -95,6 +95,24 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.unset(GraftConf.AnnPlanesKey)
   }
 
+  test("bloom prefilter never rejects a member and rejects most non-members") {
+    import graft.operators.BloomJoin
+    import graft.functions.BloomAgg
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val members = (0L until 50L).map(_ * 7L + 3L)
+    val bloom = udaf(new BloomAgg(BloomJoin.NumBits, BloomJoin.NumHashes))
+    val bloomRow = members.toDF("k").agg(bloom(col("k")).as("bits"))
+    val probe = (0L until 2000L).toDF("k")
+      .join(broadcast(bloomRow))
+      .where(BloomJoin.mightContain(col("bits"), col("k")))
+      .collect().map(_.getLong(0)).toSet
+    members.filter(_ < 2000L).foreach(m => assert(probe(m), s"member $m rejected — false negative"))
+    // 8192 bits / 50 keys / 3 hashes → FP rate well under 1%; even 10×
+    // that bound leaves the vast majority of the 1950 non-members rejected
+    assert(probe.size < 100, s"bloom passed ${probe.size} of 2000 — not filtering")
+  }
+
   test("salted left join preserves unmatched fact rows") {
     import spark.implicits._
     val fact = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
