@@ -10,9 +10,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`SELECT * FROM graft_near_dups WHERE jaccard > 0.8`) without ever
   * touching the Scala API.
   *
-  * Views are lazy logical plans — registration constructs the plan,
-  * execution happens per query, with Catalyst free to prune/push into
-  * the pipeline underneath the view like any other subquery. */
+  * Most views are lazy logical plans — registration constructs the
+  * plan, execution happens per query, with Catalyst free to prune/push
+  * into the pipeline underneath the view like any other subquery. The
+  * exceptions are the pipelines built on eager checkpoints (near-dup
+  * pair discovery, the curation manifest): those materialize their
+  * signature/survivor frames ONCE at registration — [[ensure]] is
+  * idempotent, so the cost is paid once per (session, dir), and a
+  * corpus rewrite at the same path needs a fresh session or a manual
+  * re-register (the same staleness contract as any checkpoint). */
 object PipelineViews {
 
   /** Every pipeline operator whose result is a relation worth naming.
@@ -28,7 +34,9 @@ object PipelineViews {
     "graft_quality"            -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "graft_sessions"           -> ((s, d) => EventOps.sessionize(s, d)),
     "graft_cosine_topk"        -> ((s, d) => Similarity.cosineTopK(s, d)),
-    "graft_ann_topk"           -> ((s, d) => Similarity.annTopK(s, d)))
+    "graft_ann_topk"           -> ((s, d) => Similarity.annTopK(s, d)),
+    "graft_corpus_manifest"    -> ((s, d) => Curation.corpusManifest(s, d)),
+    "graft_bloom_semi_join"    -> ((s, d) => BloomJoin.bloomSemiJoinVolume(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 
