@@ -28,13 +28,17 @@ object Probe {
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
+      def reset(): Unit = {
+        spark.catalog.clearCache()
+        graft.operators.Materialize.reset(spark)
+      }
       fn(spark, sfDir).count() // warm JVM/codegen/scan
-      spark.catalog.clearCache()
+      reset()
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         println(f"PROBE $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        spark.catalog.clearCache()
+        reset()
       }
       if (sys.env.contains("PROBE_EXPLAIN"))
         fn(spark, sfDir).explain("formatted")

@@ -9,10 +9,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * the built filter is a pure function of the key SET (partition- and
   * order-independent, like every sketch in this library).
   *
-  * Position arithmetic is plain 64-bit multiply-add (wrapping) followed
-  * by floorMod — chosen because the SAME expression is computable as
-  * Catalyst columns on the probe side ([[BloomAgg.mightContainPos]]
-  * documents the pairing), so build and probe can never disagree.
+  * Position arithmetic reduces the key below 2^31 FIRST and only then
+  * multiplies, so every intermediate stays under 2^63 — overflow-free
+  * by construction, not by wrapping. That matters because the probe
+  * side is Catalyst column arithmetic under Spark's default ANSI mode,
+  * where a wrapping multiply is a runtime ARITHMETIC_OVERFLOW error
+  * (silent-wrap JVM code and ANSI SQL would disagree on any key above
+  * ~2^31.7, e.g. this library's own 60-bit hash60 values). The same
+  * exact arithmetic runs on both sides ([[BloomAgg.position]] ↔
+  * `BloomJoin.mightContain`), so build and probe can never disagree.
   *
   * Scale rationale: a Bloom filter of the filtered dimension keys rides
   * to the fact-table scan as ONE broadcast row and rejects most
@@ -54,12 +59,18 @@ class BloomAgg(numBits: Int, numHashes: Int)
 
 object BloomAgg {
   /** Knuth multiplicative mixing constants (same family as the MinHash
-    * permutations). Wrapping 64-bit arithmetic on both sides. */
+    * permutations). */
   val MixA = 2654435761L
   val MixB = 40503L
+  /** Keys are reduced mod 2^31 before mixing: (2^31−1)·MixA + i·MixB
+    * < 2^63, so no intermediate can overflow on either engine. */
+  val KeyRange: Long = 1L << 31
 
   /** Bit position of hash function `i` for `key` — the JVM-side twin of
-    * the probe column built in `BloomJoin.mightContain`. */
-  def position(key: Long, i: Int, numBits: Int): Int =
-    java.lang.Math.floorMod(key * MixA + i.toLong * MixB, numBits.toLong).toInt
+    * the probe column built in `BloomJoin.mightContain` (identical
+    * reduce-then-mix arithmetic, exact on both sides). */
+  def position(key: Long, i: Int, numBits: Int): Int = {
+    val k = java.lang.Math.floorMod(key, KeyRange)
+    java.lang.Math.floorMod(k * MixA + i.toLong * MixB, numBits.toLong).toInt
+  }
 }

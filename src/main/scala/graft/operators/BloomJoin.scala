@@ -25,12 +25,17 @@ object BloomJoin {
   val NumHashes = 3
   val AcctbalMin = 5000.0
 
-  /** Probe-side membership test: the SAME wrapping multiply-add +
-    * floorMod positions the build side sets ([[BloomAgg.position]]),
-    * expressed as Catalyst columns over the broadcast bit array. */
+  /** Probe-side membership test: the SAME reduce-below-2^31-then-mix
+    * positions the build side sets ([[BloomAgg.position]]), expressed
+    * as Catalyst columns over the broadcast bit array. Every
+    * intermediate stays under 2^63, so this is safe under Spark's
+    * default ANSI mode for ANY long key (including 60-bit hash60
+    * values) — a wrapping formulation would throw ARITHMETIC_OVERFLOW
+    * at runtime on large keys. */
   def mightContain(bits: Column, key: Column): Column =
     (0 until NumHashes).map { i =>
-      val pos = pmod(key * lit(BloomAgg.MixA) + lit(i.toLong * BloomAgg.MixB), lit(NumBits.toLong))
+      val k = pmod(key, lit(BloomAgg.KeyRange))
+      val pos = pmod(k * lit(BloomAgg.MixA) + lit(i.toLong * BloomAgg.MixB), lit(NumBits.toLong))
       val word = element_at(bits, (shiftright(pos, 6) + lit(1L)).cast("int"))
       call_function("shiftright", word, pos.bitwiseAND(lit(63L)).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)

@@ -39,13 +39,15 @@ object Curation {
     val keep = DedupOps.dedupExact(spark, sfDir)
       .select(col("keep_doc_id").as("doc_id"))
     val quality = TextAnalysis.qualityScore(spark, sfDir)
-    val survivors = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), col("lang"))
-      .join(keep, "doc_id")
-      .join(quality, "doc_id")
-      .where(col("lang").isin(LangAllow.map(l => l: Any): _*) &&
-        col("quality") >= QualityMin)
-      .localCheckpoint(true)
+    val survivors = Materialize.memoized(spark,
+        s"manifest_survivors_${Materialize.dirTag(sfDir)}") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .join(keep, "doc_id")
+        .join(quality, "doc_id")
+        .where(col("lang").isin(LangAllow.map(l => l: Any): _*) &&
+          col("quality") >= QualityMin)
+    }
     val counts = survivors.groupBy(col("source")).agg(count(lit(1)).as("c_s"))
     survivors.join(broadcast(counts), "source")
       .where(TextOps.hash60(col("doc_id").cast("string")) % col("c_s") < TargetPerSource)

@@ -98,13 +98,15 @@ object DedupOps {
     * pipeline because CacheManager does not serialize cache population.
     * The checkpoint materializes ONCE and truncates the plan, so every
     * consumer reads the one-row-per-doc signature blocks directly (same
-    * fault-tolerance trade-off as kmeansCentroids). */
-  private def signatures(spark: SparkSession, sfDir: String, keepHs: Boolean): DataFrame = {
-    val mins = (0 until NumHashes).map(i => min(TextOps.permute(col("h"), i)).as(s"m$i"))
-    val aggs = if (keepHs) mins :+ collect_set(col("h")).as("hs") else mins
-    shingleHashes(spark, sfDir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(true)
-  }
+    * fault-tolerance trade-off as kmeansCentroids); it is memoized per
+    * (variant, dir, session) via [[Materialize]] so repeated query
+    * constructions never leak checkpoint blocks. */
+  private def signatures(spark: SparkSession, sfDir: String, keepHs: Boolean): DataFrame =
+    Materialize.memoized(spark, s"minhash_sig_${keepHs}_${Materialize.dirTag(sfDir)}") {
+      val mins = (0 until NumHashes).map(i => min(TextOps.permute(col("h"), i)).as(s"m$i"))
+      val aggs = if (keepHs) mins :+ collect_set(col("h")).as("hs") else mins
+      shingleHashes(spark, sfDir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    }
 
   /** Slim band rows (doc_id, band_id, band_key) from a signature frame.
     * Deliberately carries NOTHING but the 8-byte doc id and the short
@@ -323,11 +325,16 @@ object DedupOps {
     * OTHER three bands. A qualifying pair found via band b has all its
     * ≤ 3 differing bits outside band b, touching ≤ 3 of those 6
     * sub-bands — so they share at least one (band, value, sub-band,
-    * sub-value) key and retrieval stays EXACT at any cap, while no
-    * bucket's pair generation can go quadratic in corpus-correlated
-    * band values. The occupancy count is a window over the slim band
-    * rows, partitioned by the same keys the self-join shuffles on, so
-    * the exchange is reused.
+    * sub-value) key and retrieval stays EXACT at any cap. What the
+    * split bounds is the FALSE-candidate blowup from band-value
+    * correlation (docs agreeing on one 30-bit chunk but differing
+    * elsewhere — the measured r4 defect — now split apart by the
+    * sub-band keys). A cluster of m near-IDENTICAL signatures still
+    * yields ~m² candidate rows (they agree on every sub-band too, with
+    * up to 6× multiplicity removed by the distinct) — irreducible, as
+    * those pairs are the query's own output. The occupancy count is a
+    * window over the slim band rows, partitioned by the same keys the
+    * self-join shuffles on, so the exchange is reused.
     *
     * The ORACLE for this query is deliberately brute-force Hamming over
     * all pairs (not a replay of the banding): it verifies the
@@ -347,7 +354,10 @@ object DedupOps {
     // front and truncates the plan, so every consumer reads 3-long rows
     // straight from executor blocks (measured ~2× vs lazy persist at
     // sf0.1; same fault-tolerance trade-off as kmeansCentroids).
-    val sig = simhashCore(spark, sfDir).localCheckpoint(true)
+    // Memoized per (dir, session) — see Materialize.
+    val sig = Materialize.memoized(spark, s"simhash_sig_${Materialize.dirTag(sfDir)}") {
+      simhashCore(spark, sfDir)
+    }
     val lo = col("simhash_lo"); val hi = col("simhash_hi")
     val bands = sig.select(col("doc_id"), lo, hi,
       posexplode(array((0 until SimHashBands).map(bandChunk(lo, hi, _)): _*))

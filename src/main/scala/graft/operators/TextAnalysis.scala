@@ -302,7 +302,12 @@ object TextAnalysis {
     val byScore = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(dfreq, "term").crossJoin(broadcast(n))
-      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      // each factor cast to double BEFORE multiplying: a long product
+      // tf*n_docs overflows (an ANSI runtime error) at corpus scale;
+      // the IEEE double product is the same correctly-rounded value the
+      // exact integer product would round to, on both engines
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df"))
       .withColumn("rk", row_number().over(byScore))
       .where(col("rk") <= k)
       .select(col("source"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
@@ -318,7 +323,7 @@ object TextAnalysis {
        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
        |scored AS (SELECT tf.source, tf.term, tf.tf, dfreq.df,
-       |                  CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
+       |                  CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / dfreq.df AS score
        |           FROM tf JOIN dfreq ON tf.term = dfreq.term, n),
        |ranked AS (SELECT source, term, tf, df, score,
        |                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rk
@@ -357,7 +362,9 @@ object TextAnalysis {
     val byScore = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(dfe, "term").crossJoin(broadcast(n))
-      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df_est"))
+      // factors cast before multiplying — see keywordsPerSource
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df_est"))
       .withColumn("rk", row_number().over(byScore))
       .where(col("rk") <= k)
       .select(col("source"), col("rk"), col("term"), col("tf"), col("df_est"), col("score"))
@@ -383,7 +390,7 @@ object TextAnalysis {
        |        FROM r GROUP BY term),
        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
        |scored AS (SELECT tf.source, tf.term, tf.tf, dfe.df_est,
-       |                  CAST(tf.tf * n.n_docs AS DOUBLE) / dfe.df_est AS score
+       |                  CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / dfe.df_est AS score
        |           FROM tf JOIN dfe ON tf.term = dfe.term, n),
        |ranked AS (SELECT source, term, tf, df_est, score,
        |                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rk

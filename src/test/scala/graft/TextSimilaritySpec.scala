@@ -49,9 +49,12 @@ class TextSimilaritySpec extends SparkSpec {
     val rows = TextAnalysis.keywordsPerSourceKmv(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val est = r.getAs[Double]("df_est")
-      if (est < TextAnalysis.KeywordDfK)
-        assert(est == exactDf(r.getAs[String]("term")).toDouble,
+      val exact = exactDf(r.getAs[String]("term"))
+      // saturation must be judged on the TRUE distinct count: a
+      // saturated sketch's estimate can dip below k through estimator
+      // noise, which is correct behavior, not an exactness violation
+      if (exact < TextAnalysis.KeywordDfK)
+        assert(r.getAs[Double]("df_est") == exact.toDouble,
           s"unsaturated sketch must be exact for ${r.getAs[String]("term")}")
     }
   }
