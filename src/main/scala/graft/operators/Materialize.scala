@@ -45,7 +45,10 @@ private[graft] object Materialize {
 
   /** Drop every memoized checkpoint in the session and free its blocks
     * promptly — Bench/Probe call this between passes so they measure
-    * true recompute, not memo reads. */
+    * true recompute, not memo reads. Registered pipeline views that
+    * hold checkpoint-backed frames would be left dead (no lineage to
+    * recompute from), so they are invalidated in the same breath and
+    * the next `PipelineViews.ensure` rebuilds them. */
   def reset(spark: SparkSession): Unit = {
     import org.apache.spark.sql.execution.LogicalRDD
     spark.catalog.listTables().collect()
@@ -56,5 +59,6 @@ private[graft] object Materialize {
         }.foreach(_.unpersist(blocking = false))
         spark.catalog.dropTempView(name)
       }
+    PipelineViews.invalidate(spark)
   }
 }

@@ -51,4 +51,16 @@ object PipelineViews {
       views.foreach { case (n, fn) => fn(spark, sfDir).createOrReplaceTempView(n) }
       spark.conf.set(ViewsDirKey, sfDir)
     }
+
+  /** Drop every pipeline view and forget the registration, so the next
+    * [[ensure]] rebuilds from scratch. `Materialize.reset` calls this:
+    * the checkpoint-backed views (near-dups, manifest) hold frames
+    * whose blocks reset frees, and a registered-but-dead view would
+    * otherwise pass the existence check and fail at execution. */
+  def invalidate(spark: SparkSession): Unit = {
+    views.foreach { case (n, _) =>
+      if (spark.catalog.tableExists(n)) spark.catalog.dropTempView(n)
+    }
+    spark.conf.unset(ViewsDirKey)
+  }
 }

@@ -21,4 +21,16 @@ class PipelineViewsSpec extends SparkSpec {
     val strict = spark.sql("SELECT * FROM graft_near_dups WHERE jaccard >= 0.8").count()
     assert(strict <= all)
   }
+
+  test("checkpoint reset invalidates views so ensure rebuilds working ones") {
+    PipelineViews.ensure(spark, sf)
+    val before = spark.sql("SELECT * FROM graft_near_dups").count()
+    // reset frees the checkpoint blocks the registered view depends on;
+    // it must cascade, or the next ensure would see a live-looking view
+    // that fails at execution (the Bench -1 regression)
+    graft.operators.Materialize.reset(spark)
+    assert(!spark.catalog.tableExists("graft_near_dups"))
+    PipelineViews.ensure(spark, sf)
+    assert(spark.sql("SELECT * FROM graft_near_dups").count() == before)
+  }
 }
