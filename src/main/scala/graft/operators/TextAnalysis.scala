@@ -130,12 +130,16 @@ object TextAnalysis {
     * token-shape signals — the standard pre-training quality gate. The
     * score is a fixed IEEE expression tree over exact integer counts, so
     * it is bit-identical across engines and partitionings. */
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = TextOps.tokens(col("text"))
+  /** The (n_tokens, quality) column pair for a text column — factored
+    * out so the streaming ingest filter (`streaming.DocStream`) applies
+    * the IDENTICAL per-row expression the batch operator verifies
+    * against the oracle. */
+  private[graft] def qualityCols(text: Column): (Column, Column) = {
+    val t = TextOps.tokens(text)
     val nToks = size(t).cast("double")
-    val nChars = length(col("text")).cast("double")
-    val punctN = (length(col("text")) -
-      length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double")
+    val nChars = length(text).cast("double")
+    val punctN = (length(text) -
+      length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double")
     val stopN = TextOps.stopwordHits(t, TextOps.StopwordsByLang.toMap.apply("en")).cast("double")
     val tokLenSum = aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double")
     val score =
@@ -143,9 +147,13 @@ object TextAnalysis {
       (lit(1.0) - punctN / nChars) * 0.3 +
       least(lit(1.0), stopN / nToks * 5.0) * 0.2 +
       least(lit(1.0), tokLenSum / nToks / 8.0) * 0.2
+    (size(t), when(size(t) === 0, 0.0).otherwise(score))
+  }
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nTokens, quality) = qualityCols(col("text"))
     docs(spark, sfDir)
-      .select(col("doc_id"), size(t).as("n_tokens"),
-        when(size(t) === 0, 0.0).otherwise(score).as("quality"))
+      .select(col("doc_id"), nTokens.as("n_tokens"), quality.as("quality"))
       .orderBy(col("doc_id").asc)
   }
 

@@ -171,6 +171,21 @@ object Tables {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Hive-style partitioned parquet sink: one directory per value of
+    * `key` (`key=value/part-*.parquet`), rows range-sorted within each
+    * partition by `sortCol`. The write-once / prune-on-read layout for
+    * a 100 TB corpus: a reader filtering on `key` touches only the
+    * matching directories (partition pruning happens in the catalog,
+    * before any file is opened — `.explain` shows `PartitionFilters`,
+    * not a post-scan filter), and the within-partition sort gives
+    * parquet min/max row-group statistics their best selectivity. */
+  def writePartitioned(df: DataFrame, path: String, key: String, sortCol: String): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(key))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite")
+      .partitionBy(key)
+      .parquet(path)
+
   /** S2 analogue: scan partition-size control. On a real cluster this
     * bounds bytes-per-task like the reference's min-split tuning. */
   def withMaxPartitionBytes[A](spark: SparkSession, bytes: Long)(body: => A): A = {

@@ -82,6 +82,27 @@ class SinksStreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE lineitem_ext")
   }
 
+  test("partitioned parquet sink prunes partitions at the catalog, not post-scan") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    Tables.writePartitioned(
+      Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("source")),
+      dir, "lang", "doc_id")
+    // layout: one directory per lang value
+    val langDirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(langDirs.forall(_.startsWith("lang=")), langDirs.mkString(","))
+    val read = spark.read.parquet(dir)
+    // round trip preserves rows
+    assert(read.count() == Tables.documents(spark, sf).count())
+    // the lang filter must land in PartitionFilters (pruned before any
+    // file opens), NOT PushedFilters/post-scan Filter
+    val plan = read.where(col("lang") === "en").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter not pruned at partition level:\n$plan")
+    val en = read.where(col("lang") === "en").count()
+    val enBatch = Tables.documents(spark, sf).where(col("lang") === "en").count()
+    assert(en == enBatch)
+  }
+
   test("maxPartitionBytes controls scan parallelism (S2 parity)") {
     val defaultParts = Tables.lineitem(spark, sf).rdd.getNumPartitions
     val manyParts = Tables.withMaxPartitionBytes(spark, 16 * 1024) {
@@ -150,6 +171,39 @@ class SinksStreamingSpec extends SparkSpec {
     } finally q.stop()
     val ids = spark.table("dedup_test").collect().map(_.getAs[Long]("event_id")).sorted
     assert(ids.sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("streaming document curation matches the batch filter, and dedups redelivery") {
+    import graft.streaming.DocStream
+    val dir = Files.createTempDirectory("graft_docstream").toString
+    Files.copy(java.nio.file.Path.of(s"$sf/documents.parquet"),
+      java.nio.file.Path.of(dir, "documents.parquet"))
+    // stateless curation: streamed result == the same function on the batch frame
+    val q = DocStream.curateStream(DocStream.readDocsStream(spark, dir))
+      .writeStream.format("memory").queryName("doc_curate_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("doc_curate_test").orderBy("doc_id").collect()
+    val batch = DocStream.curateStream(Tables.documents(spark, sf)).orderBy("doc_id").collect()
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+    // semantics match the oracle-verified batch operators
+    val quality = graft.operators.TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    streamed.foreach { r =>
+      assert(r.getAs[Double]("quality") == quality(r.getAs[Long]("doc_id")))
+      assert(graft.operators.Curation.LangAllow.contains(r.getAs[String]("lang")))
+    }
+    // redelivery: the same file landing twice dedups down to one copy
+    // per content hash within the watermark
+    Files.copy(java.nio.file.Path.of(s"$sf/documents.parquet"),
+      java.nio.file.Path.of(dir, "documents_redelivered.parquet"))
+    val q2 = DocStream.dedupedStream(DocStream.curateStream(DocStream.readDocsStream(spark, dir)))
+      .writeStream.format("memory").queryName("doc_dedup_test").outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val deduped = spark.table("doc_dedup_test").collect()
+    val distinctHashes = batch.map(r =>
+      (r.getAs[Long]("content_hash"), r.getAs[Long]("content_hash_b"))).distinct.length
+    assert(deduped.length == distinctHashes,
+      s"expected $distinctHashes unique contents, got ${deduped.length}")
   }
 
   test("streaming checkpoint recovery resumes exactly-once after a restart") {
