@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsExt, BloomJoin, Curation, DedupOps, EventOps, Multimodal, RefQueries, Similarity, TextAnalysis}
+import graft.operators.{AnalyticsExt, BloomJoin, Curation, Decontamination, DedupOps, EventOps, Multimodal, Packing, RefQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,6 +53,8 @@ object SparkEntry {
     "multimodal_stats"    -> ((s, dir) => Multimodal.multimodalStats(s, dir)),
     "corpus_manifest"     -> ((s, dir) => Curation.corpusManifest(s, dir)),
     "bloom_semi_join"     -> ((s, dir) => BloomJoin.bloomSemiJoinVolume(s, dir)),
+    "pack_sequences"      -> ((s, dir) => Packing.packSequences(s, dir)),
+    "eval_overlap"        -> ((s, dir) => Decontamination.evalOverlap(s, dir)),
     // The declarative entry point (reference's Hive CLI path, SURVEY.md
     // §3.3): the SAME SQL text the DuckDB oracle runs, executed by
     // spark.sql over the registered views — full query compatibility.
@@ -136,6 +138,8 @@ object SparkEntry {
     "multimodal_stats"    -> Multimodal.multimodalStatsSql,
     "corpus_manifest"     -> Curation.corpusManifestSql,
     "bloom_semi_join"     -> BloomJoin.bloomSemiJoinVolumeSql,
+    "pack_sequences"      -> Packing.packSequencesSql,
+    "eval_overlap"        -> Decontamination.evalOverlapSql,
     "sql_q1a"             -> RefQueries.q1aSql,
     "sql_q2"              -> RefQueries.q2Sql,
     "sql_q1b"             -> RefQueries.q1bSql,

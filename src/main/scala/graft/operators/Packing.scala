@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.sources.Tables
+
+/** Sequence packing — the canonical pretraining preprocessing step:
+  * concatenate documents (within a language) in a deterministic order
+  * and chunk the token stream into fixed-budget training sequences. A
+  * document's sequence is the one its FIRST token lands in (greedy
+  * concat-and-chunk semantics); the output reports per-sequence doc
+  * counts and token fill.
+  *
+  * Scale design — the window-skew trap and its standard fix: packing
+  * needs a running token sum, and a window partitioned by `lang` alone
+  * would pull an entire language (most of a 100 TB corpus) into one
+  * task. Documents are therefore first sharded by a deterministic hash
+  * (`hash60(doc_id) % NumShards`) and packed per (lang, shard): every
+  * shard is an independent, parallel packing problem, the window
+  * partition key has NumShards × languages cells, and determinism is
+  * preserved because the shard assignment and the within-shard
+  * (doc_id) order are pure functions of the data. Exact integer
+  * arithmetic throughout (`div`), so the DuckDB twin replays the
+  * identical running sums and chunk boundaries. */
+object Packing {
+
+  /** Tokens per packed training sequence. */
+  val SeqBudget = 2048L
+  /** Parallel packing shards per language. Production sizes this to
+    * executor count; fixed here so the oracle is reproducible. */
+  val NumShards = 8L
+
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+        (TextOps.hash60(col("doc_id").cast("string")) % NumShards).as("shard"))
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .withColumn("seq_id", expr(s"(cum_toks - n_toks) div $SeqBudget"))
+      .groupBy(col("lang"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc_id"))
+      .orderBy(col("lang").asc, col("shard").asc, col("seq_id").asc)
+  }
+
+  val packSequencesSql: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks,
+       |                  ${TextOps.hash60Sql("CAST(doc_id AS VARCHAR)")} % $NumShards AS shard
+       |           FROM documents),
+       |c AS (SELECT doc_id, lang, shard, n_toks,
+       |             SUM(n_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id ASC
+       |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+       |      FROM d)
+       |SELECT lang, shard, (cum_toks - n_toks) // $SeqBudget AS seq_id,
+       |       COUNT(*) AS n_docs,
+       |       SUM(n_toks) AS seq_tokens,
+       |       MIN(doc_id) AS first_doc_id
+       |FROM c
+       |GROUP BY lang, shard, seq_id
+       |ORDER BY lang ASC, shard ASC, seq_id ASC""".stripMargin
+}

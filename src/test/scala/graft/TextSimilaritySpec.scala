@@ -76,6 +76,41 @@ class TextSimilaritySpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).sameElements(again.map(_.getLong(0))))
   }
 
+  test("sequence packing conserves docs and tokens within every shard") {
+    import graft.operators.Packing
+    import org.apache.spark.sql.functions._
+    val rows = Packing.packSequences(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totals = Tables.documents(spark, sf)
+      .select(col("lang"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("docs"), sum(col("n")).as("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_.getString(0)).foreach { case (lang, seqs) =>
+      assert(seqs.map(_.getAs[Long]("n_docs")).sum == totals(lang)._1,
+        s"$lang: packing must conserve documents")
+      assert(seqs.map(_.getAs[Long]("seq_tokens")).sum == totals(lang)._2,
+        s"$lang: packing must conserve tokens")
+      // within each shard the chunk ids start at 0 and are distinct
+      seqs.groupBy(_.getAs[Long]("shard")).foreach { case (_, g) =>
+        val ids = g.map(_.getAs[Long]("seq_id"))
+        assert(ids.min == 0 && ids.distinct.length == ids.length)
+      }
+    }
+  }
+
+  test("eval overlap pairs a non-eval corpus doc with an eval doc on rare shingles") {
+    import graft.operators.Decontamination
+    import org.apache.spark.sql.functions._
+    val bySource = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Decontamination.evalOverlap(spark, sf).collect()
+    rows.foreach { r =>
+      assert(bySource(r.getAs[Long]("eval_doc")) == Decontamination.EvalSource)
+      assert(bySource(r.getAs[Long]("corpus_doc")) != Decontamination.EvalSource)
+      assert(r.getAs[Long]("n_shared") >= Decontamination.MinShared)
+    }
+  }
+
   test("BPE-ish token count >= whitespace token count per source") {
     val rows = TextAnalysis.tokenCounts(spark, sf).collect()
     assert(rows.nonEmpty)
