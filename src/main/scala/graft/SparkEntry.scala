@@ -81,15 +81,15 @@ object SparkEntry {
     // path to near-dedup / sessionization), verified against the same
     // oracles as their Scala twins.
     "sql_dedup_exact"     -> ((s, dir) => {
-      graft.operators.PipelineViews.ensure(s, dir)
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_dedup_exact")
       s.sql("SELECT content_hash, content_hash_b, keep_doc_id, n_copies FROM graft_dedup_exact ORDER BY keep_doc_id ASC")
     }),
     "sql_near_dups"       -> ((s, dir) => {
-      graft.operators.PipelineViews.ensure(s, dir)
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_near_dups")
       s.sql("SELECT doc_a, doc_b, jaccard FROM graft_near_dups ORDER BY doc_a ASC, doc_b ASC")
     }),
     "sql_sessions"        -> ((s, dir) => {
-      graft.operators.PipelineViews.ensure(s, dir)
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_sessions")
       s.sql("SELECT user_id, session_id, session_start, session_end, n_events FROM graft_sessions ORDER BY user_id ASC, session_id ASC")
     }),
     "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),

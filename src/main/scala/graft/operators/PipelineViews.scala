@@ -40,6 +40,21 @@ object PipelineViews {
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 
+  /** Register a SINGLE pipeline view (idempotent per (view, dir)) —
+    * for callers that need one named relation without paying the eager
+    * materialization of every checkpoint-backed pipeline that full
+    * [[ensure]] performs. */
+  def ensureOne(spark: SparkSession, sfDir: String, name: String): Unit = {
+    val key = s"$ViewsDirKey.$name"
+    if (!spark.conf.getOption(key).contains(sfDir) || !spark.catalog.tableExists(name)) {
+      val fn = views.collectFirst { case (`name`, f) => f }
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown pipeline view $name; known: ${views.map(_._1).mkString(", ")}"))
+      fn(spark, sfDir).createOrReplaceTempView(name)
+      spark.conf.set(key, sfDir)
+    }
+  }
+
   /** Idempotent registration, same contract as `Tables.ensureViews`:
     * re-registers only when the session points elsewhere or a view has
     * been dropped. (Registration is catalog state, not query work —
@@ -60,6 +75,7 @@ object PipelineViews {
   def invalidate(spark: SparkSession): Unit = {
     views.foreach { case (n, _) =>
       if (spark.catalog.tableExists(n)) spark.catalog.dropTempView(n)
+      spark.conf.unset(s"$ViewsDirKey.$n")
     }
     spark.conf.unset(ViewsDirKey)
   }

@@ -22,6 +22,16 @@ class PipelineViewsSpec extends SparkSpec {
     assert(strict <= all)
   }
 
+  test("ensureOne registers a single view and rejects unknown names") {
+    graft.operators.Materialize.reset(spark)
+    PipelineViews.ensureOne(spark, sf, "graft_dedup_exact")
+    assert(spark.catalog.tableExists("graft_dedup_exact"))
+    assert(spark.sql("SELECT * FROM graft_dedup_exact").count() > 0)
+    intercept[IllegalArgumentException] {
+      PipelineViews.ensureOne(spark, sf, "graft_nope")
+    }
+  }
+
   test("checkpoint reset invalidates views so ensure rebuilds working ones") {
     PipelineViews.ensure(spark, sf)
     val before = spark.sql("SELECT * FROM graft_near_dups").count()
