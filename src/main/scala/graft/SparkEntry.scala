@@ -55,6 +55,8 @@ object SparkEntry {
     "bloom_semi_join"     -> ((s, dir) => BloomJoin.bloomSemiJoinVolume(s, dir)),
     "pack_sequences"      -> ((s, dir) => Packing.packSequences(s, dir)),
     "eval_overlap"        -> ((s, dir) => Decontamination.evalOverlap(s, dir)),
+    "curate_filter"       -> ((s, dir) => graft.streaming.DocStream
+      .curateStream(graft.sources.Tables.documents(s, dir)).orderBy("doc_id")),
     // The declarative entry point (reference's Hive CLI path, SURVEY.md
     // §3.3): the SAME SQL text the DuckDB oracle runs, executed by
     // spark.sql over the registered views — full query compatibility.
@@ -140,6 +142,7 @@ object SparkEntry {
     "bloom_semi_join"     -> BloomJoin.bloomSemiJoinVolumeSql,
     "pack_sequences"      -> Packing.packSequencesSql,
     "eval_overlap"        -> Decontamination.evalOverlapSql,
+    "curate_filter"       -> graft.streaming.DocStream.curateBatchSql,
     "sql_q1a"             -> RefQueries.q1aSql,
     "sql_q2"              -> RefQueries.q2Sql,
     "sql_q1b"             -> RefQueries.q1bSql,

@@ -57,6 +57,22 @@ object DocStream {
       .where(col("quality") >= Curation.QualityMin)
   }
 
+  /** DuckDB twin of [[curateStream]] applied to the batch table —
+    * closes the verification chain: the spec proves streamed == batch,
+    * and the `curate_filter` oracle query proves batch == DuckDB, so
+    * the streaming filter's exact expressions are oracle-verified. */
+  val curateBatchSql: String =
+    s"""WITH q AS (${TextAnalysis.qualityScoreSql})
+       |SELECT d.doc_id, d.source, d.lang, q.n_tokens, q.quality,
+       |       ${TextOps.hash60Sql(TextOps.normTextSql("d.text"))} AS content_hash,
+       |       ${TextOps.hash60bSql(TextOps.normTextSql("d.text"))} AS content_hash_b
+       |FROM documents d
+       |JOIN q ON d.doc_id = q.doc_id
+       |WHERE d.text IS NOT NULL
+       |  AND d.lang IN (${Curation.LangAllow.map(l => s"'$l'").mkString(", ")})
+       |  AND q.quality >= ${Curation.QualityMin}
+       |ORDER BY d.doc_id ASC""".stripMargin
+
   /** Exact content-dedup on top of [[curateStream]], state bounded by
     * an INGEST-time watermark (the fixture documents carry no event
     * time, so arrival time is the only clock — the standard shape for
