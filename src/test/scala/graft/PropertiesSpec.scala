@@ -54,6 +54,52 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing conserves docs/tokens and respects chunk arithmetic (seeded random)") {
+    import spark.implicits._
+    val rng = new Random(77)
+    for (round <- 1 to 5) {
+      val budget = 50L + rng.nextInt(100)
+      val docs = List.fill(1 + rng.nextInt(300))(
+        (rng.nextLong(1000000), rng.nextLong(120)))
+        .map { case (_, n) => n }.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      // single shard (shard 0) so the chunk rule is directly checkable
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val packed = docs.toDF("doc_id", "n_toks")
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .withColumn("seq_id", expr(s"(cum - n_toks) div $budget"))
+        .groupBy("seq_id").agg(count(lit(1)).as("n_docs"), sum("n_toks").as("toks"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // conservation
+      assert(packed.map(_._2).sum == docs.length, s"round=$round docs")
+      assert(packed.map(_._3).sum == docs.map(_._2).sum, s"round=$round tokens")
+      // brute-force replay of the chunk rule
+      var cum = 0L
+      val expect = docs.map { case (_, n) => val s = cum / budget; cum += n; s }
+        .groupBy(identity).map { case (s, xs) => (s, xs.size.toLong) }
+      assert(packed.map(p => (p._1, p._2)).toMap == expect, s"round=$round chunks")
+    }
+  }
+
+  test("bloom filter never has false negatives (seeded random keys)") {
+    import spark.implicits._
+    val rng = new Random(99)
+    for (round <- 1 to 5) {
+      // include keys far beyond 2^31 — the ANSI-overflow regression zone
+      val members = List.fill(1 + rng.nextInt(200))(rng.nextLong())
+      val bloom = udaf(new graft.functions.BloomAgg(
+        graft.operators.BloomJoin.NumBits, graft.operators.BloomJoin.NumHashes))
+      val bloomRow = members.toDF("k").agg(bloom(col("k")).as("bits"))
+      val passed = members.toDF("k")
+        .join(broadcast(bloomRow))
+        .where(graft.operators.BloomJoin.mightContain(col("bits"), col("k")))
+        .count()
+      assert(passed == members.length,
+        s"round=$round: every member row must pass the probe")
+    }
+  }
+
   test("no CartesianProduct in any registered query's physical plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
