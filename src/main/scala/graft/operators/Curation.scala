@@ -55,6 +55,60 @@ object Curation {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Target data-mixture weights per language — the knob a pretraining
+    * recipe actually turns. Deliberately not uniform, so the sampling
+    * math is exercised. */
+  val MixtureWeights: Seq[(String, Double)] = Seq(
+    "en" -> 0.40, "de" -> 0.20, "fr" -> 0.15, "es" -> 0.15, "zh" -> 0.10)
+  val MixtureTotal = 2000L
+
+  /** Per-language document targets, resolved to exact longs at plan
+    * build time (no float arithmetic reaches either engine). */
+  def mixtureTargets: Seq[(String, Long)] =
+    MixtureWeights.map { case (l, w) => (l, math.round(w * MixtureTotal)) }
+
+  /** Weighted mixture sampling — pick ~target docs per language from
+    * whatever is available, deterministically: doc selected iff
+    * `hash60(doc_id) % available_l < target_l` (kept whole when the
+    * language has at most its target). The same hash-modulo rule as
+    * [[corpusManifest]]'s per-source downsampling, generalized to
+    * weighted targets; output is the per-language mixture report
+    * (selected vs available vs target). One count aggregation, one
+    * broadcast join back — the corpus shuffles its 8-byte keys once. */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val targetCol = mixtureTargets
+      .foldLeft(lit(0L)) { case (acc, (l, t)) => when(col("lang") === l, lit(t)).otherwise(acc) }
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.hash60(col("doc_id").cast("string")).as("hm"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("available"))
+    d.join(broadcast(counts), "lang")
+      .withColumn("target_docs", targetCol)
+      .where(col("hm") % col("available") < col("target_docs"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_selected"),
+        max(col("available")).as("available"),
+        max(col("target_docs")).as("target_docs"))
+      .orderBy(col("lang").asc)
+  }
+
+  val mixtureSampleSql: String = {
+    val caseSql = "CASE d.lang " + mixtureTargets
+      .map { case (l, t) => s"WHEN '$l' THEN CAST($t AS BIGINT)" }
+      .mkString(" ") + " ELSE CAST(0 AS BIGINT) END"
+    s"""WITH d AS (SELECT doc_id, lang,
+       |                  ${TextOps.hash60Sql("CAST(doc_id AS VARCHAR)")} AS hm
+       |           FROM documents),
+       |c AS (SELECT lang, COUNT(*) AS available FROM d GROUP BY lang)
+       |SELECT d.lang, COUNT(*) AS n_selected,
+       |       MAX(c.available) AS available,
+       |       MAX($caseSql) AS target_docs
+       |FROM d JOIN c ON d.lang = c.lang
+       |WHERE d.hm % c.available < $caseSql
+       |GROUP BY d.lang
+       |ORDER BY d.lang ASC""".stripMargin
+  }
+
   /** The oracle composes the SAME sub-oracles ([[DedupOps.dedupExactSql]],
     * [[TextAnalysis.qualityScoreSql]]) as CTEs — operator reuse on both
     * engines. */

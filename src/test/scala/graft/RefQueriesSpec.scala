@@ -61,6 +61,19 @@ class RefQueriesSpec extends SparkSpec {
     } finally params.foreach { case (k, _) => spark.conf.unset(k) }
   }
 
+  test("q1a pushes the date range and null filters into the parquet scan") {
+    // the PLANS.md claim, pinned: at 100 TB a filter that misses the
+    // scan re-reads the whole fact table
+    val plan = graft.operators.RefQueries.q1aTopRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"),
+      s"shipdate filter not pushed to scan:\n$plan")
+    // and the scan is pruned to the columns the query touches
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_tax"),
+      s"scan reads untouched columns: $read")
+  }
+
   test("revenue is invariant under repartitioning (exact arithmetic)") {
     val base = RefQueries.q1aTopRevenue(spark, sf).collect().map(r => (r.getLong(0), r.getDouble(1)))
     val spark2 = spark

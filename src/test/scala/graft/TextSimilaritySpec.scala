@@ -111,6 +111,20 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mixture sampling hits its target when available, keeps whole languages when not") {
+    import graft.operators.Curation
+    val targets = Curation.mixtureTargets.toMap
+    val rows = Curation.mixtureSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, selected, available, target) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(target == targets(lang))
+      assert(selected <= available)
+      if (available <= target) assert(selected == available,
+        s"$lang: under-supplied languages must be kept whole")
+    }
+  }
+
   test("BPE-ish token count >= whitespace token count per source") {
     val rows = TextAnalysis.tokenCounts(spark, sf).collect()
     assert(rows.nonEmpty)
