@@ -56,12 +56,12 @@ object Packing {
        |                  ${TextOps.hash60Sql("CAST(doc_id AS VARCHAR)")} % $NumShards AS shard
        |           FROM documents),
        |c AS (SELECT doc_id, lang, shard, n_toks,
-       |             SUM(n_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id ASC
-       |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+       |             CAST(SUM(n_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id ASC
+       |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
        |      FROM d)
        |SELECT lang, shard, (cum_toks - n_toks) // $SeqBudget AS seq_id,
        |       COUNT(*) AS n_docs,
-       |       SUM(n_toks) AS seq_tokens,
+       |       CAST(SUM(n_toks) AS BIGINT) AS seq_tokens,
        |       MIN(doc_id) AS first_doc_id
        |FROM c
        |GROUP BY lang, shard, seq_id

@@ -55,28 +55,24 @@ object PipelineViews {
     }
   }
 
-  /** Idempotent registration, same contract as `Tables.ensureViews`:
-    * re-registers only when the session points elsewhere or a view has
-    * been dropped. (Registration is catalog state, not query work —
-    * the one execution it triggers is the ANN plane-count derivation,
-    * which memoizes into the session conf.) */
+  /** Idempotent full registration, same contract as
+    * `Tables.ensureViews`: each view re-registers only when the session
+    * points it elsewhere or it has been dropped. Registration state is
+    * tracked PER VIEW (one conf key each, shared with [[ensureOne]]) so
+    * the two paths stay consistent however they interleave across dirs
+    * — a single shared flag would let one path serve a view the other
+    * built from a different dataset. */
   def ensure(spark: SparkSession, sfDir: String): Unit =
-    if (!spark.conf.getOption(ViewsDirKey).contains(sfDir) ||
-        !views.forall { case (n, _) => spark.catalog.tableExists(n) }) {
-      views.foreach { case (n, fn) => fn(spark, sfDir).createOrReplaceTempView(n) }
-      spark.conf.set(ViewsDirKey, sfDir)
-    }
+    views.foreach { case (n, _) => ensureOne(spark, sfDir, n) }
 
   /** Drop every pipeline view and forget the registration, so the next
     * [[ensure]] rebuilds from scratch. `Materialize.reset` calls this:
     * the checkpoint-backed views (near-dups, manifest) hold frames
     * whose blocks reset frees, and a registered-but-dead view would
     * otherwise pass the existence check and fail at execution. */
-  def invalidate(spark: SparkSession): Unit = {
+  def invalidate(spark: SparkSession): Unit =
     views.foreach { case (n, _) =>
       if (spark.catalog.tableExists(n)) spark.catalog.dropTempView(n)
       spark.conf.unset(s"$ViewsDirKey.$n")
     }
-    spark.conf.unset(ViewsDirKey)
-  }
 }

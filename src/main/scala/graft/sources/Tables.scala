@@ -179,12 +179,19 @@ object Tables {
     * before any file is opened — `.explain` shows `PartitionFilters`,
     * not a post-scan filter), and the within-partition sort gives
     * parquet min/max row-group statistics their best selectivity. */
-  def writePartitioned(df: DataFrame, path: String, key: String, sortCol: String): Unit =
-    df.repartition(org.apache.spark.sql.functions.col(key))
-      .sortWithinPartitions(sortCol)
+  def writePartitioned(df: DataFrame, path: String, key: String, sortCol: String): Unit = {
+    // sort by (key, sortCol): the writer REQUIRES ordering by the
+    // partition column and would re-sort every partition if given
+    // sortCol alone — this satisfies it in one sort and makes the
+    // within-partition sortCol order guaranteed, not TimSort-stability
+    // luck
+    val f = org.apache.spark.sql.functions
+    df.repartition(f.col(key))
+      .sortWithinPartitions(f.col(key), f.col(sortCol))
       .write.mode("overwrite")
       .partitionBy(key)
       .parquet(path)
+  }
 
   /** S2 analogue: scan partition-size control. On a real cluster this
     * bounds bytes-per-task like the reference's min-split tuning. */

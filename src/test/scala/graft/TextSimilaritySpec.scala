@@ -104,6 +104,7 @@ class TextSimilaritySpec extends SparkSpec {
     val bySource = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val rows = Decontamination.evalOverlap(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture plants cross-source near-dups; empty means the pipeline broke")
     rows.foreach { r =>
       assert(bySource(r.getAs[Long]("eval_doc")) == Decontamination.EvalSource)
       assert(bySource(r.getAs[Long]("corpus_doc")) != Decontamination.EvalSource)
