@@ -51,6 +51,7 @@ object SparkEntry {
     "events_range_join"   -> ((s, dir) => EventOps.nearbyClickCounts(s, dir)),
     "topk_per_group"      -> ((s, dir) => EventOps.topPartsPerFlag(s, dir)),
     "multimodal_stats"    -> ((s, dir) => Multimodal.multimodalStats(s, dir)),
+    "multimodal_frames"   -> ((s, dir) => Multimodal.multimodalFrames(s, dir)),
     "corpus_manifest"     -> ((s, dir) => Curation.corpusManifest(s, dir)),
     "bloom_semi_join"     -> ((s, dir) => BloomJoin.bloomSemiJoinVolume(s, dir)),
     "pack_sequences"      -> ((s, dir) => Packing.packSequences(s, dir)),
@@ -139,6 +140,7 @@ object SparkEntry {
     "events_range_join"   -> EventOps.nearbyClickCountsSql,
     "topk_per_group"      -> EventOps.topPartsPerFlagSql(),
     "multimodal_stats"    -> Multimodal.multimodalStatsSql,
+    "multimodal_frames"   -> Multimodal.multimodalFramesSql,
     "corpus_manifest"     -> Curation.corpusManifestSql,
     "bloom_semi_join"     -> BloomJoin.bloomSemiJoinVolumeSql,
     "pack_sequences"      -> Packing.packSequencesSql,

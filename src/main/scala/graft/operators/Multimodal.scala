@@ -102,6 +102,26 @@ object Multimodal {
           .cast("int").as("byte_value"))
   }
 
+  /** [[frameSample]] over the fixture payloads as an oracle query —
+    * every sampled (frame offset, byte) must match DuckDB extracting
+    * the same UTF-8 octets (the twin hexes the whole payload once and
+    * slices two hex chars per frame; same bytes, same arithmetic). */
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame =
+    frameSample(withPayload(spark, sfDir))
+      .orderBy(col("doc_id").asc, col("frame_no").asc)
+
+  val multimodalFramesSql: String =
+    """WITH p AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      |           FROM documents),
+      |f AS (SELECT p.doc_id, CAST(k.range AS INT) AS frame_no,
+      |             CAST(k.range * greatest(1, n // 4) AS INT) AS "offset", p.hx
+      |      FROM p, range(4) k
+      |      WHERE p.n > 0 AND k.range * greatest(1, n // 4) <= p.n - 1)
+      |SELECT doc_id, frame_no, "offset",
+      |       CAST(concat('0x', substr(hx, "offset" * 2 + 1, 2)) AS INT) AS byte_value
+      |FROM f
+      |ORDER BY doc_id ASC, frame_no ASC""".stripMargin
+
   /** Oracle-backed stats over the multimodal rows: byte totals and the
     * stub-decoded dimension sums per source — pure integer arithmetic,
     * identical in DuckDB. */
