@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Fused 120-bit SimHash signature Aggregator: one Array[Int] buffer of
+  * per-bit vote counters instead of 120 separate SUM aggregate
+  * expressions. Same arithmetic bit-for-bit (votes are ±1 per token
+  * occurrence; the sign test packs `>= 0` exactly like the SQL twin),
+  * so swapping it under `DedupOps.simhashCore` cannot change results —
+  * the DuckDB oracle stays the per-bit-SUM formulation.
+  *
+  * Why an imperative Aggregator here when the library prefers
+  * declarative sums: the declarative form carries a 120-column
+  * aggregation buffer (960 bytes of UnsafeRow per group) through
+  * partial and final aggregation; this buffer is 480 bytes, updated in
+  * one tight loop per token. Per-row input is the two 60-bit md5
+  * halves.
+  */
+class SimhashSigAgg extends Aggregator[(Long, Long), Array[Int], (Long, Long)] {
+
+  private val Half = 60
+
+  override def zero: Array[Int] = new Array[Int](2 * Half)
+
+  override def reduce(buf: Array[Int], h: (Long, Long)): Array[Int] = {
+    var b = 0
+    while (b < Half) {
+      buf(b) += (((h._1 >>> b) & 1L) * 2L - 1L).toInt
+      buf(Half + b) += (((h._2 >>> b) & 1L) * 2L - 1L).toInt
+      b += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(r: Array[Int]): (Long, Long) = {
+    var lo = 0L; var hi = 0L; var b = 0
+    while (b < Half) {
+      if (r(b) >= 0) lo |= 1L << b
+      if (r(Half + b) >= 0) hi |= 1L << b
+      b += 1
+    }
+    (lo, hi)
+  }
+
+  override def bufferEncoder: Encoder[Array[Int]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+  override def outputEncoder: Encoder[(Long, Long)] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+}

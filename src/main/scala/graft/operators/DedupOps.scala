@@ -262,21 +262,19 @@ object DedupOps {
 
   /** SimHash: per token occurrence, each of the 120 hash bits votes ±1;
     * the signature packs the signs of the per-bit sums into two longs.
-    * Near-identical docs land within small Hamming distance. */
+    * Near-identical docs land within small Hamming distance. The
+    * aggregation is the fused [[graft.functions.SimhashSigAgg]] (one
+    * 480-byte counter buffer per doc instead of a 120-column UnsafeRow
+    * through partial+final aggregation); the oracle keeps the
+    * equivalent declarative per-bit-SUM formulation. */
   private def simhashCore(spark: SparkSession, sfDir: String): DataFrame = {
-    val tok = Tables.documents(spark, sfDir)
+    val sig = udaf(new graft.functions.SimhashSigAgg())
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
       .select(col("doc_id"),
         TextOps.hash60(col("tk")).as("h1"), TextOps.hash60b(col("tk")).as("h2"))
-    def sums(h: String, p: String) = (0 until SimHashHalfBits).map { b =>
-      sum(shiftright(col(h), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"$p$b")
-    }
-    def packed(p: String) = (0 until SimHashHalfBits).map { b =>
-      when(col(s"$p$b") >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val aggs = sums("h1", "a") ++ sums("h2", "b")
-    tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), packed("a").as("simhash_lo"), packed("b").as("simhash_hi"))
+      .groupBy(col("doc_id")).agg(sig(col("h1"), col("h2")).as("s"))
+      .select(col("doc_id"), col("s._1").as("simhash_lo"), col("s._2").as("simhash_hi"))
   }
 
   def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
