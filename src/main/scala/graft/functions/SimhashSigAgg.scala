@@ -14,12 +14,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * declarative sums: the declarative form carries a 120-column
   * aggregation buffer (960 bytes of UnsafeRow per group) through
   * partial and final aggregation; this buffer is 480 bytes, updated in
-  * one tight loop per token. Per-row input is the two 60-bit md5
-  * halves.
+  * one tight loop per token. Per-row input is the two `half`-bit md5
+  * halves; the caller passes `DedupOps.SimHashHalfBits` so a signature
+  * retune cannot silently diverge this side from the oracle.
   */
-class SimhashSigAgg extends Aggregator[(Long, Long), Array[Int], (Long, Long)] {
+class SimhashSigAgg(half: Int) extends Aggregator[(Long, Long), Array[Int], (Long, Long)] {
 
-  private val Half = 60
+  private val Half = half
 
   override def zero: Array[Int] = new Array[Int](2 * Half)
 

@@ -268,7 +268,7 @@ object DedupOps {
     * through partial+final aggregation); the oracle keeps the
     * equivalent declarative per-bit-SUM formulation. */
   private def simhashCore(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = udaf(new graft.functions.SimhashSigAgg())
+    val sig = udaf(new graft.functions.SimhashSigAgg(SimHashHalfBits))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
       .select(col("doc_id"),
