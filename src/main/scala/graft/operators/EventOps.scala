@@ -55,7 +55,7 @@ object EventOps {
       .agg(RefQueries.revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("revenue").desc, col("l_partkey").asc)
-    rev.withColumn("rn", row_number().over(w))
+    rev.withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
       .orderBy(col("l_returnflag").asc, col("rn").asc)
   }

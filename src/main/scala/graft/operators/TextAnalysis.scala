@@ -147,7 +147,7 @@ object TextAnalysis {
       (lit(1.0) - punctN / nChars) * 0.3 +
       least(lit(1.0), stopN / nToks * 5.0) * 0.2 +
       least(lit(1.0), tokLenSum / nToks / 8.0) * 0.2
-    (size(t), when(size(t) === 0, 0.0).otherwise(score))
+    (size(t).cast("long"), when(size(t) === 0, 0.0).otherwise(score))
   }
 
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
@@ -216,7 +216,7 @@ object TextAnalysis {
     docs(spark, sfDir)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
-      .select(col("source"), col("rk"), col("doc_id"))
+      .select(col("source"), col("rk").cast("long").as("rk"), col("doc_id"))
       .orderBy(col("source").asc, col("rk").asc)
   }
 
@@ -242,7 +242,7 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(minK(col("h"), col("id")).as("top"))
       .select(col("source"), posexplode(col("top")).as(Seq("pos", "kv")))
-      .select(col("source"), (col("pos") + 1).cast("int").as("rk"), col("kv.id").as("doc_id"))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"), col("kv.id").as("doc_id"))
       .orderBy(col("source").asc, col("rk").asc)
   }
 
@@ -318,7 +318,8 @@ object TextAnalysis {
         col("tf").cast("double") * col("n_docs").cast("double") / col("df"))
       .withColumn("rk", row_number().over(byScore))
       .where(col("rk") <= k)
-      .select(col("source"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("term"), col("tf"), col("df"), col("score"))
       .orderBy(col("source").asc, col("rk").asc)
   }
 
@@ -375,7 +376,8 @@ object TextAnalysis {
         col("tf").cast("double") * col("n_docs").cast("double") / col("df_est"))
       .withColumn("rk", row_number().over(byScore))
       .where(col("rk") <= k)
-      .select(col("source"), col("rk"), col("term"), col("tf"), col("df_est"), col("score"))
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("term"), col("tf"), col("df_est"), col("score"))
       .orderBy(col("source").asc, col("rk").asc)
   }
 

@@ -32,7 +32,7 @@ class EventMultimodalSpec extends SparkSpec {
     val rows = EventOps.topPartsPerFlag(spark, sf).collect()
     rows.groupBy(_.getAs[String]("l_returnflag")).foreach { case (_, g) =>
       assert(g.length <= 3)
-      assert(g.map(_.getAs[Int]("rn")).sorted.sameElements(1 to g.length))
+      assert(g.map(_.getAs[Long]("rn")).sorted.sameElements((1 to g.length).map(_.toLong)))
     }
   }
 

@@ -140,9 +140,9 @@ class TextSimilaritySpec extends SparkSpec {
 
   test("aggregator sampler equals the window sampler under repartitioning") {
     val win = TextAnalysis.samplePerSource(spark, sf).collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val agg = TextAnalysis.samplePerSourceAgg(spark, sf).collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(win.sameElements(agg))
   }
 
