@@ -24,6 +24,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object Materialize {
 
   private val Prefix = "graft_ckpt_"
+  /** Session-conf registry of every memo view name this session has
+    * registered — [[reset]] walks it instead of listing the catalog
+    * (no driver-side Dataset collection anywhere in the library). */
+  private val NamesKey = "spark.graft.ckpt.names"
 
   /** The checkpointed frame for `key` (a `[A-Za-z0-9_]+` variant tag),
     * building and registering it on first use in this session. */
@@ -33,6 +37,8 @@ private[graft] object Materialize {
     else {
       val out = build.localCheckpoint(true)
       out.createOrReplaceTempView(name)
+      val known = spark.conf.getOption(NamesKey).map(_.split(",").toSet).getOrElse(Set.empty)
+      spark.conf.set(NamesKey, (known + name).mkString(","))
       out
     }
   }
@@ -51,14 +57,16 @@ private[graft] object Materialize {
     * the next `PipelineViews.ensure` rebuilds them. */
   def reset(spark: SparkSession): Unit = {
     import org.apache.spark.sql.execution.LogicalRDD
-    spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith(Prefix))
+    spark.conf.getOption(NamesKey).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
       .foreach { name =>
-        spark.table(name).queryExecution.analyzed.collectFirst {
-          case lr: LogicalRDD => lr.rdd
-        }.foreach(_.unpersist(blocking = false))
-        spark.catalog.dropTempView(name)
+        if (spark.catalog.tableExists(name)) {
+          spark.table(name).queryExecution.analyzed.collectFirst {
+            case lr: LogicalRDD => lr.rdd
+          }.foreach(_.unpersist(blocking = false))
+          spark.catalog.dropTempView(name)
+        }
       }
+    spark.conf.unset(NamesKey)
     PipelineViews.invalidate(spark)
   }
 }
