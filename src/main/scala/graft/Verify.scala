@@ -20,12 +20,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // The ANN plane override changes only the Spark side (the oracle SQL
-    // derives planes from a live COUNT(*)), so verifying under it would
-    // report false mismatches — refuse rather than mislead.
-    require(spark.conf.getOption(GraftConf.AnnPlanesKey).isEmpty,
-      s"${GraftConf.AnnPlanesKey} is set; unset it before verifying " +
-        "(the oracle SQL always derives the plane count from the corpus)")
+    // Overrides that change only the Spark side while the oracle SQL
+    // stays pinned would report false mismatches — refuse rather than
+    // mislead. The ANN plane count (oracle derives it from a live
+    // COUNT(*)) and the minhash bucket cap (oracle QUALIFY pins
+    // DefaultMinhashBucketCap) both have that property; the simhash hot
+    // cap does NOT (retrieval is exact at any cap) and needs no guard.
+    for (key <- Seq(GraftConf.AnnPlanesKey, GraftConf.MinhashBucketCapKey))
+      require(spark.conf.getOption(key).isEmpty,
+        s"$key is set; unset it before verifying " +
+          "(the oracle SQL pins this knob's default)")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

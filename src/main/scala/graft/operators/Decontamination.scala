@@ -88,7 +88,7 @@ object Decontamination {
     s"""WITH toks AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
        |              FROM documents),
        |sh AS (SELECT doc_id, source, unnest($shingleList) AS s FROM toks),
-       |h AS (SELECT doc_id, source, ${TextOps.hash60Sql("s")} AS h FROM sh),
+       |h AS (SELECT DISTINCT doc_id, source, ${TextOps.hash60Sql("s")} AS h FROM sh),
        |f AS (SELECT doc_id, source, h FROM h
        |      QUALIFY COUNT(*) OVER (PARTITION BY h) <= $MaxShingleDf),
        |e AS (SELECT doc_id AS eval_doc, h FROM f WHERE source = '$EvalSource'),

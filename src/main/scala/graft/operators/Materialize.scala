@@ -43,10 +43,15 @@ private[graft] object Materialize {
     }
   }
 
-  /** Key-safe tag for a fixture dir. */
+  /** Key-safe tag for a fixture dir: the sanitized path (readable in
+    * view names) plus an md5 suffix, so two dirs that differ only in
+    * punctuation — or that a 32-bit `hashCode` would collide — can
+    * never share a memo and serve each other's checkpointed corpus. */
   def dirTag(sfDir: String): String = {
-    val h = sfDir.hashCode
-    if (h < 0) s"n${-h.toLong}" else h.toString
+    val clean = sfDir.map(c => if (c.isLetterOrDigit) c else '_')
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    s"${clean}_$md5"
   }
 
   /** Drop every memoized checkpoint in the session and free its blocks
