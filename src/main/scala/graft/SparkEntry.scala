@@ -52,6 +52,7 @@ object SparkEntry {
     "topk_per_group"      -> ((s, dir) => EventOps.topPartsPerFlag(s, dir)),
     "multimodal_stats"    -> ((s, dir) => Multimodal.multimodalStats(s, dir)),
     "multimodal_frames"   -> ((s, dir) => Multimodal.multimodalFrames(s, dir)),
+    "multimodal_decode"   -> ((s, dir) => Multimodal.multimodalDecode(s, dir)),
     "corpus_manifest"     -> ((s, dir) => Curation.corpusManifest(s, dir)),
     "bloom_semi_join"     -> ((s, dir) => BloomJoin.bloomSemiJoinVolume(s, dir)),
     "pack_sequences"      -> ((s, dir) => Packing.packSequences(s, dir)),
@@ -141,6 +142,7 @@ object SparkEntry {
     "topk_per_group"      -> EventOps.topPartsPerFlagSql(),
     "multimodal_stats"    -> Multimodal.multimodalStatsSql,
     "multimodal_frames"   -> Multimodal.multimodalFramesSql,
+    "multimodal_decode"   -> Multimodal.multimodalDecodeSql,
     "corpus_manifest"     -> Curation.corpusManifestSql,
     "bloom_semi_join"     -> BloomJoin.bloomSemiJoinVolumeSql,
     "pack_sequences"      -> Packing.packSequencesSql,

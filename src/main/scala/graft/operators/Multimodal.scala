@@ -1,86 +1,248 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** Multimodal-column plumbing: media (image/audio/video) travels through
-  * the pipeline as an opaque `binary` payload column with typed
-  * metadata, exactly as a 100 TB training pipeline carries it in
-  * parquet. The Spark-side plumbing — schema, partition-friendly batch
-  * iteration, frame sampling, checksum/stats — is real and tested; the
-  * actual codec call is STUBBED (no image/audio libraries in this
-  * container) behind a deterministic fake, clearly marked below.
+/** Multimodal-column pipeline: media (image/audio/video) travels as an
+  * opaque `binary` payload column with typed metadata, exactly as a
+  * 100 TB training pipeline carries it in parquet. The codec is REAL —
+  * PNG encode/decode through the JDK's `javax.imageio` (no external
+  * libraries), with malformed payloads rejected the same way the scan
+  * layer rejects malformed rows (SURVEY §1.4 P4 semantics: drop, don't
+  * poison the batch).
   *
-  * The fixture corpus has no binary column, so `documents.text` encoded
-  * as UTF-8 bytes stands in for the payload; every byte-level operation
-  * (octet lengths, byte extraction, checksums) is the same code a real
-  * media payload would take.
+  * The fixture corpus has no media column, so the pipeline GENERATES
+  * its payloads: [[pngPayloads]] renders one deterministic PNG per
+  * document, dimensions derived from the text's byte length and every
+  * pixel a pure arithmetic function of (doc_id, x, y, channel). That
+  * makes the whole codec chain oracle-verifiable end-to-end without the
+  * oracle touching a PNG: DuckDB recomputes the expected width, height,
+  * and raster checksums by plain integer arithmetic, and the Spark side
+  * only matches if render → encode → decode → resize → re-encode →
+  * re-decode reproduces the raster bit-exactly (PNG is lossless).
+  *
+  * Scale shape: every stage is iterator-in/iterator-out `mapPartitions`
+  * over the payload rows — one codec call per record, no per-partition
+  * materialization, no shuffle until the caller aggregates. Payload
+  * bytes never become join or groupBy keys.
   */
 object Multimodal {
 
   case class Media(doc_id: Long, source: String, payload: Array[Byte])
-  case class DecodedMeta(doc_id: Long, source: String, n_bytes: Int,
-                         width: Int, height: Int, channels: Int, checksum: Long)
+  case class DecodedMeta(doc_id: Long, source: String, n_bytes: Long,
+                         width: Long, height: Long, channels: Long, checksum: Long)
+  /** One row of [[multimodalDecode]]: original decode + resized re-decode. */
+  case class DecodedRoundtrip(doc_id: Long, source: String,
+                              width: Long, height: Long, channels: Long, pixel_sum: Long,
+                              r_width: Long, r_height: Long, r_pixel_sum: Long)
+
+  /** Generated-image dimensions are in [1, DimMod]. */
+  val DimMod = 16
+  /** [[resizeAll]]/[[multimodalDecode]] bound the longer side to this. */
+  val ResizeMaxSide = 8
+
+  // ImageIO's default read/write path spills through temp-file caches;
+  // executors want pure in-memory codec calls.
+  ImageIO.setUseCache(false)
+
+  /** The deterministic pixel function both engines compute: channel `c`
+    * (0=R, 1=G, 2=B) of pixel (x, y) for document `docId`. */
+  def pixelValue(docId: Long, x: Int, y: Int, c: Int): Int =
+    ((docId * 7 + x * 3 + y * 5 + c * 11) % 256).toInt
+
+  /** Generator dimensions for a payload of `n` text bytes. */
+  def genDims(n: Long): (Int, Int) =
+    ((1 + n % DimMod).toInt, (1 + (n / 7) % DimMod).toInt)
+
+  /** Render the deterministic raster for `docId` and encode it as a real
+    * PNG via the JDK encoder. */
+  def renderPng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pixelValue(docId, x, y, 0) << 16) |
+          (pixelValue(docId, x, y, 1) << 8) |
+          pixelValue(docId, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real decode. `None` for malformed payloads — garbage, truncated
+    * streams, or formats no installed reader claims (`ImageIO.read`
+    * returns null for the latter and throws for the former two). */
+  def decodePng(payload: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case NonFatal(_) => None }
+
+  /** Sum of all RGB samples of the decoded raster — the checksum the
+    * oracle recomputes arithmetically from [[pixelValue]]. */
+  def rgbSum(img: BufferedImage): Long = {
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** Nearest-neighbor downscale bounding the longer side to `maxSide`,
+    * aspect preserved with exact integer arithmetic: resized pixel
+    * (x, y) is source pixel (x*w/rw, y*h/rh). Returns the input image
+    * unchanged when already within bounds. Exact integer source mapping
+    * (not an averaging filter) so the oracle can mirror it. */
+  def resizeRaster(img: BufferedImage, maxSide: Int): BufferedImage = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val side = math.max(w, h)
+    if (side <= maxSide) img
+    else {
+      val rw = math.max(1, w * maxSide / side)
+      val rh = math.max(1, h * maxSide / side)
+      val out = new BufferedImage(rw, rh, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < rh) {
+        var x = 0
+        while (x < rw) {
+          out.setRGB(x, y, img.getRGB(x * w / rw, y * h / rh))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
 
   /** `documents` with the text re-encoded as an opaque binary payload —
-    * the canonical multimodal row shape (id, provenance, payload). */
+    * the byte-plumbing row shape used by [[frameSample]] and
+    * [[multimodalStats]] (octet lengths, byte extraction are the same
+    * code any opaque payload takes). */
   def withPayload(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
 
-  /** =========================== STUB ===============================
-    * Deterministic fake "decode": derives image-like dimensions from the
-    * byte length instead of parsing a codec header. A real deployment
-    * replaces ONLY the body of this function with the codec call
-    * (e.g. javax.imageio / ffmpeg bindings) — signature, batching shape,
-    * and everything downstream stay as-is.
-    * ================================================================ */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
-    val n = payload.length
-    (1 + n % 64, 1 + (n / 7) % 64, 3)
+  /** `documents` with a REAL generated PNG payload per row — the image
+    * twin of [[withPayload]]. Rendering happens executor-side, one
+    * record at a time. */
+  def pngPayloads(spark: SparkSession, sfDir: String): Dataset[Media] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+        val (w, h) = genDims(n)
+        Media(id, src, renderPng(id, w, h))
+      })
   }
 
-  /** Batch decode over partitions: iterator-in/iterator-out, one stub
-    * codec call per record, no per-partition materialization — the shape
-    * that keeps executor memory flat no matter the partition size. */
+  /** Batch decode over partitions: iterator-in/iterator-out, one codec
+    * call per record, malformed payloads dropped (P4 reject semantics).
+    * `checksum` is the decoded raster's RGB sum. */
   def decodeAll(media: Dataset[Media]): Dataset[DecodedMeta] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      rows.map { m =>
-        val (w, h, c) = decodeStub(m.payload)
-        // FNV-1a over the payload: cheap streaming checksum, no allocation.
-        var hash = 0xcbf29ce484222325L
-        var i = 0
-        while (i < m.payload.length) {
-          hash = (hash ^ (m.payload(i) & 0xffL)) * 0x100000001b3L
-          i += 1
-        }
-        DecodedMeta(m.doc_id, m.source, m.payload.length, w, h, c, hash)
+    media.mapPartitions(_.flatMap { m =>
+      decodePng(m.payload).map { img =>
+        DecodedMeta(m.doc_id, m.source, m.payload.length.toLong,
+          img.getWidth.toLong, img.getHeight.toLong,
+          img.getColorModel.getNumComponents.toLong, rgbSum(img))
       }
-    }
+    })
   }
 
-  /** =========================== STUB ===============================
-    * Resize: recompute target dimensions preserving aspect ratio
-    * (exact integer arithmetic); a real deployment replaces the body
-    * with the codec's rescale call. The metadata plumbing — new dims
-    * propagated alongside the payload — is the real part.
-    * ================================================================ */
-  def resizeStub(meta: DecodedMeta, maxSide: Int): DecodedMeta = {
-    val side = math.max(meta.width, meta.height)
-    if (side <= maxSide) meta
-    else DecodedMeta(meta.doc_id, meta.source, meta.n_bytes,
-      math.max(1, meta.width * maxSide / side),
-      math.max(1, meta.height * maxSide / side),
-      meta.channels, meta.checksum)
+  /** Batch resize: decode, bound the longer side to `maxSide`
+    * (nearest-neighbor), re-encode. Payloads already within bounds pass
+    * through byte-identical (no decode/re-encode round trip is forced
+    * on them); malformed payloads are dropped. */
+  def resizeAll(media: Dataset[Media], maxSide: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      decodePng(m.payload).map { img =>
+        val small = resizeRaster(img, maxSide)
+        if (small eq img) m else Media(m.doc_id, m.source, encodePng(small))
+      }
+    })
   }
 
-  /** Batch resize over partitions — same iterator shape as decodeAll. */
-  def resizeAll(decoded: Dataset[DecodedMeta], maxSide: Int): Dataset[DecodedMeta] = {
-    import decoded.sparkSession.implicits._
-    decoded.mapPartitions(_.map(resizeStub(_, maxSide)))
+  /** The codec-roundtrip query: render → PNG-encode → decode → resize →
+    * re-encode → re-decode, reporting decoded dimensions, channel
+    * count, and raster checksums of BOTH generations. Every output
+    * column is recomputed by the oracle from [[pixelValue]]/[[genDims]]
+    * arithmetic alone, so any codec defect (wrong header parse, lossy
+    * roundtrip, wrong resize mapping) hash-mismatches. */
+  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pngPayloads(spark, sfDir).mapPartitions(_.flatMap { m =>
+      decodePng(m.payload).map { img =>
+        val small = resizeRaster(img, ResizeMaxSide)
+        val img2 = decodePng(encodePng(small)).getOrElse(
+          throw new IllegalStateException(s"re-encoded PNG unreadable for doc ${m.doc_id}"))
+        DecodedRoundtrip(m.doc_id, m.source,
+          img.getWidth.toLong, img.getHeight.toLong,
+          img.getColorModel.getNumComponents.toLong, rgbSum(img),
+          img2.getWidth.toLong, img2.getHeight.toLong, rgbSum(img2))
+      }
+    }).toDF().orderBy(col("doc_id").asc)
   }
+
+  /** DuckDB twin of [[multimodalDecode]]: dimensions from [[genDims]],
+    * checksums by summing [[pixelValue]] over a bounded range() grid
+    * (the resized sum maps each target pixel back to its integer
+    * nearest-neighbor source, mirroring [[resizeRaster]]). */
+  val multimodalDecodeSql: String =
+    s"""WITH d AS (SELECT doc_id, source, octet_length(encode(text)) AS n FROM documents),
+       |dims AS (SELECT doc_id, source,
+       |                CAST(1 + n % $DimMod AS BIGINT) AS w,
+       |                CAST(1 + (n // 7) % $DimMod AS BIGINT) AS h FROM d),
+       |r AS (SELECT doc_id, source, w, h,
+       |        CASE WHEN greatest(w, h) <= $ResizeMaxSide THEN w
+       |             ELSE greatest(1, w * $ResizeMaxSide // greatest(w, h)) END AS rw,
+       |        CASE WHEN greatest(w, h) <= $ResizeMaxSide THEN h
+       |             ELSE greatest(1, h * $ResizeMaxSide // greatest(w, h)) END AS rh
+       |      FROM dims),
+       |op AS (SELECT doc_id,
+       |         CAST(SUM((doc_id*7 + x.range*3 + y.range*5) % 256
+       |                + (doc_id*7 + x.range*3 + y.range*5 + 11) % 256
+       |                + (doc_id*7 + x.range*3 + y.range*5 + 22) % 256) AS BIGINT) AS pixel_sum
+       |       FROM r, range($DimMod) x, range($DimMod) y
+       |       WHERE x.range < w AND y.range < h
+       |       GROUP BY doc_id),
+       |rp AS (SELECT doc_id,
+       |         CAST(SUM((doc_id*7 + (x.range * w // rw)*3 + (y.range * h // rh)*5) % 256
+       |                + (doc_id*7 + (x.range * w // rw)*3 + (y.range * h // rh)*5 + 11) % 256
+       |                + (doc_id*7 + (x.range * w // rw)*3 + (y.range * h // rh)*5 + 22) % 256) AS BIGINT) AS r_pixel_sum
+       |       FROM r, range($ResizeMaxSide) x, range($ResizeMaxSide) y
+       |       WHERE x.range < rw AND y.range < rh
+       |       GROUP BY doc_id)
+       |SELECT r.doc_id, r.source, r.w AS width, r.h AS height,
+       |       CAST(3 AS BIGINT) AS channels, op.pixel_sum,
+       |       r.rw AS r_width, r.rh AS r_height, rp.r_pixel_sum
+       |FROM r JOIN op USING (doc_id) JOIN rp USING (doc_id)
+       |ORDER BY doc_id ASC""".stripMargin
 
   /** Frame sampling: pick `frames` evenly spaced byte offsets from each
     * payload and emit (doc_id, frame_no, offset, byte) — the plumbing a
@@ -122,13 +284,13 @@ object Multimodal {
       |FROM f
       |ORDER BY doc_id ASC, frame_no ASC""".stripMargin
 
-  /** Oracle-backed stats over the multimodal rows: byte totals and the
-    * stub-decoded dimension sums per source — pure integer arithmetic,
-    * identical in DuckDB. */
+  /** Oracle-backed stats over the multimodal rows: byte totals plus the
+    * pixel volume of the PNGs [[pngPayloads]] generates ([[genDims]] ×
+    * 3 channels) — pure integer arithmetic, identical in DuckDB. */
   def multimodalStats(spark: SparkSession, sfDir: String): DataFrame = {
     val nBytes = length(col("text").cast("binary")).cast("long")
-    val width = lit(1L) + nBytes % 64
-    val height = lit(1L) + floor(nBytes / 7) % 64
+    val width = lit(1L) + nBytes % DimMod
+    val height = lit(1L) + floor(nBytes / 7) % DimMod
     Tables.documents(spark, sfDir)
       .select(col("source"), nBytes.as("n_bytes"), width.as("w"), height.as("h"))
       .groupBy(col("source"))
@@ -141,12 +303,12 @@ object Multimodal {
   }
 
   val multimodalStatsSql: String =
-    """SELECT source,
-      |       COUNT(*) AS n_docs,
-      |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-      |       CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
-      |       CAST(SUM((1 + n_bytes % 64) * (1 + (n_bytes // 7) % 64) * 3) AS BIGINT) AS total_pixels
-      |FROM (SELECT source, octet_length(encode(text)) AS n_bytes FROM documents)
-      |GROUP BY source
-      |ORDER BY source ASC""".stripMargin
+    s"""SELECT source,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       |       CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+       |       CAST(SUM((1 + n_bytes % $DimMod) * (1 + (n_bytes // 7) % $DimMod) * 3) AS BIGINT) AS total_pixels
+       |FROM (SELECT source, octet_length(encode(text)) AS n_bytes FROM documents)
+       |GROUP BY source
+       |ORDER BY source ASC""".stripMargin
 }

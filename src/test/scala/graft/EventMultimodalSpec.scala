@@ -111,24 +111,62 @@ class EventMultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("total_bytes") > 0))
   }
 
-  test("decode stub: deterministic metadata, stable checksum, bounded dims") {
-    import spark.implicits._
-    val media = Multimodal.withPayload(spark, sf).as[Multimodal.Media]
+  test("png codec: every generated payload decodes to its generator dims and raster") {
+    val media = Multimodal.pngPayloads(spark, sf)
     val decoded = Multimodal.decodeAll(media).collect()
     assert(decoded.length == Tables.documents(spark, sf).count())
-    assert(decoded.forall(d => d.width >= 1 && d.width <= 64 && d.height >= 1 && d.height <= 64))
+    assert(decoded.forall(d =>
+      d.width >= 1 && d.width <= Multimodal.DimMod &&
+      d.height >= 1 && d.height <= Multimodal.DimMod && d.channels == 3))
+    // the decoded-raster checksum must equal the pixel function summed
+    // directly — proves the PNG roundtrip is lossless, not just "reads"
+    decoded.foreach { d =>
+      var expect = 0L
+      for (y <- 0 until d.height.toInt; x <- 0 until d.width.toInt; c <- 0 until 3)
+        expect += Multimodal.pixelValue(d.doc_id, x, y, c)
+      assert(d.checksum == expect, s"doc ${d.doc_id}: raster diverged from generator")
+    }
     val again = Multimodal.decodeAll(media).collect()
     assert(decoded.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
   }
 
-  test("resize stub preserves aspect ratio within bounds, keeps payload identity") {
+  test("malformed payloads are rejected; valid ones survive the same batch") {
     import spark.implicits._
-    val media = Multimodal.withPayload(spark, sf).as[Multimodal.Media]
-    val decoded = Multimodal.decodeAll(media)
-    val resized = Multimodal.resizeAll(decoded, 16).collect()
-    assert(resized.forall(d => d.width <= 16 && d.height <= 16 && d.width >= 1 && d.height >= 1))
-    // checksums (payload identity) unchanged by resize metadata op
-    assert(resized.map(_.checksum).sorted.sameElements(decoded.collect().map(_.checksum).sorted))
+    val goodPng = Multimodal.renderPng(1L, 5, 4)
+    val ds = spark.createDataset(Seq(
+      Multimodal.Media(1L, "srcA", goodPng),
+      Multimodal.Media(2L, "srcA", Array[Byte](1, 2, 3, 4)),     // garbage
+      Multimodal.Media(3L, "srcA", goodPng.take(20)),            // truncated mid-header
+      Multimodal.Media(4L, "srcA", Array.empty[Byte])))          // empty
+    val out = Multimodal.decodeAll(ds).collect()
+    assert(out.map(_.doc_id).toSet == Set(1L), "only the valid PNG may survive")
+    assert(out(0).width == 5 && out(0).height == 4 && out(0).channels == 3)
+    // resize rejects the same rows instead of crashing the partition
+    assert(Multimodal.resizeAll(ds, 2).collect().map(_.doc_id).toSet == Set(1L))
+  }
+
+  test("resize: bounded dims, exact nearest-neighbor mapping, identity under bound") {
+    // raster-level exactness, no Spark: resized(x,y) == source(x*w/rw, y*h/rh)
+    val img = Multimodal.decodePng(Multimodal.renderPng(7L, 16, 8)).get
+    val small = Multimodal.decodePng(
+      Multimodal.encodePng(Multimodal.resizeRaster(img, Multimodal.ResizeMaxSide))).get
+    assert(small.getWidth == 8 && small.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 8)
+      assert(small.getRGB(x, y) == img.getRGB(x * 16 / 8, y * 8 / 4))
+    // already-small payloads pass through byte-identical (no re-encode)
+    val tiny = Multimodal.renderPng(9L, 4, 3)
+    import spark.implicits._
+    val kept = Multimodal.resizeAll(
+      spark.createDataset(Seq(Multimodal.Media(9L, "srcA", tiny))), Multimodal.ResizeMaxSide)
+      .collect()(0)
+    assert(kept.payload.sameElements(tiny))
+    // fixture-wide: every resized payload decodes within bounds
+    val meta = Multimodal.decodeAll(
+      Multimodal.resizeAll(Multimodal.pngPayloads(spark, sf), Multimodal.ResizeMaxSide)).collect()
+    assert(meta.length == Tables.documents(spark, sf).count())
+    assert(meta.forall(d =>
+      d.width >= 1 && d.width <= Multimodal.ResizeMaxSide &&
+      d.height >= 1 && d.height <= Multimodal.ResizeMaxSide))
   }
 
   test("frame sampling emits `frames` rows per doc with valid bytes") {
