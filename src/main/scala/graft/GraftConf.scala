@@ -43,6 +43,12 @@ object GraftConf {
     * would reject anyway). Mirrored in the oracle at the default; an
     * override has the same caveat as [[TopKKey]]. */
   val MinhashBucketCapKey = "spark.graft.minhash.bucketCap"
+  /** Parallel packing shards per language (`Packing.packSequences`) —
+    * production sizes this to the executor count so each (lang, shard)
+    * window partition stays task-sized. The shard id is an OUTPUT
+    * column, so the oracle pins the default; `Verify` refuses an
+    * override like the other oracle-pinned knobs. */
+  val PackingShardsKey = "spark.graft.packing.shards"
 
   val DefaultTopK = 10
   val DefaultQ1Start = "1996-01-01"
@@ -53,6 +59,7 @@ object GraftConf {
   val DefaultGroupTopK = 3
   val DefaultSimhashHotCap = 32
   val DefaultMinhashBucketCap = 1000
+  val DefaultPackingShards = 8
 
   def topK(s: SparkSession): Int = s.conf.get(TopKKey, DefaultTopK.toString).toInt
   def q1Start(s: SparkSession): String = s.conf.get(Q1StartKey, DefaultQ1Start)
@@ -67,4 +74,6 @@ object GraftConf {
     s.conf.get(SimhashHotCapKey, DefaultSimhashHotCap.toString).toInt
   def minhashBucketCap(s: SparkSession): Int =
     s.conf.get(MinhashBucketCapKey, DefaultMinhashBucketCap.toString).toInt
+  def packingShards(s: SparkSession): Int =
+    s.conf.get(PackingShardsKey, DefaultPackingShards.toString).toInt
 }

@@ -26,7 +26,8 @@ object Verify {
     // COUNT(*)) and the minhash bucket cap (oracle QUALIFY pins
     // DefaultMinhashBucketCap) both have that property; the simhash hot
     // cap does NOT (retrieval is exact at any cap) and needs no guard.
-    for (key <- Seq(GraftConf.AnnPlanesKey, GraftConf.MinhashBucketCapKey))
+    for (key <- Seq(GraftConf.AnnPlanesKey, GraftConf.MinhashBucketCapKey,
+                    GraftConf.PackingShardsKey))
       require(spark.conf.getOption(key).isEmpty,
         s"$key is set; unset it before verifying " +
           "(the oracle SQL pins this knob's default)")

@@ -16,9 +16,9 @@ import graft.sources.Tables
   * needs a running token sum, and a window partitioned by `lang` alone
   * would pull an entire language (most of a 100 TB corpus) into one
   * task. Documents are therefore first sharded by a deterministic hash
-  * (`hash60(doc_id) % NumShards`) and packed per (lang, shard): every
+  * (`hash60(doc_id) % shards`) and packed per (lang, shard): every
   * shard is an independent, parallel packing problem, the window
-  * partition key has NumShards × languages cells, and determinism is
+  * partition key has shards × languages cells, and determinism is
   * preserved because the shard assignment and the within-shard
   * (doc_id) order are pure functions of the data. Exact integer
   * arithmetic throughout (`div`), so the DuckDB twin replays the
@@ -27,16 +27,17 @@ object Packing {
 
   /** Tokens per packed training sequence. */
   val SeqBudget = 2048L
-  /** Parallel packing shards per language. Production sizes this to
-    * executor count; fixed here so the oracle is reproducible. */
-  val NumShards = 8L
 
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Shard count is runtime-settable (spark.graft.packing.shards) so a
+    // deployment can size window partitions to its executor count; the
+    // oracle pins the default, and Verify refuses an override.
+    val numShards = graft.GraftConf.packingShards(spark).toLong
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
-        (TextOps.hash60(col("doc_id").cast("string")) % NumShards).as("shard"))
+        (TextOps.hash60(col("doc_id").cast("string")) % numShards).as("shard"))
     val w = Window.partitionBy(col("lang"), col("shard"))
       .orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -53,7 +54,7 @@ object Packing {
   val packSequencesSql: String =
     s"""WITH d AS (SELECT doc_id, lang,
        |                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks,
-       |                  ${TextOps.hash60Sql("CAST(doc_id AS VARCHAR)")} % $NumShards AS shard
+       |                  ${TextOps.hash60Sql("CAST(doc_id AS VARCHAR)")} % ${graft.GraftConf.DefaultPackingShards} AS shard
        |           FROM documents),
        |c AS (SELECT doc_id, lang, shard, n_toks,
        |             CAST(SUM(n_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id ASC

@@ -98,6 +98,25 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("packing shard count is conf-settable; totals are shard-invariant") {
+    import graft.operators.Packing
+    val base = Packing.packSequences(spark, sf).collect()
+    def perLang(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getString(0)).view.mapValues(g =>
+        (g.map(_.getAs[Long]("n_docs")).sum, g.map(_.getAs[Long]("seq_tokens")).sum)).toMap
+    spark.conf.set(graft.GraftConf.PackingShardsKey, "32")
+    try {
+      val wide = Packing.packSequences(spark, sf).collect()
+      val shards = wide.map(_.getAs[Long]("shard")).distinct
+      assert(shards.forall(s => s >= 0 && s < 32))
+      assert(shards.length > graft.GraftConf.DefaultPackingShards,
+        "32-way sharding must actually spread the corpus wider than the default 8")
+      // sharding is a parallelism knob: per-language doc/token totals
+      // are identical at any shard count
+      assert(perLang(wide) == perLang(base))
+    } finally spark.conf.unset(graft.GraftConf.PackingShardsKey)
+  }
+
   test("eval overlap pairs a non-eval corpus doc with an eval doc on rare shingles") {
     import graft.operators.Decontamination
     import org.apache.spark.sql.functions._
