@@ -3,14 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotLong
+import graft.functions.{AnnBuckets, DotLong}
 
 /** Session-extensions installer: makes the library's native expressions
   * available to ANY session (including pure-SQL users) via
   * `--conf spark.sql.extensions=graft.GraftExtensions` — the standard
   * deployment path for custom Catalyst functions on a cluster. The
-  * programmatic twin is `DotLong.register(spark)` for sessions built in
-  * code.
+  * programmatic twin is `DotLong.register(spark)` /
+  * `AnnBuckets.register(spark)` for sessions built in code.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
       (exprs: Seq[Expression]) => DotLong(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ann_buckets"),
+      new ExpressionInfo(classOf[AnnBuckets].getName, "ann_buckets"),
+      (exprs: Seq[Expression]) => AnnBuckets(exprs.head, exprs(1), exprs(2), exprs(3))))
   }
 }

@@ -92,6 +92,7 @@ object Similarity {
     * once on the scan side. */
   private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
     DotLong.register(spark)
+    graft.functions.AnnBuckets.register(spark)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
       .withColumn("n2", dotQ(col("q"), col("q")))
@@ -108,25 +109,30 @@ object Similarity {
     }
   }
 
-  /** Bucket id of hash table `t`: `planes` hyperplane sign bits packed
-    * into a long. The projection is an exact integer dot product
-    * against the ±1 plane literals — the codegen'd [[DotLong]] kernel,
-    * not an interpreted lambda, since this runs once per (row × table ×
-    * plane). Tables are independent: table t consumes planes
-    * t·AnnMaxPlanes … t·AnnMaxPlanes+planes-1. */
-  private def tableBucket(q: Column, t: Int, planes: Int): Column =
-    (0 until planes).map { p =>
-      val signs = array(planeSigns(t * AnnMaxPlanes + p).map(s => lit(s.toLong)): _*)
-      when(dotQ(q, signs) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** All [[AnnTables]] bucket ids of a quantized vector in ONE fused
+    * pass: the native [[graft.functions.AnnBuckets]] kernel, with the
+    * ±1 plane components flattened into a single foldable literal.
+    * Bit-for-bit the same packing as one dot-product + threshold per
+    * (table, plane) — which is how the DuckDB twin still computes it —
+    * but the vector is read once per row instead of tables × planes
+    * times, and the generated code is one expression instead of ~240
+    * (measured ~0.3 s off sim_ann_topk's first run at sf0.1, where
+    * codegen compile time dominates). Tables are independent: table t
+    * consumes planes t·AnnMaxPlanes … t·AnnMaxPlanes+planes-1. */
+  private def bucketArray(q: Column, planes: Int): Column = {
+    val flat = (0 until AnnTables).flatMap(t =>
+      (0 until planes).flatMap(p => planeSigns(t * AnnMaxPlanes + p).map(_.toLong)))
+    call_function("ann_buckets", q, lit(flat.toArray), lit(planes), lit(AnnTables))
+  }
 
   /** Slim (vec_id, tbl, bucket) rows — one per vector per hash table.
     * Like the dedup band rows, these deliberately carry NOTHING but the
     * id and the key: bucket joins must never ship vector payloads. */
-  private[graft] def bucketRows(embQ: DataFrame, planes: Int): DataFrame =
+  private[graft] def bucketRows(embQ: DataFrame, planes: Int): DataFrame = {
+    graft.functions.AnnBuckets.register(embQ.sparkSession)
     embQ.select(col("vec_id"),
-      posexplode(array((0 until AnnTables).map(t => tableBucket(col("q"), t, planes)): _*))
-        .as(Seq("tbl", "bucket")))
+      posexplode(bucketArray(col("q"), planes)).as(Seq("tbl", "bucket")))
+  }
 
   /** Distinct candidate pairs sharing a bucket in at least one table —
     * the scale-bounded substitute for the n²/2 cross product. Input

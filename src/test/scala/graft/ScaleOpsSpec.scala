@@ -54,6 +54,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(graft.functions.DotLong(a, b).eval(null) == 31L)
   }
 
+  test("AnnBuckets fused kernel matches per-plane dot_long composition") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    import graft.operators.Similarity
+    graft.functions.AnnBuckets.register(spark)
+    val planes = 5
+    val vec = (0 until Similarity.Dims).map(i => (i * 37 % 101) - 50L)
+    val flat = (0 until Similarity.AnnTables).flatMap(t =>
+      (0 until planes).flatMap(p =>
+        Similarity.planeSigns(t * Similarity.AnnMaxPlanes + p).map(_.toLong)))
+    // reference semantics: one dot product + sign bit per (table, plane)
+    val expect = (0 until Similarity.AnnTables).map { t =>
+      (0 until planes).map { p =>
+        val signs = Similarity.planeSigns(t * Similarity.AnnMaxPlanes + p)
+        val dot = vec.zip(signs).map { case (v, s) => v * s }.sum
+        if (dot >= 0) 1L << p else 0L
+      }.sum
+    }
+    // interpreted eval path
+    val e = graft.functions.AnnBuckets(
+      Literal.create(vec, ArrayType(LongType)),
+      Literal.create(flat, ArrayType(LongType)),
+      Literal(planes), Literal(Similarity.AnnTables))
+    val got = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(got.toSeq == expect)
+    // SQL / codegen path over a one-row frame
+    val sqlGot = spark.sql(
+      s"""SELECT ann_buckets(array(${vec.map(_ + "L").mkString(",")}),
+         |                   array(${flat.map(_ + "L").mkString(",")}),
+         |                   $planes, ${Similarity.AnnTables}) AS b""".stripMargin)
+      .collect()(0).getSeq[Long](0)
+    assert(sqlGot == expect)
+  }
+
   test("ANN candidate pairs stay ~linear in corpus size (bucket count scales)") {
     import graft.operators.Similarity
     graft.functions.DotLong.register(spark) // don't depend on suite order
