@@ -49,6 +49,12 @@ object GraftConf {
     * column, so the oracle pins the default; `Verify` refuses an
     * override like the other oracle-pinned knobs. */
   val PackingShardsKey = "spark.graft.packing.shards"
+  /** When false, `Decontamination.evalOverlap` drops its broadcast
+    * hints — the path for an eval set too large to broadcast — and
+    * lets AQE pick the join sides from runtime statistics. A pure
+    * planning knob: results are identical either way, so no Verify
+    * guard is needed. */
+  val DeconBroadcastEvalKey = "spark.graft.decontamination.broadcastEval"
 
   val DefaultTopK = 10
   val DefaultQ1Start = "1996-01-01"
@@ -60,6 +66,7 @@ object GraftConf {
   val DefaultSimhashHotCap = 32
   val DefaultMinhashBucketCap = 1000
   val DefaultPackingShards = 8
+  val DefaultDeconBroadcastEval = true
 
   def topK(s: SparkSession): Int = s.conf.get(TopKKey, DefaultTopK.toString).toInt
   def q1Start(s: SparkSession): String = s.conf.get(Q1StartKey, DefaultQ1Start)
@@ -76,4 +83,6 @@ object GraftConf {
     s.conf.get(MinhashBucketCapKey, DefaultMinhashBucketCap.toString).toInt
   def packingShards(s: SparkSession): Int =
     s.conf.get(PackingShardsKey, DefaultPackingShards.toString).toInt
+  def deconBroadcastEval(s: SparkSession): Boolean =
+    s.conf.get(DeconBroadcastEvalKey, DefaultDeconBroadcastEval.toString).toBoolean
 }

@@ -29,8 +29,12 @@ import graft.sources.Tables
   * lambdas makes Catalyst re-evaluate the tokenizer per element
   * (measured 4× on this query). Per-doc shingles are distinct (set
   * semantics), so the shared count is exact |A∩B| over rare shingles.
-  * For an eval set too large to broadcast, drop the broadcast hints
-  * and let AQE pick the join side. */
+  *
+  * For an eval set too large to broadcast, set
+  * `spark.graft.decontamination.broadcastEval=false`: the hints are
+  * dropped and AQE picks the join sides (typically a shuffled hash
+  * join on `h`, still shipping only matched shingles downstream).
+  * Result-identical — the flag changes plan shape only. */
 object Decontamination {
 
   val EvalSource = "src0"
@@ -57,14 +61,22 @@ object Decontamination {
   }
 
   def evalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    // Broadcastable-eval fast path on by default; bc is identity under
+    // spark.graft.decontamination.broadcastEval=false (big eval sets).
+    val useBc = graft.GraftConf.deconBroadcastEval(spark)
+    val bc: DataFrame => DataFrame = if (useBc) broadcast else identity
     val docs = Tables.documents(spark, sfDir)
     val evalSh = Materialize.memoized(spark, s"evalsh_${Materialize.dirTag(sfDir)}") {
       shingleRows(docs.where(col("source") === EvalSource))
     }
     val evalHashes = evalSh.select(col("h")).distinct()
-    val corpusMatched = Materialize.memoized(spark, s"corpussh_${Materialize.dirTag(sfDir)}") {
+    // the memoized frame bakes its join plan in, so the broadcast flag
+    // is part of the key — flipping it mid-session must not serve the
+    // other variant's checkpoint
+    val corpusMatched = Materialize.memoized(spark,
+        s"corpussh_${if (useBc) "b" else "s"}_${Materialize.dirTag(sfDir)}") {
       shingleRows(docs.where(col("source") =!= EvalSource))
-        .join(broadcast(evalHashes), "h")
+        .join(bc(evalHashes), "h")
         .select(col("doc_id").as("corpus_doc"), col("h"))
     }
     val rare = evalSh.select(col("h"))
@@ -73,8 +85,8 @@ object Decontamination {
       .where(col("df") <= MaxShingleDf)
       .select(col("h"))
     corpusMatched
-      .join(broadcast(rare), "h")
-      .join(broadcast(evalSh.select(col("doc_id").as("eval_doc"), col("h"))), "h")
+      .join(bc(rare), "h")
+      .join(bc(evalSh.select(col("doc_id").as("eval_doc"), col("h"))), "h")
       .groupBy(col("corpus_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= MinShared)

@@ -131,6 +131,28 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("non-broadcast decontamination path returns identical overlaps") {
+    import graft.operators.Decontamination
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bcRows = Decontamination.evalOverlap(spark, sf)
+    val bcResult = key(bcRows.collect())
+    spark.conf.set(graft.GraftConf.DeconBroadcastEvalKey, "false")
+    try {
+      val plain = Decontamination.evalOverlap(spark, sf)
+      // the hints must actually be gone from the plan (AQE may still
+      // CHOOSE a broadcast from runtime stats — that's its job — but
+      // nothing may force one)
+      import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+      assert(plain.queryExecution.analyzed.collect { case h: ResolvedHint => h }.isEmpty,
+        "flag=false must drop every broadcast hint")
+      assert(bcRows.queryExecution.analyzed.collect { case h: ResolvedHint => h }.nonEmpty,
+        "default path should carry the broadcast hints")
+      assert(key(plain.collect()) == bcResult,
+        "broadcast flag is a planning knob; results must be identical")
+    } finally spark.conf.unset(graft.GraftConf.DeconBroadcastEvalKey)
+  }
+
   test("mixture sampling hits its target when available, keeps whole languages when not") {
     import graft.operators.Curation
     val targets = Curation.mixtureTargets.toMap
