@@ -101,7 +101,7 @@ object DedupOps {
     * fault-tolerance trade-off as kmeansCentroids); it is memoized per
     * (variant, dir, session) via [[Materialize]] so repeated query
     * constructions never leak checkpoint blocks. */
-  private def signatures(spark: SparkSession, sfDir: String, keepHs: Boolean): DataFrame =
+  private[graft] def signatures(spark: SparkSession, sfDir: String, keepHs: Boolean): DataFrame =
     Materialize.memoized(spark, s"minhash_sig_${keepHs}_${Materialize.dirTag(sfDir)}") {
       val mins = (0 until NumHashes).map(i => min(TextOps.permute(col("h"), i)).as(s"m$i"))
       val aggs = if (keepHs) mins :+ collect_set(col("h")).as("hs") else mins

@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.{Curation, TextAnalysis}
+import graft.operators.{Curation, DedupOps, TextAnalysis}
 
 /** Streaming ingest-curation for documents: the streaming twin of the
   * batch curation surface, for corpora that ARRIVE continuously
@@ -72,6 +72,72 @@ object DocStream {
        |  AND d.lang IN (${Curation.LangAllow.map(l => s"'$l'").mkString(", ")})
        |  AND q.quality >= ${Curation.QualityMin}
        |ORDER BY d.doc_id ASC""".stripMargin
+
+  /** One near-dedup signature row per streamed document. */
+  case class DocSignature(doc_id: Long, source: String, lang: String,
+                          content_hash: Long, content_hash_b: Long,
+                          minhash: Option[Seq[Long]],
+                          simhash_lo: Option[Long], simhash_hi: Option[Long])
+
+  /** Stateless near-dedup SIGNATURE extraction — the streaming half of
+    * the continuous-signature → periodic-band architecture a crawl
+    * pipeline needs: near-dup discovery requires comparing documents
+    * ACROSS the whole corpus (the band self-join), which no bounded
+    * streaming state can hold, so the stream does the per-document
+    * O(doc)-cost part — MinHash and SimHash signatures plus the exact
+    * 120-bit content hash — and lands slim signature rows continuously;
+    * a periodic BATCH job then runs the oracle-verified band joins
+    * (`DedupOps.minhashCandidates` / `simhashNearDups` shapes) over the
+    * accumulated signature table, touching only ~100 bytes per doc
+    * instead of re-reading text. Signatures never expire, so the batch
+    * banding is incremental-friendly: new signatures join against the
+    * full history by bucket key.
+    *
+    * Correctness chain, same as [[curateStream]]: every hash is the
+    * IDENTICAL Column expression the batch operators run (md5-derived
+    * [[TextOps.hash60]]/[[TextOps.hash60b]] over the same token/shingle
+    * construction), and the per-row signature arithmetic reuses the
+    * batch implementations themselves — `SimhashSigAgg.reduce/finish`
+    * for the vote-and-pack, `TextOps.permA/permB` for the permutation
+    * mins — so streamed == batch is structural, and the spec pins it.
+    *
+    * Docs with no tokens get null simhash halves; docs shorter than
+    * [[DedupOps.ShingleK]] tokens get a null minhash — mirroring the
+    * batch operators, where such docs simply have no signature rows. */
+  def signatureStream(docs: DataFrame): Dataset[DocSignature] = {
+    import docs.sparkSession.implicits._
+    val toks = TextOps.tokens(col("text"))
+    val norm = TextOps.normText(col("text"))
+    val half = DedupOps.SimHashHalfBits
+    docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextOps.hash60(norm).as("content_hash"),
+        TextOps.hash60b(norm).as("content_hash_b"),
+        transform(toks, t => TextOps.hash60(t)).as("th1"),
+        transform(toks, t => TextOps.hash60b(t)).as("th2"),
+        transform(TextOps.shingles(toks, DedupOps.ShingleK), s => TextOps.hash60(s)).as("sh"))
+      .as[(Long, String, String, Long, Long, Seq[Long], Seq[Long], Seq[Long])]
+      .mapPartitions { rows =>
+        val agg = new graft.functions.SimhashSigAgg(half)
+        rows.map { case (id, src, lang, ch, chb, th1, th2, sh) =>
+          val mh =
+            if (sh.isEmpty) None
+            else Some((0 until DedupOps.NumHashes).map { i =>
+              val (a, b, p) = (TextOps.permA(i), TextOps.permB(i), TextOps.MinHashPrime)
+              sh.iterator.map(h => (a * (h % p) + b) % p).min
+            })
+          val (lo, hi) =
+            if (th1.isEmpty) (None, None)
+            else {
+              val buf = th1.indices.foldLeft(agg.zero)((acc, j) => agg.reduce(acc, (th1(j), th2(j))))
+              val packed = agg.finish(buf)
+              (Some(packed._1), Some(packed._2))
+            }
+          DocSignature(id, src, lang, ch, chb, mh, lo, hi)
+        }
+      }
+  }
 
   /** Exact content-dedup on top of [[curateStream]], state bounded by
     * an INGEST-time watermark (the fixture documents carry no event

@@ -206,6 +206,45 @@ class SinksStreamingSpec extends SparkSpec {
       s"expected $distinctHashes unique contents, got ${deduped.length}")
   }
 
+  test("streaming signatures equal the oracle-verified batch signatures") {
+    import graft.streaming.DocStream
+    import graft.operators.DedupOps
+    val dir = Files.createTempDirectory("graft_sigstream").toString
+    Files.copy(java.nio.file.Path.of(s"$sf/documents.parquet"),
+      java.nio.file.Path.of(dir, "documents.parquet"))
+    val q = DocStream.signatureStream(DocStream.readDocsStream(spark, dir))
+      .writeStream.format("memory").queryName("doc_sig_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("doc_sig_test").orderBy("doc_id").collect()
+    assert(streamed.nonEmpty)
+    // streamed == the same function on the batch frame (stateless)
+    val batch = DocStream.signatureStream(Tables.documents(spark, sf))
+      .toDF().orderBy("doc_id").collect()
+    assert(streamed.sameElements(batch))
+    // simhash halves equal the batch operator the DuckDB oracle verifies
+    val simBatch = DedupOps.simhashSignatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    streamed.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      simBatch.get(id).foreach { case (lo, hi) =>
+        assert(r.getAs[Long]("simhash_lo") == lo && r.getAs[Long]("simhash_hi") == hi,
+          s"doc $id: streaming simhash diverged from the batch aggregator")
+      }
+      assert(simBatch.contains(id) == !r.isNullAt(r.fieldIndex("simhash_lo")))
+    }
+    // minhash mins equal the batch signature frame (m0..m11)
+    val mhBatch = DedupOps.signatures(spark, sf, keepHs = false).collect()
+      .map(r => r.getLong(0) -> (0 until DedupOps.NumHashes).map(i => r.getAs[Long](s"m$i"))).toMap
+    streamed.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      mhBatch.get(id).foreach { mins =>
+        assert(r.getSeq[Long](r.fieldIndex("minhash")) == mins,
+          s"doc $id: streaming minhash diverged from the batch signatures")
+      }
+      assert(mhBatch.contains(id) == !r.isNullAt(r.fieldIndex("minhash")))
+    }
+  }
+
   test("streaming checkpoint recovery resumes exactly-once after a restart") {
     import org.apache.spark.sql.expressions.Window
     val inDir = Files.createTempDirectory("graft_rec_in").toString
