@@ -97,6 +97,10 @@ object SparkEntry {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_sessions")
       s.sql("SELECT user_id, session_id, session_start, session_end, n_events FROM graft_sessions ORDER BY user_id ASC, session_id ASC")
     }),
+    "sql_cosine_topk"     -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_cosine_topk")
+      s.sql("SELECT vec_id, label, cos_sim FROM graft_cosine_topk ORDER BY cos_sim DESC, vec_id ASC")
+    }),
     "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),
     "sample_per_source_agg" -> ((s, dir) => TextAnalysis.samplePerSourceAgg(s, dir)),
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
@@ -158,6 +162,7 @@ object SparkEntry {
     "sql_dedup_exact"     -> DedupOps.dedupExactSql,
     "sql_near_dups"       -> DedupOps.nearDupJaccardSql,
     "sql_sessions"        -> EventOps.sessionizeSql(),
+    "sql_cosine_topk"     -> Similarity.cosineTopKSql,
     "sample_per_source"   -> TextAnalysis.samplePerSourceSql,
     "sample_per_source_agg" -> TextAnalysis.samplePerSourceSql,
     "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,
