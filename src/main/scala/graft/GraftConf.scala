@@ -81,8 +81,14 @@ object GraftConf {
     s.conf.get(SimhashHotCapKey, DefaultSimhashHotCap.toString).toInt
   def minhashBucketCap(s: SparkSession): Int =
     s.conf.get(MinhashBucketCapKey, DefaultMinhashBucketCap.toString).toInt
-  def packingShards(s: SparkSession): Int =
-    s.conf.get(PackingShardsKey, DefaultPackingShards.toString).toInt
+  def packingShards(s: SparkSession): Int = {
+    val n = s.conf.get(PackingShardsKey, DefaultPackingShards.toString).toInt
+    // shards <= 0 would make `hash % 0` NULL and silently collapse
+    // packing to one whole-language window — the skew trap the shard
+    // key exists to prevent; fail fast instead
+    require(n > 0, s"$PackingShardsKey must be positive, got $n")
+    n
+  }
   def deconBroadcastEval(s: SparkSession): Boolean =
     s.conf.get(DeconBroadcastEvalKey, DefaultDeconBroadcastEval.toString).toBoolean
 }

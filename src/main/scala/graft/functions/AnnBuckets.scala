@@ -51,11 +51,15 @@ case class AnnBuckets(vec: Expression, signsExpr: Expression,
              tablesExpr.dataType != IntegerType || !tablesExpr.foldable)
       TypeCheckResult.TypeCheckFailure("ann_buckets requires foldable INT planes and tables")
     else {
-      val k = planesExpr.eval().asInstanceOf[Int] * tablesExpr.eval().asInstanceOf[Int]
+      val p = planesExpr.eval().asInstanceOf[Int]
+      val t = tablesExpr.eval().asInstanceOf[Int]
       val len = signsExpr.eval().asInstanceOf[ArrayData].numElements()
-      if (k <= 0 || len % k != 0)
+      if (p <= 0 || t <= 0)
         TypeCheckResult.TypeCheckFailure(
-          s"sign matrix length $len is not a positive multiple of planes*tables = $k")
+          s"ann_buckets requires positive planes and tables, got planes=$p tables=$t")
+      else if (len % (p * t) != 0)
+        TypeCheckResult.TypeCheckFailure(
+          s"sign matrix length $len is not a multiple of planes*tables = ${p * t}")
       else TypeCheckResult.TypeCheckSuccess
     }
   }
@@ -104,15 +108,28 @@ case class AnnBuckets(vec: Expression, signsExpr: Expression,
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val childGen = vec.genCode(ctx)
     val sg = ctx.addReferenceObj("annSigns", flatSigns, "long[]")
+    // every generated local is freshName'd — bare `i`/`t`/`s` would
+    // shadow-collide if this block lands inside generated code that
+    // already declares one (Java forbids local shadowing)
     val q = ctx.freshName("q")
     val out = ctx.freshName("out")
     val n = ctx.freshName("n")
-    val nullGuard = if (mayHaveNullElements) s"!${childGen.value}.isNullAt(i) ? " else ""
+    val i = ctx.freshName("i")
+    val t = ctx.freshName("t")
+    val p = ctx.freshName("p")
+    val d = ctx.freshName("d")
+    val b = ctx.freshName("b")
+    val s = ctx.freshName("s")
+    val base = ctx.freshName("base")
+    val nullGuard = if (mayHaveNullElements) s"!${childGen.value}.isNullAt($i) ? " else ""
     val nullGuardClose = if (mayHaveNullElements) " : 0L" else ""
-    // ev.isNull is the literal "false" when vec is non-nullable — only
-    // declare a variable for it when there is one to declare
+    // when vec is non-nullable there is no isNull variable to declare —
+    // the returned ExprCode must carry FalseLiteral instead, or
+    // consumers emit a reference to an undeclared name and the stage
+    // falls back to interpreted execution
     val isNullDecl =
       if (nullable) s"boolean ${ev.isNull} = ${childGen.isNull};" else ""
     val codeStr =
@@ -123,25 +140,25 @@ case class AnnBuckets(vec: Expression, signsExpr: Expression,
          |if (!${childGen.isNull}) {
          |  int $n = java.lang.Math.min($dims, ${childGen.value}.numElements());
          |  long[] $q = new long[$dims];
-         |  for (int i = 0; i < $n; i++) {
-         |    $q[i] = $nullGuard${childGen.value}.getLong(i)$nullGuardClose;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $q[$i] = $nullGuard${childGen.value}.getLong($i)$nullGuardClose;
          |  }
          |  long[] $out = new long[$tables];
-         |  for (int t = 0; t < $tables; t++) {
-         |    long b = 0L;
-         |    for (int p = 0; p < $planes; p++) {
-         |      long s = 0L;
-         |      int base = (t * $planes + p) * $dims;
-         |      for (int d = 0; d < $dims; d++) s += $q[d] * $sg[base + d];
-         |      if (s >= 0L) b |= (1L << p);
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    long $b = 0L;
+         |    for (int $p = 0; $p < $planes; $p++) {
+         |      long $s = 0L;
+         |      int $base = ($t * $planes + $p) * $dims;
+         |      for (int $d = 0; $d < $dims; $d++) $s += $q[$d] * $sg[$base + $d];
+         |      if ($s >= 0L) $b |= (1L << $p);
          |    }
-         |    $out[t] = b;
+         |    $out[$t] = $b;
          |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
        """.stripMargin
-    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.CodeBlock(
-      Seq(codeStr), Seq.empty))
+    val block = org.apache.spark.sql.catalyst.expressions.codegen.CodeBlock(Seq(codeStr), Seq.empty)
+    if (nullable) ev.copy(code = block) else ev.copy(code = block, isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): AnnBuckets =

@@ -264,8 +264,8 @@ object DedupOps {
     * the signature packs the signs of the per-bit sums into two longs.
     * Near-identical docs land within small Hamming distance. The
     * aggregation is the fused [[graft.functions.SimhashSigAgg]] (one
-    * 480-byte counter buffer per doc instead of a 120-column UnsafeRow
-    * through partial+final aggregation); the oracle keeps the
+    * 960-byte Long counter buffer per doc instead of a 120-column
+    * UnsafeRow through partial+final aggregation); the oracle keeps the
     * equivalent declarative per-bit-SUM formulation. */
   private def simhashCore(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = udaf(new graft.functions.SimhashSigAgg(SimHashHalfBits))

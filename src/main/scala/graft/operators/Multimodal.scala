@@ -151,6 +151,10 @@ object Multimodal {
   def pngPayloads(spark: SparkSession, sfDir: String): Dataset[Media] = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
+      // null-text docs have nothing to render; drop them the way the
+      // oracle's NULL dims drop out of its joins (P4 semantics) instead
+      // of NPE-ing the task
+      .where(col("text").isNotNull)
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, src, text) =>

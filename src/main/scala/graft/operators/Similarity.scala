@@ -122,7 +122,13 @@ object Similarity {
   private def bucketArray(q: Column, planes: Int): Column = {
     val flat = (0 until AnnTables).flatMap(t =>
       (0 until planes).flatMap(p => planeSigns(t * AnnMaxPlanes + p).map(_.toLong)))
-    call_function("ann_buckets", q, lit(flat.toArray), lit(planes), lit(AnnTables))
+    // a null vector lands in bucket 0 of every table — the semantics of
+    // the per-plane composition this kernel replaced (null dot → CASE
+    // else-branch → all bits 0), which the SQL twins still compute; the
+    // kernel itself returns null for null input, so coalesce here
+    coalesce(
+      call_function("ann_buckets", q, lit(flat.toArray), lit(planes), lit(AnnTables)),
+      array((0 until AnnTables).map(_ => lit(0L)): _*))
   }
 
   /** Slim (vec_id, tbl, bucket) rows — one per vector per hash table.

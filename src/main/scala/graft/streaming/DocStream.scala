@@ -93,45 +93,64 @@ object DocStream {
     * banding is incremental-friendly: new signatures join against the
     * full history by bucket key.
     *
-    * Correctness chain, same as [[curateStream]]: every hash is the
-    * IDENTICAL Column expression the batch operators run (md5-derived
-    * [[TextOps.hash60]]/[[TextOps.hash60b]] over the same token/shingle
-    * construction), and the per-row signature arithmetic reuses the
-    * batch implementations themselves — `SimhashSigAgg.reduce/finish`
-    * for the vote-and-pack, `TextOps.permA/permB` for the permutation
-    * mins — so streamed == batch is structural, and the spec pins it.
+    * Correctness chain, same as [[curateStream]]: the content hashes
+    * are the identical Column expressions the batch operators run; the
+    * token/shingle hashing mirrors [[TextOps.hash60]]/[[TextOps.hash60b]]
+    * exactly (same md5, hex chars 1–15 / 16–30 — one digest serves both
+    * halves, as the batch scalar path's common-subexpression sharing
+    * does), and the signature arithmetic reuses the batch
+    * implementations themselves — `SimhashSigAgg.reduce/finish` for the
+    * vote-and-pack, `TextOps.permA/permB` for the permutation mins. The
+    * spec pins streamed output against both oracle-verified batch
+    * operators, so any drift between the JVM mirror and the Column
+    * expressions fails the build. (Why not Column HOFs here: three
+    * interpreted lambdas would each re-inline the tokenizer per row —
+    * the project-collapse trap `DedupOps.shingleHashes` documents; the
+    * typed path tokenizes once and hashes each token once.)
     *
     * Docs with no tokens get null simhash halves; docs shorter than
     * [[DedupOps.ShingleK]] tokens get a null minhash — mirroring the
     * batch operators, where such docs simply have no signature rows. */
   def signatureStream(docs: DataFrame): Dataset[DocSignature] = {
     import docs.sparkSession.implicits._
-    val toks = TextOps.tokens(col("text"))
     val norm = TextOps.normText(col("text"))
     val half = DedupOps.SimHashHalfBits
+    val k = DedupOps.ShingleK
     docs
       .where(col("text").isNotNull)
       .select(col("doc_id"), col("source"), col("lang"),
         TextOps.hash60(norm).as("content_hash"),
         TextOps.hash60b(norm).as("content_hash_b"),
-        transform(toks, t => TextOps.hash60(t)).as("th1"),
-        transform(toks, t => TextOps.hash60b(t)).as("th2"),
-        transform(TextOps.shingles(toks, DedupOps.ShingleK), s => TextOps.hash60(s)).as("sh"))
-      .as[(Long, String, String, Long, Long, Seq[Long], Seq[Long], Seq[Long])]
+        col("text"))
+      .as[(Long, String, String, Long, Long, String)]
       .mapPartitions { rows =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
         val agg = new graft.functions.SimhashSigAgg(half)
-        rows.map { case (id, src, lang, ch, chb, th1, th2, sh) =>
+        // both 60-bit halves from ONE digest — hex chars 1-15 and 16-30,
+        // exactly TextOps.hash60/hash60b
+        def hashPair(s: String): (Long, Long) = {
+          val hex = md5.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map(x => f"$x%02x").mkString
+          (java.lang.Long.parseLong(hex.substring(0, 15), 16),
+            java.lang.Long.parseLong(hex.substring(15, 30), 16))
+        }
+        rows.map { case (id, src, lang, ch, chb, text) =>
+          // Spark's split(text, " ") is the same regex split with -1 limit
+          val toks = text.split(" ", -1).filter(_.nonEmpty)
+          val pairs = toks.map(hashPair)
           val mh =
-            if (sh.isEmpty) None
-            else Some((0 until DedupOps.NumHashes).map { i =>
-              val (a, b, p) = (TextOps.permA(i), TextOps.permB(i), TextOps.MinHashPrime)
-              sh.iterator.map(h => (a * (h % p) + b) % p).min
-            })
-          val (lo, hi) =
-            if (th1.isEmpty) (None, None)
+            if (toks.length < k) None
             else {
-              val buf = th1.indices.foldLeft(agg.zero)((acc, j) => agg.reduce(acc, (th1(j), th2(j))))
-              val packed = agg.finish(buf)
+              val sh = toks.sliding(k).map(w => hashPair(w.mkString(" "))._1).toArray
+              Some((0 until DedupOps.NumHashes).map { i =>
+                val (a, b, p) = (TextOps.permA(i), TextOps.permB(i), TextOps.MinHashPrime)
+                sh.iterator.map(h => (a * (h % p) + b) % p).min
+              })
+            }
+          val (lo, hi) =
+            if (pairs.isEmpty) (None, None)
+            else {
+              val packed = agg.finish(pairs.foldLeft(agg.zero)(agg.reduce))
               (Some(packed._1), Some(packed._2))
             }
           DocSignature(id, src, lang, ch, chb, mh, lo, hi)
