@@ -101,6 +101,18 @@ object SparkEntry {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_cosine_topk")
       s.sql("SELECT vec_id, label, cos_sim FROM graft_cosine_topk ORDER BY cos_sim DESC, vec_id ASC")
     }),
+    "sql_ann_topk"        -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_ann_topk")
+      s.sql("SELECT vec_id, label, cos_sim FROM graft_ann_topk ORDER BY cos_sim DESC, vec_id ASC")
+    }),
+    "sql_simhash_pairs"   -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_simhash_pairs")
+      s.sql("SELECT doc_a, doc_b, hamming FROM graft_simhash_pairs ORDER BY doc_a ASC, doc_b ASC")
+    }),
+    "sql_manifest"        -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_corpus_manifest")
+      s.sql("SELECT doc_id, source, lang, n_tokens, quality FROM graft_corpus_manifest ORDER BY doc_id ASC")
+    }),
     "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),
     "sample_per_source_agg" -> ((s, dir) => TextAnalysis.samplePerSourceAgg(s, dir)),
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
@@ -163,6 +175,9 @@ object SparkEntry {
     "sql_near_dups"       -> DedupOps.nearDupJaccardSql,
     "sql_sessions"        -> EventOps.sessionizeSql(),
     "sql_cosine_topk"     -> Similarity.cosineTopKSql,
+    "sql_ann_topk"        -> Similarity.annTopKSql,
+    "sql_simhash_pairs"   -> DedupOps.simhashNearDupsSql,
+    "sql_manifest"        -> Curation.corpusManifestSql,
     "sample_per_source"   -> TextAnalysis.samplePerSourceSql,
     "sample_per_source_agg" -> TextAnalysis.samplePerSourceSql,
     "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,

@@ -88,6 +88,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(sqlGot == expect)
   }
 
+  test("ann_buckets compiles under codegen-only mode for nullable AND non-nullable input") {
+    // A doGenCode bug (e.g. not returning FalseLiteral isNull for a
+    // non-nullable child) makes Spark fall back to interpreted eval
+    // SILENTLY — results stay right, tests stay green, codegen is dead.
+    // CODEGEN_ONLY + fallback=false turns that into a hard failure.
+    import graft.operators.Similarity
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val base = spark.range(8).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(Similarity.Dims)),
+          i => pmod(xxhash64(col("id"), i), lit(1000001L)) - lit(500000L)).as("q"))
+      // non-nullable vector → the FalseLiteral isNull path
+      assert(Similarity.bucketRows(base, 5).collect().length == 8 * Similarity.AnnTables)
+      // nullable vector (one real null) → the declared-isNull path +
+      // the null→bucket-0 coalesce
+      val nullable = base.select(col("vec_id"),
+        when(col("vec_id") =!= 3L, col("q")).as("q"))
+      val rows = Similarity.bucketRows(nullable, 5).collect()
+      assert(rows.length == 8 * Similarity.AnnTables)
+      val nullVec = rows.filter(_.getLong(0) == 3L)
+      assert(nullVec.length == Similarity.AnnTables &&
+        nullVec.forall(_.getAs[Long]("bucket") == 0L),
+        "null vector must land in bucket 0 of every table (oracle semantics)")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("ANN candidate pairs stay ~linear in corpus size (bucket count scales)") {
     import graft.operators.Similarity
     graft.functions.DotLong.register(spark) // don't depend on suite order
