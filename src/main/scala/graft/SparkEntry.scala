@@ -113,6 +113,26 @@ object SparkEntry {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_corpus_manifest")
       s.sql("SELECT doc_id, source, lang, n_tokens, quality FROM graft_corpus_manifest ORDER BY doc_id ASC")
     }),
+    "sql_quality"         -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_quality")
+      s.sql("SELECT doc_id, n_tokens, quality FROM graft_quality ORDER BY doc_id ASC")
+    }),
+    "sql_keywords"        -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_keywords")
+      s.sql("SELECT source, rk, term, tf, df, score FROM graft_keywords ORDER BY source ASC, rk ASC")
+    }),
+    "sql_fingerprints"    -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_fingerprints")
+      s.sql("SELECT doc_id, doc_hash, min_shingle_hash FROM graft_fingerprints ORDER BY doc_id ASC")
+    }),
+    "sql_minhash_cand"    -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_minhash_candidates")
+      s.sql("SELECT doc_a, doc_b, n_shared_bands FROM graft_minhash_candidates ORDER BY doc_a ASC, doc_b ASC")
+    }),
+    "sql_bloom"           -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_bloom_semi_join")
+      s.sql("SELECT l_returnflag, n_rows, sum_qty FROM graft_bloom_semi_join ORDER BY l_returnflag ASC")
+    }),
     "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),
     "sample_per_source_agg" -> ((s, dir) => TextAnalysis.samplePerSourceAgg(s, dir)),
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
@@ -178,6 +198,11 @@ object SparkEntry {
     "sql_ann_topk"        -> Similarity.annTopKSql,
     "sql_simhash_pairs"   -> DedupOps.simhashNearDupsSql,
     "sql_manifest"        -> Curation.corpusManifestSql,
+    "sql_quality"         -> TextAnalysis.qualityScoreSql,
+    "sql_keywords"        -> TextAnalysis.keywordsPerSourceSql(),
+    "sql_fingerprints"    -> TextAnalysis.fingerprintsSql,
+    "sql_minhash_cand"    -> DedupOps.minhashCandidatesSql,
+    "sql_bloom"           -> BloomJoin.bloomSemiJoinVolumeSql,
     "sample_per_source"   -> TextAnalysis.samplePerSourceSql,
     "sample_per_source_agg" -> TextAnalysis.samplePerSourceSql,
     "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,

@@ -139,11 +139,11 @@ object DedupOps {
       .drop("occ")
   }
 
-  /** Banded LSH candidate pairs: docs sharing at least one band bucket,
-    * with the number of shared bands. The join key is (band_id,
-    * band_key) — never a cross join. */
-  def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = bandRows(signatures(spark, sfDir, keepHs = false))
+  /** The band self-join shared by [[minhashCandidates]] and
+    * [[minhashCandidatesFromSignatures]]: docs sharing at least one
+    * band bucket, with the number of shared bands. The join key is
+    * (band_id, band_key) — never a cross join. */
+  private def bandPairs(bands: DataFrame): DataFrame =
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_key") === col("b.band_key") &&
@@ -152,6 +152,23 @@ object DedupOps {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** Banded LSH candidate pairs from the documents table. */
+  def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    bandPairs(bandRows(signatures(spark, sfDir, keepHs = false)))
+
+  /** The periodic-batch half of the continuous-signature architecture:
+    * the SAME banding, occupancy cap, and pair join as
+    * [[minhashCandidates]], but over a STORED signature table — rows
+    * with `doc_id` and a `minhash` array<long> of [[NumHashes]] mins,
+    * e.g. landed continuously by
+    * `graft.streaming.DocStream.signatureStream` — so the batch job
+    * touches ~100 bytes per doc and never re-reads text. Docs with a
+    * null minhash (shorter than [[ShingleK]] tokens) have no shingles
+    * and drop out, exactly as they have no rows in the text path. */
+  def minhashCandidatesFromSignatures(sigs: DataFrame): DataFrame = {
+    val ms = (0 until NumHashes).map(i => element_at(col("minhash"), i + 1).as(s"m$i"))
+    bandPairs(bandRows(sigs.where(col("minhash").isNotNull).select(col("doc_id") +: ms: _*)))
   }
 
   /** Shared SQL prefix: tokens → distinct shingles → exploded hashes →

@@ -243,6 +243,14 @@ class SinksStreamingSpec extends SparkSpec {
       }
       assert(mhBatch.contains(id) == !r.isNullAt(r.fieldIndex("minhash")))
     }
+    // the periodic-batch half of the architecture: banding the STORED
+    // signature rows yields the same candidate pairs as the text path
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fromSigs = DedupOps.minhashCandidatesFromSignatures(
+      DocStream.signatureStream(Tables.documents(spark, sf)).toDF()).collect()
+    assert(pairs(fromSigs) == pairs(DedupOps.minhashCandidates(spark, sf).collect()),
+      "signature-table banding must reproduce the text path's candidates")
   }
 
   test("streaming checkpoint recovery resumes exactly-once after a restart") {
