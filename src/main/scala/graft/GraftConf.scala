@@ -49,6 +49,21 @@ object GraftConf {
     * column, so the oracle pins the default; `Verify` refuses an
     * override like the other oracle-pinned knobs. */
   val PackingShardsKey = "spark.graft.packing.shards"
+  /** Iteration cap for connected-components label propagation
+    * (`ClusterOps`). A pure safety valve: the loop stops at the
+    * fixpoint, which with pointer jumping arrives in O(log n) rounds,
+    * so the result is invariant to any cap high enough to converge —
+    * no Verify guard needed. */
+  val CcMaxItersKey = "spark.graft.cc.maxIters"
+  /** Chunk window size in tokens (`Chunking.chunkDocuments`). The
+    * chunk boundaries are OUTPUT values, so the oracle pins the
+    * default; `Verify` refuses an override like the other
+    * oracle-pinned knobs. */
+  val ChunkSizeKey = "spark.graft.chunk.size"
+  /** Chunk stride in tokens — `size - stride` consecutive tokens
+    * overlap between adjacent chunks. Same oracle-pinned caveat as
+    * [[ChunkSizeKey]]. */
+  val ChunkStrideKey = "spark.graft.chunk.stride"
   /** When false, `Decontamination.evalOverlap` drops its broadcast
     * hints — the path for an eval set too large to broadcast — and
     * lets AQE pick the join sides from runtime statistics. A pure
@@ -67,6 +82,9 @@ object GraftConf {
   val DefaultMinhashBucketCap = 1000
   val DefaultPackingShards = 8
   val DefaultDeconBroadcastEval = true
+  val DefaultChunkSize = 32
+  val DefaultChunkStride = 24
+  val DefaultCcMaxIters = 25
 
   def topK(s: SparkSession): Int = s.conf.get(TopKKey, DefaultTopK.toString).toInt
   def q1Start(s: SparkSession): String = s.conf.get(Q1StartKey, DefaultQ1Start)
@@ -87,6 +105,23 @@ object GraftConf {
     // packing to one whole-language window — the skew trap the shard
     // key exists to prevent; fail fast instead
     require(n > 0, s"$PackingShardsKey must be positive, got $n")
+    n
+  }
+  def ccMaxIters(s: SparkSession): Int = {
+    val n = s.conf.get(CcMaxItersKey, DefaultCcMaxIters.toString).toInt
+    require(n > 0, s"$CcMaxItersKey must be positive, got $n")
+    n
+  }
+  def chunkSize(s: SparkSession): Int = {
+    val n = s.conf.get(ChunkSizeKey, DefaultChunkSize.toString).toInt
+    require(n > 0, s"$ChunkSizeKey must be positive, got $n")
+    n
+  }
+  def chunkStride(s: SparkSession): Int = {
+    val n = s.conf.get(ChunkStrideKey, DefaultChunkStride.toString).toInt
+    // stride 0 would make the start sequence infinite (sequence() with
+    // step 0 throws deep in codegen); fail fast with the knob's name
+    require(n > 0, s"$ChunkStrideKey must be positive, got $n")
     n
   }
   def deconBroadcastEval(s: SparkSession): Boolean =

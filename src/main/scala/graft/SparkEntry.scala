@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsExt, BloomJoin, Curation, Decontamination, DedupOps, EventOps, Multimodal, Packing, RefQueries, Similarity, TextAnalysis}
+import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, Decontamination, DedupOps, EventOps, Multimodal, Packing, QualityFilters, Quantization, RefQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,11 @@ object SparkEntry {
     "text_keywords_kmv"   -> ((s, dir) => TextAnalysis.keywordsPerSourceKmv(s, dir)),
     "approx_distinct_tokens" -> ((s, dir) => TextAnalysis.approxDistinctTokens(s, dir)),
     "dedup_exact"         -> ((s, dir) => DedupOps.dedupExact(s, dir)),
+    "dedup_incremental"   -> ((s, dir) => DedupOps.incrementalCandidates(s, dir)),
+    "dedup_clusters"      -> ((s, dir) => ClusterOps.dedupClusters(s, dir)),
+    "quality_repetition"  -> ((s, dir) => QualityFilters.repetitionStats(s, dir)),
+    "chunk_documents"     -> ((s, dir) => Chunking.chunkDocuments(s, dir)),
+    "embed_quantize"      -> ((s, dir) => Quantization.embedQuantize(s, dir)),
     "dedup_minhash_cand"  -> ((s, dir) => DedupOps.minhashCandidates(s, dir)),
     "dedup_jaccard"       -> ((s, dir) => DedupOps.nearDupJaccard(s, dir)),
     "dedup_simhash"       -> ((s, dir) => DedupOps.simhashSignatures(s, dir)),
@@ -160,6 +165,11 @@ object SparkEntry {
     "text_keywords_kmv"   -> TextAnalysis.keywordsPerSourceKmvSql(),
     "approx_distinct_tokens" -> TextAnalysis.approxDistinctTokensSql,
     "dedup_exact"         -> DedupOps.dedupExactSql,
+    "dedup_incremental"   -> DedupOps.incrementalCandidatesSql,
+    "dedup_clusters"      -> ClusterOps.dedupClustersSql,
+    "quality_repetition"  -> QualityFilters.repetitionStatsSql,
+    "chunk_documents"     -> Chunking.chunkDocumentsSql,
+    "embed_quantize"      -> Quantization.embedQuantizeSql,
     "dedup_minhash_cand"  -> DedupOps.minhashCandidatesSql,
     "dedup_jaccard"       -> DedupOps.nearDupJaccardSql,
     "dedup_simhash"       -> DedupOps.simhashSignaturesSql,

@@ -27,7 +27,8 @@ object Verify {
     // DefaultMinhashBucketCap) both have that property; the simhash hot
     // cap does NOT (retrieval is exact at any cap) and needs no guard.
     for (key <- Seq(GraftConf.AnnPlanesKey, GraftConf.MinhashBucketCapKey,
-                    GraftConf.PackingShardsKey))
+                    GraftConf.PackingShardsKey, GraftConf.ChunkSizeKey,
+                    GraftConf.ChunkStrideKey))
       require(spark.conf.getOption(key).isEmpty,
         s"$key is set; unset it before verifying " +
           "(the oracle SQL pins this knob's default)")

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Near-duplicate CLUSTER formation — the step after pair discovery
+  * that dedup pipelines actually act on: connected components over the
+  * verified near-dup pair graph, a canonical representative (minimum
+  * doc_id) per component, and a per-document keep/drop verdict.
+  *
+  * Algorithm: distributed min-label propagation with pointer jumping.
+  * Each round every node adopts the minimum of (its label, its
+  * neighbors' labels, its label's label); the third term — pointer
+  * jumping — halves the distance to the component minimum each round,
+  * so convergence is O(log diameter) rounds rather than O(diameter)
+  * (the classic hybrid of Hash-Min and Hash-to-Min; near-dup graphs are
+  * mostly tiny cliques, but one boilerplate chain must not stall the
+  * job). Each round is two slim shuffled joins over (8-byte node,
+  * 8-byte label) rows; the frontier is checkpointed per round (bounded
+  * lineage) and superseded rounds' blocks are freed immediately, so
+  * the loop holds at most two label sets in memory at any time.
+  *
+  * The driver-side loop control (one `count()` per round to detect the
+  * fixpoint) is intentional: iteration count is O(log n), not O(n) —
+  * ~40 rounds would handle a trillion-node chain — and each round's
+  * convergence check rides the round's own tiny frames.
+  *
+  * The edge set here is [[DedupOps.nearDupJaccard]]'s verified pairs;
+  * [[componentsOf]] itself is pair-source-agnostic (SimHash pairs,
+  * embedding near-dups, or a union all work unchanged).
+  *
+  * The DuckDB oracle computes components independently via a recursive
+  * transitive-closure CTE — not a replay of label propagation — so it
+  * verifies the algorithm, not just the arithmetic.
+  */
+object ClusterOps {
+
+  /** Connected components of an undirected edge list (`doc_a`,
+    * `doc_b`): one row per node appearing in any edge, labeled with its
+    * component's minimum node id. */
+  def componentsOf(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val maxIters = graft.GraftConf.ccMaxIters(spark)
+    val sym = edges
+      .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      .unionByName(edges.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = sym.join(labels.toDF("nbr", "nbr_label"), "nbr")
+        .groupBy(col("node")).agg(min(col("nbr_label")).as("nbr_min"))
+      val jump = labels.toDF("jnode", "jlabel")
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .join(jump, col("label") === col("jnode"), "left")
+        .select(col("node"),
+          least(col("label"),
+            coalesce(col("nbr_min"), col("label")),
+            coalesce(col("jlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.toDF("node", "new_label").join(labels, "node")
+        .where(col("new_label") =!= col("label")).count()
+      Materialize.free(labels)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    Materialize.free(sym)
+    require(converged,
+      s"connected components did not converge in $maxIters rounds " +
+        s"(raise ${graft.GraftConf.CcMaxItersKey})")
+    labels
+  }
+
+  /** Every document with its near-dup cluster id (= the component's
+    * minimum doc_id; singletons are their own cluster), the cluster
+    * size, and whether this document is the canonical survivor. The
+    * label frame is memoized per (dir, session) — the propagation loop
+    * runs once, not per query construction. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var inner: DataFrame = null
+    val labels = Materialize.memoized(spark, s"cc_labels_${Materialize.dirTag(sfDir)}") {
+      inner = componentsOf(spark,
+        DedupOps.nearDupJaccard(spark, sfDir).select(col("doc_a"), col("doc_b")))
+      inner
+    }
+    // the memo holds its own checkpoint of the label rows; the loop's
+    // final frontier block set is no longer reachable — free it
+    if (inner ne null) Materialize.free(inner)
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(labels.toDF("doc_id", "label"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Oracle: Jaccard edges exactly as in [[DedupOps.nearDupJaccardSql]],
+    * then components by recursive transitive closure (every (node,
+    * reachable) pair, then MIN per node) — independent of the label
+    * propagation it verifies. Closure size is Σ component², fine at
+    * oracle scale; the propagation loop is what runs at corpus scale. */
+  val dedupClustersSql: String = {
+    val jac = "CAST(len(list_intersect(ha, hb)) AS DOUBLE) / " +
+      "(CAST(len(ha) + len(hb) AS DOUBLE) - CAST(len(list_intersect(ha, hb)) AS DOUBLE))"
+    s"""WITH RECURSIVE ${DedupOps.minhashSqlPrefix},
+       |cpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |           FROM bands a
+       |           JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |cwithsets AS (SELECT p.doc_a, p.doc_b, sa.hs AS ha, sb.hs AS hb
+       |              FROM cpairs p
+       |              JOIN sig sa ON p.doc_a = sa.doc_id
+       |              JOIN sig sb ON p.doc_b = sb.doc_id),
+       |edges AS (SELECT doc_a, doc_b FROM cwithsets WHERE $jac >= ${DedupOps.JaccardThreshold}),
+       |sym AS (SELECT doc_a AS node, doc_b AS nbr FROM edges
+       |        UNION ALL SELECT doc_b, doc_a FROM edges),
+       |reach AS (SELECT node, node AS r FROM (SELECT DISTINCT node FROM sym) n
+       |          UNION
+       |          SELECT s.node, reach.r FROM sym s JOIN reach ON s.nbr = reach.node),
+       |lab AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |       doc_id = cluster_id AS is_canonical
+       |FROM (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
+       |      FROM documents d LEFT JOIN lab l ON d.doc_id = l.node) z
+       |ORDER BY doc_id ASC""".stripMargin
+  }
+}

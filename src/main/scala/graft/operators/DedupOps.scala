@@ -174,7 +174,7 @@ object DedupOps {
   /** Shared SQL prefix: tokens → distinct shingles → exploded hashes →
     * one-aggregation signatures (mins + the hash set) → bands,
     * mirroring the Spark pipeline constant-for-constant. */
-  private def minhashSqlPrefix: String = {
+  private[graft] def minhashSqlPrefix: String = {
     val shingleList =
       s"""list_distinct(list_transform(range(0, greatest(len(t) - ${ShingleK - 1}, 0)),
          | i -> concat_ws(' ', ${(1 to ShingleK).map(j => s"t[i+$j]").mkString(", ")})))""".stripMargin.replace("\n", "")
@@ -203,6 +203,56 @@ object DedupOps {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
        |FROM bands a
        |JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |GROUP BY doc_a, doc_b
+       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
+
+  /** Incremental (delta-batch) near-dup candidates — the periodic half
+    * of a crawl pipeline where only NEWLY ingested documents need
+    * checking: emit candidate pairs where at least one side is in the
+    * delta (here modeled as `doc_id % 10 == 0`), without regenerating
+    * the corpus's own pairs.
+    *
+    * Scale shape — why this beats re-running [[minhashCandidates]]:
+    * the band self-join's cost is Σ bucket² over the WHOLE corpus; the
+    * delta join's is Σ (delta-bucket × bucket), proportional to the
+    * delta. The delta band rows are filtered from the same capped
+    * [[bandRows]] frame (one window pass, exchange shared with the
+    * join), and in production the stored signature table is bucketed by
+    * (band_id, band_key) so the full side never reshuffles at all. A
+    * delta×delta pair is found from both sides, so band rows are
+    * deduplicated on (pair, band) before counting shared bands — the
+    * full self-join's `a < b` orientation needs no such pass.
+    *
+    * The delta predicate is a placeholder for "ingested since the last
+    * run" (a timestamp/batch-id column on a real signature table); it
+    * is part of the oracle contract here, so it is a fixed expression,
+    * not a conf knob. */
+  def incrementalCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = bandRows(signatures(spark, sfDir, keepHs = false))
+    val delta = bands.where(col("doc_id") % 10 === 0)
+    delta.as("d").join(bands.as("o"),
+        col("d.band_id") === col("o.band_id") &&
+        col("d.band_key") === col("o.band_key") &&
+        col("d.doc_id") =!= col("o.doc_id"))
+      .select(
+        least(col("d.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("d.doc_id"), col("o.doc_id")).as("doc_b"),
+        col("d.band_id").as("band_id"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** Oracle: the full band self-join restricted to pairs touching the
+    * delta — verifying that the one-sided delta join retrieves exactly
+    * the pairs the full run would have found for those documents. */
+  val incrementalCandidatesSql: String =
+    s"""WITH $minhashSqlPrefix
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+       |FROM bands a
+       |JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
        |GROUP BY doc_a, doc_b
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
 

@@ -54,6 +54,18 @@ private[graft] object Materialize {
     s"${clean}_$md5"
   }
 
+  /** Free the checkpoint blocks behind an eagerly-localCheckpoint'ed
+    * frame (no-op for non-checkpointed frames). For iteration-shaped
+    * operators (ClusterOps' label propagation) that checkpoint per
+    * step: every superseded step's blocks are freed as soon as its
+    * successor is materialized, so the loop holds at most two block
+    * sets at once regardless of iteration count. */
+  def free(df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+      .foreach(_.unpersist(blocking = false))
+  }
+
   /** Drop every memoized checkpoint in the session and free its blocks
     * promptly — Bench/Probe call this between passes so they measure
     * true recompute, not memo reads. Registered pipeline views that

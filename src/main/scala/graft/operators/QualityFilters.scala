@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.sources.Tables
+
+/** Repetition-based document quality filters — the Gopher-style
+  * signals (duplicate-token fraction, duplicate-bigram fraction,
+  * duplicate-character mass, most-common-token share) a training-data
+  * pipeline runs before anything expensive touches a document.
+  *
+  * Scale design:
+  *  - Two explode→aggregate pipelines (token counts, bigram counts),
+  *    each a partial+final HashAggregate keyed on (doc_id, term) — the
+  *    shuffle carries short term strings and 8-byte counts, never
+  *    documents. The per-doc rollup then shuffles only doc_id plus a
+  *    handful of longs.
+  *  - The two per-doc frames join on the 8-byte doc_id. At 100 TB this
+  *    is two shuffles over slim rows plus a doc-count-sized join —
+  *    entirely insensitive to document length skew (a pathological
+  *    10 MB doc contributes many (doc, term) rows but they combine
+  *    map-side before shuffling).
+  *  - All fractions are single IEEE divisions over exact integer
+  *    counts, so the DuckDB oracle matches bit-for-bit.
+  *
+  * The boolean `flagged` applies the classic thresholds (duplicate
+  * bigrams > 20%, top token > 30% of the document) as one composed
+  * predicate — the shape a curation job's WHERE clause takes.
+  */
+object QualityFilters {
+
+  /** Duplicate-bigram fraction above this flags a document. */
+  val DupBigramMax = 0.2
+  /** Most-common-token share above this flags a document. */
+  val TopTokenMax = 0.3
+
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+
+    // token-level: count per (doc, token), then roll up per doc
+    val tokStats = docs
+      .select(col("doc_id"), explode(col("t")).as("tk"))
+      .groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("tklen", length(col("tk")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("cnt")).as("top_cnt"),
+        sum(when(col("cnt") > 1, col("cnt") * col("tklen")).otherwise(lit(0L))).as("dup_chars"),
+        sum(col("cnt") * col("tklen")).as("total_chars"))
+
+    // bigram-level: scalar shingle construction (same explode-an-index
+    // shape as DedupOps.shingleHashes — array HOFs here would be
+    // re-inlined by project collapse), count per (doc, bigram), roll up
+    val idx = when(size(col("t")) >= 2, sequence(lit(0), size(col("t")) - 2))
+      .otherwise(array().cast("array<int>"))
+    val bgStats = docs
+      .select(col("doc_id"), col("t"), explode(idx).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("t"), col("i") + 1), element_at(col("t"), col("i") + 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_bigrams"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_bigrams"))
+
+    val dupTokFrac = lit(1.0) - col("n_distinct_tokens").cast("double") / col("n_tokens")
+    val topTokFrac = col("top_cnt").cast("double") / col("n_tokens")
+    val dupCharFrac = col("dup_chars").cast("double") / col("total_chars")
+    // single-token docs have no bigrams: left join + 0/0 guard
+    val dupBgFrac = when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+      .otherwise(col("dup_bigrams").cast("double") / col("n_bigrams"))
+
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        dupTokFrac.as("dup_token_frac"),
+        topTokFrac.as("top_token_frac"),
+        dupCharFrac.as("dup_char_frac"),
+        dupBgFrac.as("dup_bigram_frac"))
+      .withColumn("flagged",
+        col("dup_bigram_frac") > DupBigramMax || col("top_token_frac") > TopTokenMax)
+      .orderBy(col("doc_id").asc)
+  }
+
+  val repetitionStatsSql: String =
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |              FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+       |tc AS (SELECT doc_id, tk, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tk),
+       |ts AS (SELECT doc_id,
+       |              CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |              COUNT(*) AS n_distinct_tokens,
+       |              MAX(cnt) AS top_cnt,
+       |              CAST(SUM(CASE WHEN cnt > 1 THEN cnt * len(tk) ELSE 0 END) AS BIGINT) AS dup_chars,
+       |              CAST(SUM(cnt * len(tk)) AS BIGINT) AS total_chars
+       |       FROM tc GROUP BY doc_id),
+       |bg0 AS (SELECT doc_id,
+       |               unnest(list_transform(range(greatest(len(t) - 1, 0)),
+       |                                     i -> concat_ws(' ', t[i + 1], t[i + 2]))) AS bg
+       |        FROM toks),
+       |bc AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bg0 GROUP BY doc_id, bg),
+       |bs AS (SELECT doc_id,
+       |              CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       |              CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_bigrams
+       |       FROM bc GROUP BY doc_id)
+       |SELECT ts.doc_id, n_tokens,
+       |       1.0 - CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS dup_token_frac,
+       |       CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+       |       CAST(dup_chars AS DOUBLE) / total_chars AS dup_char_frac,
+       |       CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+       |            ELSE CAST(dup_bigrams AS DOUBLE) / n_bigrams END AS dup_bigram_frac,
+       |       (CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+       |             ELSE CAST(dup_bigrams AS DOUBLE) / n_bigrams END) > $DupBigramMax
+       |         OR (CAST(top_cnt AS DOUBLE) / n_tokens) > $TopTokenMax AS flagged
+       |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+       |ORDER BY ts.doc_id ASC""".stripMargin
+}

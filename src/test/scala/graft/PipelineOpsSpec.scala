@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.operators.{Chunking, ClusterOps, DedupOps, QualityFilters, Quantization}
+import graft.sources.Tables
+
+/** Specs for the round-7 pipeline operators: cluster formation,
+  * incremental dedup, repetition filters, chunking, quantization.
+  * Each is checked against a straight-line Scala recompute of the same
+  * definition (the DuckDB oracle does the cross-engine check; these pin
+  * the semantics and the edge cases at test scale). */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def edgesDf(pairs: Seq[(Long, Long)]) = {
+    val rows = pairs.map { case (a, b) => Row(a, b) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))))
+  }
+
+  test("componentsOf labels every node with its component minimum") {
+    // two components: a triangle {1,2,3} and an edge {10,11}
+    val labels = ClusterOps.componentsOf(spark,
+        edgesDf(Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("componentsOf converges on a long chain (pointer jumping)") {
+    // a 24-node path: plain one-hop min propagation needs 23 rounds;
+    // pointer jumping must land well inside the default cap of 25
+    val chain = (0L until 23L).map(i => (i, i + 1))
+    val labels = ClusterOps.componentsOf(spark, edgesDf(chain)).collect()
+    assert(labels.length == 24 && labels.forall(_.getLong(1) == 0L))
+  }
+
+  test("componentsOf of an empty edge list is empty") {
+    assert(ClusterOps.componentsOf(spark, edgesDf(Seq.empty)).collect().isEmpty)
+  }
+
+  test("dedup_clusters: partition of the corpus, pairs co-clustered, canonical = min") {
+    val rows = ClusterOps.dedupClusters(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.length == docs)
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every verified near-dup pair ends up in the same cluster
+    val pairs = DedupOps.nearDupJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.forall { case (a, b) => cluster(a) == cluster(b) })
+    // the cluster id is a member of the cluster, minimal among members
+    val members = rows.groupBy(_.getLong(1))
+    assert(members.forall { case (cid, ms) => ms.map(_.getLong(0)).min == cid })
+    // sizes match the actual partition; canonical iff doc == cluster id
+    assert(rows.forall(r => members(r.getLong(1)).length.toLong == r.getLong(2)))
+    assert(rows.forall(r => r.getBoolean(3) == (r.getLong(0) == r.getLong(1))))
+  }
+
+  test("incremental candidates = full candidates restricted to delta pairs") {
+    val full = DedupOps.minhashCandidates(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0).sortBy(p => (p._1, p._2))
+    val inc = DedupOps.incrementalCandidates(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(inc.sameElements(full), s"incremental ${inc.length} vs full-restricted ${full.length}")
+  }
+
+  test("repetition stats match a local recompute") {
+    val expected = Tables.documents(spark, sf).select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+      val tc = toks.groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+      val n = toks.length.toLong
+      val bigrams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val bc = bigrams.groupBy(identity).map { case (_, g) => g.length.toLong }
+      val totalChars = tc.map { case (t, c) => t.length * c }.sum
+      val dupChars = tc.collect { case (t, c) if c > 1 => t.length * c }.sum
+      (r.getLong(0), (n, 1.0 - tc.size.toDouble / n, tc.values.max.toDouble / n,
+        dupChars.toDouble / totalChars,
+        if (bigrams.isEmpty) 0.0 else bc.filter(_ > 1).sum.toDouble / bigrams.length))
+    }.toMap
+    val rows = QualityFilters.repetitionStats(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val e = expected(r.getLong(0))
+      assert(r.getLong(1) == e._1 && r.getDouble(2) == e._2 && r.getDouble(3) == e._3 &&
+        r.getDouble(4) == e._4 && r.getDouble(5) == e._5, s"doc ${r.getLong(0)}")
+      assert(r.getBoolean(6) ==
+        (e._5 > QualityFilters.DupBigramMax || e._3 > QualityFilters.TopTokenMax))
+    }
+  }
+
+  test("chunks tile each document: bounded overlap, exact reconstruction") {
+    val w = GraftConf.DefaultChunkSize
+    val s = GraftConf.DefaultChunkStride
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)).toMap
+    val byDoc = Chunking.chunkDocuments(spark, sf).collect().groupBy(_.getLong(0))
+    assert(byDoc.keySet == texts.filter(_._2.nonEmpty).keySet)
+    byDoc.foreach { case (id, chunks) =>
+      val toks = texts(id)
+      val sorted = chunks.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(1) == i && c.getLong(2) == i.toLong * s)
+        val start = c.getLong(2).toInt
+        val expectLen = math.min(w, toks.length - start)
+        assert(c.getLong(3) == expectLen)
+        assert(c.getString(4) == toks.slice(start, start + expectLen).mkString(" "))
+      }
+      // starts step by the stride and cover every token index
+      assert(sorted.length == (toks.length + s - 1) / s)
+      assert(sorted.last.getLong(2) + sorted.last.getLong(3) >= toks.length)
+    }
+  }
+
+  test("quantization matches a local HALF_UP recompute; zero vector is safe") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val rows = Quantization.embedQuantize(spark, sf).collect()
+    assert(rows.length == vecs.size)
+    rows.foreach { r =>
+      val e = vecs(r.getLong(0))
+      val maxabs = e.map(math.abs).max
+      def q(x: Double): Long =
+        if (maxabs == 0) 0L
+        else BigDecimal(x * 127 / maxabs)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(r.getDouble(1) == maxabs / 127)
+      assert(r.getLong(2) == e.map(q).sum)
+      assert(r.getLong(3) == e.zipWithIndex.map { case (x, i) => q(x) * (i + 1) }.sum)
+      assert(r.getLong(4) == e.count(x => math.abs(q(x)) == 127).toLong)
+    }
+  }
+
+  test("chunk size/stride knobs are honored and validated") {
+    spark.conf.set(GraftConf.ChunkSizeKey, "8")
+    spark.conf.set(GraftConf.ChunkStrideKey, "8")
+    try {
+      val rows = Chunking.chunkDocuments(spark, sf).collect()
+      assert(rows.forall(r => r.getLong(3) <= 8 && r.getLong(2) % 8 == 0))
+    } finally {
+      spark.conf.unset(GraftConf.ChunkSizeKey)
+      spark.conf.unset(GraftConf.ChunkStrideKey)
+    }
+    spark.conf.set(GraftConf.ChunkStrideKey, "0")
+    try intercept[IllegalArgumentException](Chunking.chunkDocuments(spark, sf))
+    finally spark.conf.unset(GraftConf.ChunkStrideKey)
+  }
+}
