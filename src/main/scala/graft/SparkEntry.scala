@@ -138,6 +138,18 @@ object SparkEntry {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_bloom_semi_join")
       s.sql("SELECT l_returnflag, n_rows, sum_qty FROM graft_bloom_semi_join ORDER BY l_returnflag ASC")
     }),
+    "sql_clusters"        -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_dedup_clusters")
+      s.sql("SELECT doc_id, cluster_id, cluster_size, is_canonical FROM graft_dedup_clusters ORDER BY doc_id ASC")
+    }),
+    "sql_chunks"          -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_chunks")
+      s.sql("SELECT doc_id, chunk_id, start_tok, n_tok, chunk_text FROM graft_chunks ORDER BY doc_id ASC, chunk_id ASC")
+    }),
+    "sql_repetition"      -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_repetition")
+      s.sql("SELECT doc_id, n_tokens, dup_token_frac, top_token_frac, dup_char_frac, dup_bigram_frac, flagged FROM graft_repetition ORDER BY doc_id ASC")
+    }),
     "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),
     "sample_per_source_agg" -> ((s, dir) => TextAnalysis.samplePerSourceAgg(s, dir)),
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
@@ -213,6 +225,9 @@ object SparkEntry {
     "sql_fingerprints"    -> TextAnalysis.fingerprintsSql,
     "sql_minhash_cand"    -> DedupOps.minhashCandidatesSql,
     "sql_bloom"           -> BloomJoin.bloomSemiJoinVolumeSql,
+    "sql_clusters"        -> ClusterOps.dedupClustersSql,
+    "sql_chunks"          -> Chunking.chunkDocumentsSql,
+    "sql_repetition"      -> QualityFilters.repetitionStatsSql,
     "sample_per_source"   -> TextAnalysis.samplePerSourceSql,
     "sample_per_source_agg" -> TextAnalysis.samplePerSourceSql,
     "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,

@@ -27,11 +27,15 @@ import graft.sources.Tables
   */
 object Chunking {
 
-  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = graft.GraftConf.chunkSize(spark)
-    val s = graft.GraftConf.chunkStride(spark)
+  /** The stateless core: applies to any frame with (doc_id, text) —
+    * batch or streaming (projection + generator only, so Structured
+    * Streaming runs it without state or watermark; chunk provenance is
+    * per-document, never cross-row). */
+  def chunkCols(docs: DataFrame): DataFrame = {
+    val w = graft.GraftConf.chunkSize(docs.sparkSession)
+    val s = graft.GraftConf.chunkStride(docs.sparkSession)
     val t = col("t")
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .where(size(t) > 0)
       .select(col("doc_id"), t,
@@ -43,8 +47,11 @@ object Chunking {
         least(lit(w), size(t) - col("start_tok")).cast("long").as("n_tok"),
         array_join(slice(t, col("start_tok") + 1, least(lit(w), size(t) - col("start_tok"))), " ")
           .as("chunk_text"))
-      .orderBy(col("doc_id").asc, col("chunk_id").asc)
   }
+
+  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    chunkCols(Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
 
   val chunkDocumentsSql: String = {
     val w = graft.GraftConf.DefaultChunkSize

@@ -36,7 +36,12 @@ object PipelineViews {
     "graft_cosine_topk"        -> ((s, d) => Similarity.cosineTopK(s, d)),
     "graft_ann_topk"           -> ((s, d) => Similarity.annTopK(s, d)),
     "graft_corpus_manifest"    -> ((s, d) => Curation.corpusManifest(s, d)),
-    "graft_bloom_semi_join"    -> ((s, d) => BloomJoin.bloomSemiJoinVolume(s, d)))
+    "graft_bloom_semi_join"    -> ((s, d) => BloomJoin.bloomSemiJoinVolume(s, d)),
+    "graft_dedup_clusters"     -> ((s, d) => ClusterOps.dedupClusters(s, d)),
+    "graft_dedup_incremental"  -> ((s, d) => DedupOps.incrementalCandidates(s, d)),
+    "graft_repetition"         -> ((s, d) => QualityFilters.repetitionStats(s, d)),
+    "graft_chunks"             -> ((s, d) => Chunking.chunkDocuments(s, d)),
+    "graft_quantized"          -> ((s, d) => Quantization.embedQuantize(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 

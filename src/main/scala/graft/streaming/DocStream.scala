@@ -158,6 +158,17 @@ object DocStream {
       }
   }
 
+  /** Stateless streaming chunking: the identical
+    * [[graft.operators.Chunking.chunkCols]] projection the
+    * oracle-verified batch query runs, applied to a document stream —
+    * chunk boundaries are per-document, so no state or watermark is
+    * needed and throughput scales with input rate. The downstream shape
+    * is the same as [[signatureStream]]: slim chunk rows land
+    * continuously for a periodic batch job (embed, pack, index) to
+    * consume. */
+  def chunkStream(docs: DataFrame): DataFrame =
+    graft.operators.Chunking.chunkCols(docs)
+
   /** Exact content-dedup on top of [[curateStream]], state bounded by
     * an INGEST-time watermark (the fixture documents carry no event
     * time, so arrival time is the only clock — the standard shape for

@@ -130,6 +130,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming chunking matches the batch operator row-for-row") {
+    import java.nio.file.Files
+    import graft.streaming.DocStream
+    val dir = Files.createTempDirectory("graft_chunkstream").toString
+    Files.copy(java.nio.file.Path.of(s"$sf/documents.parquet"),
+      java.nio.file.Path.of(dir, "documents.parquet"))
+    val q = DocStream.chunkStream(DocStream.readDocsStream(spark, dir))
+      .writeStream.format("memory").queryName("chunk_stream_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("chunk_stream_test").orderBy("doc_id", "chunk_id").collect()
+    val batch = Chunking.chunkDocuments(spark, sf).collect()
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("chunk size/stride knobs are honored and validated") {
     spark.conf.set(GraftConf.ChunkSizeKey, "8")
     spark.conf.set(GraftConf.ChunkStrideKey, "8")
