@@ -409,8 +409,6 @@ object DedupOps {
     * the other dedup joins: band rows carry doc ids + band values only;
     * signatures ride the two per-doc join-backs. */
   def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cap = graft.GraftConf.simhashHotCap(spark)
     // eager localCheckpoint, not persist: the banded plan reads sig from
     // ~6 subtrees (self-join sides + broadcast join-backs) whose jobs
     // launch concurrently, and CacheManager does not serialize cache
@@ -423,6 +421,25 @@ object DedupOps {
     val sig = Materialize.memoized(spark, s"simhash_sig_${Materialize.dirTag(sfDir)}") {
       simhashCore(spark, sfDir)
     }
+    simhashNearDupsFromSignatures(sig)
+  }
+
+  /** The signature-table twin of [[simhashNearDups]] — the SimHash half
+    * of the continuous-signature → periodic-band architecture (see
+    * [[minhashCandidatesFromSignatures]]): the identical banding,
+    * hot-bucket sub-band split, and Hamming verification, over a STORED
+    * frame of (doc_id, simhash_lo, simhash_hi) rows — e.g. landed
+    * continuously by `graft.streaming.DocStream.signatureStream` — so
+    * the periodic batch job reads ~24 bytes per doc and never re-reads
+    * text. Docs with null halves (no tokens) have no signature and drop
+    * out, exactly as they have no rows in the text path. The caller is
+    * expected to pass a materialized/checkpointed frame (the plan reads
+    * it from ~6 subtrees). */
+  def simhashNearDupsFromSignatures(sigIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = graft.GraftConf.simhashHotCap(sigIn.sparkSession)
+    val sig = sigIn.where(col("simhash_lo").isNotNull && col("simhash_hi").isNotNull)
+      .select(col("doc_id"), col("simhash_lo"), col("simhash_hi"))
     val lo = col("simhash_lo"); val hi = col("simhash_hi")
     val bands = sig.select(col("doc_id"), lo, hi,
       posexplode(array((0 until SimHashBands).map(bandChunk(lo, hi, _)): _*))

@@ -251,6 +251,13 @@ class SinksStreamingSpec extends SparkSpec {
       DocStream.signatureStream(Tables.documents(spark, sf)).toDF()).collect()
     assert(pairs(fromSigs) == pairs(DedupOps.minhashCandidates(spark, sf).collect()),
       "signature-table banding must reproduce the text path's candidates")
+    // ... and the SimHash half: banding the stored halves yields the
+    // same near-dup pairs as the text path (exact retrieval either way)
+    val simFromSigs = DedupOps.simhashNearDupsFromSignatures(
+      DocStream.signatureStream(Tables.documents(spark, sf)).toDF().localCheckpoint(true))
+      .collect()
+    assert(pairs(simFromSigs) == pairs(DedupOps.simhashNearDups(spark, sf).collect()),
+      "signature-table simhash banding must reproduce the text path's pairs")
   }
 
   test("streaming checkpoint recovery resumes exactly-once after a restart") {
