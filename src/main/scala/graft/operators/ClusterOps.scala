@@ -45,8 +45,12 @@ object ClusterOps {
       .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
       .unionByName(edges.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
       .localCheckpoint(true)
-    var labels = sym.select(col("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // initialization IS round one: label₀ = min(node, neighbors) — for
+    // clique-shaped components (the common near-dup case: mutual pairs)
+    // this is already the fixpoint, so the loop's first convergence
+    // check ends the job after a single round instead of three
+    var labels = sym.groupBy(col("node")).agg(min(col("nbr")).as("nbr_min"))
+      .select(col("node"), least(col("node"), col("nbr_min")).as("label"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
