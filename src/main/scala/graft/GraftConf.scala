@@ -64,6 +64,11 @@ object GraftConf {
     * overlap between adjacent chunks. Same oracle-pinned caveat as
     * [[ChunkSizeKey]]. */
   val ChunkStrideKey = "spark.graft.chunk.stride"
+  /** Shuffle-export writer shards (`Sharding.shuffleExport`) —
+    * production sizes this to the writer fleet. The shard id is an
+    * OUTPUT column, so the oracle pins the default; `Verify` refuses
+    * an override like the other oracle-pinned knobs. */
+  val ExportShardsKey = "spark.graft.export.shards"
   /** When false, `Decontamination.evalOverlap` drops its broadcast
     * hints — the path for an eval set too large to broadcast — and
     * lets AQE pick the join sides from runtime statistics. A pure
@@ -85,6 +90,7 @@ object GraftConf {
   val DefaultChunkSize = 32
   val DefaultChunkStride = 24
   val DefaultCcMaxIters = 25
+  val DefaultExportShards = 8
 
   def topK(s: SparkSession): Int = s.conf.get(TopKKey, DefaultTopK.toString).toInt
   def q1Start(s: SparkSession): String = s.conf.get(Q1StartKey, DefaultQ1Start)
@@ -122,6 +128,11 @@ object GraftConf {
     // stride 0 would make the start sequence infinite (sequence() with
     // step 0 throws deep in codegen); fail fast with the knob's name
     require(n > 0, s"$ChunkStrideKey must be positive, got $n")
+    n
+  }
+  def exportShards(s: SparkSession): Int = {
+    val n = s.conf.get(ExportShardsKey, DefaultExportShards.toString).toInt
+    require(n > 0, s"$ExportShardsKey must be positive, got $n")
     n
   }
   def deconBroadcastEval(s: SparkSession): Boolean =

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, Decontamination, DedupOps, EventOps, Multimodal, Packing, QualityFilters, Quantization, RefQueries, Similarity, TextAnalysis}
+import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, Decontamination, DedupOps, EventOps, Multimodal, Packing, QualityFilters, Quantization, RefQueries, Sharding, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,7 @@ object SparkEntry {
     "quality_repetition"  -> ((s, dir) => QualityFilters.repetitionStats(s, dir)),
     "chunk_documents"     -> ((s, dir) => Chunking.chunkDocuments(s, dir)),
     "embed_quantize"      -> ((s, dir) => Quantization.embedQuantize(s, dir)),
+    "shuffle_export"      -> ((s, dir) => Sharding.shuffleExport(s, dir)),
     "dedup_minhash_cand"  -> ((s, dir) => DedupOps.minhashCandidates(s, dir)),
     "dedup_jaccard"       -> ((s, dir) => DedupOps.nearDupJaccard(s, dir)),
     "dedup_simhash"       -> ((s, dir) => DedupOps.simhashSignatures(s, dir)),
@@ -182,6 +183,7 @@ object SparkEntry {
     "quality_repetition"  -> QualityFilters.repetitionStatsSql,
     "chunk_documents"     -> Chunking.chunkDocumentsSql,
     "embed_quantize"      -> Quantization.embedQuantizeSql,
+    "shuffle_export"      -> Sharding.shuffleExportSql,
     "dedup_minhash_cand"  -> DedupOps.minhashCandidatesSql,
     "dedup_jaccard"       -> DedupOps.nearDupJaccardSql,
     "dedup_simhash"       -> DedupOps.simhashSignaturesSql,

@@ -41,7 +41,8 @@ object PipelineViews {
     "graft_dedup_incremental"  -> ((s, d) => DedupOps.incrementalCandidates(s, d)),
     "graft_repetition"         -> ((s, d) => QualityFilters.repetitionStats(s, d)),
     "graft_chunks"             -> ((s, d) => Chunking.chunkDocuments(s, d)),
-    "graft_quantized"          -> ((s, d) => Quantization.embedQuantize(s, d)))
+    "graft_quantized"          -> ((s, d) => Quantization.embedQuantize(s, d)),
+    "graft_shuffle_export"     -> ((s, d) => Sharding.shuffleExport(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.sources.Tables
+
+/** Deterministic shuffle-shard export and train/val/test splitting —
+  * the step between curation and the trainer: give every document a
+  * reproducible pseudo-random position (so epoch order is shuffled but
+  * bit-stable across reruns), a shard assignment for parallel writers,
+  * and a holdout split, without any RNG state.
+  *
+  * Both keys are content-independent md5 hashes of the doc id under
+  * distinct salts ("shuf|" for ordering, "split|" for the holdout),
+  * so shard, position, and split are independent of each other and of
+  * ingestion order — rerunning after adding documents moves nobody
+  * between splits (the property hash-salting exists for).
+  *
+  * Scale design: ONE exchange, hash-partitioned by shard; the
+  * row_number window sorts WITHIN each shard only (never a global
+  * sort), so per-task work is n/shards · log(n/shards) and the shard
+  * count knob (`spark.graft.export.shards`) sizes partitions to the
+  * writer fleet. The 90/5/5 split thresholds are fixed expressions in
+  * the oracle contract.
+  */
+object Sharding {
+
+  val TrainPct = 90
+  val ValPct = 5
+
+  private def shufKey = TextOps.hash60(concat(lit("shuf|"), col("doc_id").cast("string")))
+  private def splitKey = TextOps.hash60(concat(lit("split|"), col("doc_id").cast("string")))
+
+  def shuffleExport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shards = graft.GraftConf.exportShards(spark)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shufKey.as("k"), splitKey.as("sk"))
+      .select(col("doc_id"), col("k"),
+        (col("k") % shards).as("shard"),
+        when(col("sk") % 100 < TrainPct, lit("train"))
+          .when(col("sk") % 100 < TrainPct + ValPct, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(col("k").asc, col("doc_id").asc))
+          .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("split"))
+      .orderBy(col("shard").asc, col("pos").asc)
+  }
+
+  val shuffleExportSql: String = {
+    val k = TextOps.hash60Sql("concat('shuf|', CAST(doc_id AS VARCHAR))")
+    val sk = TextOps.hash60Sql("concat('split|', CAST(doc_id AS VARCHAR))")
+    s"""WITH keyed AS (SELECT doc_id, $k AS k, $sk AS sk FROM documents),
+       |assigned AS (SELECT doc_id, k,
+       |                    k % ${graft.GraftConf.DefaultExportShards} AS shard,
+       |                    CASE WHEN sk % 100 < $TrainPct THEN 'train'
+       |                         WHEN sk % 100 < ${TrainPct + ValPct} THEN 'val'
+       |                         ELSE 'test' END AS split
+       |             FROM keyed)
+       |SELECT doc_id, shard,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k ASC, doc_id ASC) AS BIGINT) AS pos,
+       |       split
+       |FROM assigned
+       |ORDER BY shard ASC, pos ASC""".stripMargin
+  }
+}

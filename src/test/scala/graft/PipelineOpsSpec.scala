@@ -144,6 +144,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("shuffle export: reproducible shards, contiguous positions, hash splits") {
+    import graft.operators.Sharding
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val rows = Sharding.shuffleExport(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == h60(s"shuf|$id") % GraftConf.DefaultExportShards)
+      val sk = h60(s"split|$id") % 100
+      val expect = if (sk < Sharding.TrainPct) "train"
+        else if (sk < Sharding.TrainPct + Sharding.ValPct) "val" else "test"
+      assert(r.getString(3) == expect, s"doc $id split")
+    }
+    // positions are 1..size within each shard, ordered by the shuffle key
+    rows.groupBy(_.getLong(1)).foreach { case (_, shard) =>
+      val sorted = shard.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).sameElements(1L to shard.length))
+      val keys = sorted.map(r => (h60(s"shuf|${r.getLong(0)}"), r.getLong(0)))
+      assert(keys.sameElements(keys.sorted), "shard order must follow the shuffle key")
+    }
+    // bit-stable across reruns
+    assert(Sharding.shuffleExport(spark, sf).collect().sameElements(rows))
+  }
+
   test("chunk size/stride knobs are honored and validated") {
     spark.conf.set(GraftConf.ChunkSizeKey, "8")
     spark.conf.set(GraftConf.ChunkStrideKey, "8")
