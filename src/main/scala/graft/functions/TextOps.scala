@@ -87,6 +87,20 @@ object TextOps {
           concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
   }
 
+  /** Start indices 0..len-n of the n-grams of token array `t` (empty
+    * when the doc is shorter than n). Scalar codegen'd shape shared by
+    * the shingle and bigram pipelines — an array-HOF formulation looks
+    * cleaner but Catalyst's project collapse re-inlines the interpreted
+    * lambda pipeline into every consumer (measured 7× slower). */
+  def ngramIndex(t: Column, n: Int): Column =
+    when(size(t) >= n, sequence(lit(0), size(t) - n))
+      .otherwise(array().cast("array<int>"))
+
+  /** The n-gram starting at exploded index `i` (0-based): n consecutive
+    * tokens joined by a space. */
+  def ngramAt(t: Column, i: Column, n: Int): Column =
+    concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)
+
   /** Portable 60-bit string hash: first 15 hex chars of md5, as a long.
     * Identical in DuckDB: `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`.
     * (md5 is bytewise-identical across engines; 15 hex chars keep the

@@ -34,6 +34,12 @@ object Chunking {
   def chunkCols(docs: DataFrame): DataFrame = {
     val w = graft.GraftConf.chunkSize(docs.sparkSession)
     val s = graft.GraftConf.chunkStride(docs.sparkSession)
+    // stride > size would silently drop the tokens between one chunk's
+    // end and the next chunk's start from every document — fail fast
+    // (stride == size is valid: disjoint chunks, zero overlap)
+    require(s <= w,
+      s"${graft.GraftConf.ChunkStrideKey}=$s must not exceed " +
+        s"${graft.GraftConf.ChunkSizeKey}=$w (tokens would be dropped)")
     val t = col("t")
     docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))

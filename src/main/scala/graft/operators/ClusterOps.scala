@@ -41,9 +41,14 @@ object ClusterOps {
     * component's minimum node id. */
   def componentsOf(spark: SparkSession, edges: DataFrame): DataFrame = {
     val maxIters = graft.GraftConf.ccMaxIters(spark)
+    // both orientations from ONE pass over the edge plan (a union of
+    // two selects would instantiate the upstream pair-discovery
+    // pipeline once per branch inside this checkpoint job)
     val sym = edges
-      .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
-      .unionByName(edges.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+      .select(explode(array(
+        struct(col("doc_a").as("node"), col("doc_b").as("nbr")),
+        struct(col("doc_b").as("node"), col("doc_a").as("nbr")))).as("e"))
+      .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
       .localCheckpoint(true)
     // initialization IS round one: label₀ = min(node, neighbors) — for
     // clique-shaped components (the common near-dup case: mutual pairs)
@@ -74,9 +79,14 @@ object ClusterOps {
       iter += 1
     }
     Materialize.free(sym)
-    require(converged,
-      s"connected components did not converge in $maxIters rounds " +
-        s"(raise ${graft.GraftConf.CcMaxItersKey})")
+    if (!converged) {
+      // free the final round's blocks too — the caller never sees this
+      // frame, and an unfreed checkpoint would leak for the session
+      Materialize.free(labels)
+      throw new IllegalArgumentException(
+        s"connected components did not converge in $maxIters rounds " +
+          s"(raise ${graft.GraftConf.CcMaxItersKey})")
+    }
     labels
   }
 

@@ -72,18 +72,15 @@ object DedupOps {
     * slower). Docs with fewer than ShingleK tokens drop out here,
     * having no shingles. */
   private def shingleHashes(spark: SparkSession, sfDir: String): DataFrame = {
-    // explode an index range and build each shingle with scalar
-    // (codegen'd) concat_ws/element_at instead of interpreted
+    // explode an index range and build each shingle with the scalar
+    // (codegen'd) TextOps.ngramAt instead of interpreted
     // array_distinct/transform lambdas; duplicates are harmless (min is
     // idempotent, collect_set dedups), so no distinct pass is needed.
     val t = col("t")
-    val idx = when(size(t) >= ShingleK, sequence(lit(0), size(t) - ShingleK))
-      .otherwise(array().cast("array<int>"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .select(col("doc_id"), t, explode(idx).as("i"))
-      .select(col("doc_id"),
-        concat_ws(" ", (0 until ShingleK).map(j => element_at(t, col("i") + j + 1)): _*).as("s"))
+      .select(col("doc_id"), t, explode(TextOps.ngramIndex(t, ShingleK)).as("i"))
+      .select(col("doc_id"), TextOps.ngramAt(t, col("i"), ShingleK).as("s"))
       .select(col("doc_id"), TextOps.hash60(col("s")).as("h"))
   }
 
@@ -230,15 +227,18 @@ object DedupOps {
   def incrementalCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val bands = bandRows(signatures(spark, sfDir, keepHs = false))
     val delta = bands.where(col("doc_id") % 10 === 0)
+    // one-sided orientation guard: a delta×delta pair matches from both
+    // sides of the join, so keep only the d < o orientation for those —
+    // each (pair, band) is then emitted exactly once and no
+    // distinct-over-candidates shuffle is needed
     delta.as("d").join(bands.as("o"),
         col("d.band_id") === col("o.band_id") &&
         col("d.band_key") === col("o.band_key") &&
-        col("d.doc_id") =!= col("o.doc_id"))
+        col("d.doc_id") =!= col("o.doc_id") &&
+        (col("o.doc_id") % 10 =!= 0 || col("d.doc_id") < col("o.doc_id")))
       .select(
         least(col("d.doc_id"), col("o.doc_id")).as("doc_a"),
-        greatest(col("d.doc_id"), col("o.doc_id")).as("doc_b"),
-        col("d.band_id").as("band_id"))
-      .distinct()
+        greatest(col("d.doc_id"), col("o.doc_id")).as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy(col("doc_a").asc, col("doc_b").asc)

@@ -53,15 +53,11 @@ object QualityFilters {
         sum(when(col("cnt") > 1, col("cnt") * col("tklen")).otherwise(lit(0L))).as("dup_chars"),
         sum(col("cnt") * col("tklen")).as("total_chars"))
 
-    // bigram-level: scalar shingle construction (same explode-an-index
-    // shape as DedupOps.shingleHashes — array HOFs here would be
-    // re-inlined by project collapse), count per (doc, bigram), roll up
-    val idx = when(size(col("t")) >= 2, sequence(lit(0), size(col("t")) - 2))
-      .otherwise(array().cast("array<int>"))
+    // bigram-level: the same scalar explode-an-index n-gram shape as
+    // the shingle pipeline, count per (doc, bigram), roll up
     val bgStats = docs
-      .select(col("doc_id"), col("t"), explode(idx).as("i"))
-      .select(col("doc_id"),
-        concat_ws(" ", element_at(col("t"), col("i") + 1), element_at(col("t"), col("i") + 2)).as("bg"))
+      .select(col("doc_id"), col("t"), explode(TextOps.ngramIndex(col("t"), 2)).as("i"))
+      .select(col("doc_id"), TextOps.ngramAt(col("t"), col("i"), 2).as("bg"))
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))

@@ -185,5 +185,9 @@ class PipelineOpsSpec extends SparkSpec {
     spark.conf.set(GraftConf.ChunkStrideKey, "0")
     try intercept[IllegalArgumentException](Chunking.chunkDocuments(spark, sf))
     finally spark.conf.unset(GraftConf.ChunkStrideKey)
+    // stride > size would silently drop tokens between chunks
+    spark.conf.set(GraftConf.ChunkStrideKey, (GraftConf.DefaultChunkSize + 1).toString)
+    try intercept[IllegalArgumentException](Chunking.chunkDocuments(spark, sf))
+    finally spark.conf.unset(GraftConf.ChunkStrideKey)
   }
 }
