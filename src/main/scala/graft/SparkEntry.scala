@@ -40,6 +40,8 @@ object SparkEntry {
     "chunk_documents"     -> ((s, dir) => Chunking.chunkDocuments(s, dir)),
     "embed_quantize"      -> ((s, dir) => Quantization.embedQuantize(s, dir)),
     "shuffle_export"      -> ((s, dir) => Sharding.shuffleExport(s, dir)),
+    "dedup_survivors"     -> ((s, dir) => ClusterOps.dedupSurvivors(s, dir)),
+    "lm_bigram_score"     -> ((s, dir) => QualityFilters.bigramLmScore(s, dir)),
     "dedup_minhash_cand"  -> ((s, dir) => DedupOps.minhashCandidates(s, dir)),
     "dedup_jaccard"       -> ((s, dir) => DedupOps.nearDupJaccard(s, dir)),
     "dedup_simhash"       -> ((s, dir) => DedupOps.simhashSignatures(s, dir)),
@@ -184,6 +186,8 @@ object SparkEntry {
     "chunk_documents"     -> Chunking.chunkDocumentsSql,
     "embed_quantize"      -> Quantization.embedQuantizeSql,
     "shuffle_export"      -> Sharding.shuffleExportSql,
+    "dedup_survivors"     -> ClusterOps.dedupSurvivorsSql,
+    "lm_bigram_score"     -> QualityFilters.bigramLmScoreSql,
     "dedup_minhash_cand"  -> DedupOps.minhashCandidatesSql,
     "dedup_jaccard"       -> DedupOps.nearDupJaccardSql,
     "dedup_simhash"       -> DedupOps.simhashSignaturesSql,

@@ -115,12 +115,24 @@ object ClusterOps {
       .orderBy(col("doc_id").asc)
   }
 
-  /** Oracle: Jaccard edges exactly as in [[DedupOps.nearDupJaccardSql]],
-    * then components by recursive transitive closure (every (node,
-    * reachable) pair, then MIN per node) — independent of the label
-    * propagation it verifies. Closure size is Σ component², fine at
-    * oracle scale; the propagation loop is what runs at corpus scale. */
-  val dedupClustersSql: String = {
+  /** The survivor corpus — what a dedup pipeline actually keeps: one
+    * canonical document per near-dup cluster (plus all singletons),
+    * with its cluster size and provenance columns. The non-canonical
+    * rows are exactly the documents near-dedup deletes. */
+  def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClusters(spark, sfDir)
+      .where(col("is_canonical"))
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("cluster_size"), col("source"), col("lang"))
+      .orderBy(col("doc_id").asc)
+
+  /** Shared oracle CTE chain: Jaccard edges exactly as in
+    * [[DedupOps.nearDupJaccardSql]], then components by recursive
+    * transitive closure (every (node, reachable) pair, then MIN per
+    * node) — independent of the label propagation it verifies. Closure
+    * size is Σ component², fine at oracle scale; the propagation loop
+    * is what runs at corpus scale. */
+  private def clusterCtes: String = {
     val jac = "CAST(len(list_intersect(ha, hb)) AS DOUBLE) / " +
       "(CAST(len(ha) + len(hb) AS DOUBLE) - CAST(len(list_intersect(ha, hb)) AS DOUBLE))"
     s"""WITH RECURSIVE ${DedupOps.minhashSqlPrefix},
@@ -137,12 +149,25 @@ object ClusterOps {
        |reach AS (SELECT node, node AS r FROM (SELECT DISTINCT node FROM sym) n
        |          UNION
        |          SELECT s.node, reach.r FROM sym s JOIN reach ON s.nbr = reach.node),
-       |lab AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
-       |SELECT doc_id, cluster_id,
-       |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-       |       doc_id = cluster_id AS is_canonical
-       |FROM (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
-       |      FROM documents d LEFT JOIN lab l ON d.doc_id = l.node) z
-       |ORDER BY doc_id ASC""".stripMargin
+       |lab AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+       |clus AS (SELECT doc_id, cluster_id,
+       |                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |                doc_id = cluster_id AS is_canonical
+       |         FROM (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id
+       |               FROM documents d LEFT JOIN lab l ON d.doc_id = l.node) z)""".stripMargin
   }
+
+  val dedupClustersSql: String =
+    s"""$clusterCtes
+       |SELECT doc_id, cluster_id, cluster_size, is_canonical
+       |FROM clus
+       |ORDER BY doc_id ASC""".stripMargin
+
+  val dedupSurvivorsSql: String =
+    s"""$clusterCtes
+       |SELECT c.doc_id, c.cluster_size, d.source, d.lang
+       |FROM clus c
+       |JOIN documents d ON c.doc_id = d.doc_id
+       |WHERE c.is_canonical
+       |ORDER BY c.doc_id ASC""".stripMargin
 }

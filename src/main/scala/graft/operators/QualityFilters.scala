@@ -83,6 +83,58 @@ object QualityFilters {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Corpus-bigram language-model quality score — the shape of
+    * model-based filtering without a trained model: score each document
+    * by how typical its bigrams are OF THIS CORPUS. Per document:
+    * the mean corpus frequency of its bigram occurrences (formulaic
+    * boilerplate scores high, line noise scores ≈1) and the fraction of
+    * its bigrams seen nowhere else (hapax bigrams). All counts are
+    * exact integers with one final IEEE division each — log-free, so
+    * the DuckDB oracle matches bit-for-bit (ln differs across libm
+    * implementations; a frequency ratio does not).
+    *
+    * Scale design: one explode→count aggregation builds the corpus
+    * bigram table (map-side combined; the shuffle carries short bigram
+    * strings + counts); the per-doc pass re-joins the slim (doc_id,
+    * bigram) rows to it on the bigram key — a plain shuffled equi-join
+    * whose hot keys (ubiquitous bigrams) AQE's skew split handles —
+    * then rolls up per doc_id. Documents shorter than 2 tokens have no
+    * bigrams and no row, mirroring the oracle's inner join. */
+  def bigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), explode(TextOps.ngramIndex(col("t"), 2)).as("i"))
+      .select(col("doc_id"), TextOps.ngramAt(col("t"), col("i"), 2).as("bg"))
+    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    bg.join(counts, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c")).as("sum_df"),
+        sum(when(col("c") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_df").cast("double") / col("n_bigrams")).as("avg_bigram_df"),
+        (col("n_hapax").cast("double") / col("n_bigrams")).as("hapax_frac"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val bigramLmScoreSql: String =
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |              FROM documents),
+       |bg0 AS (SELECT doc_id,
+       |               unnest(list_transform(range(greatest(len(t) - 1, 0)),
+       |                                     i -> concat_ws(' ', t[i + 1], t[i + 2]))) AS bg
+       |        FROM toks),
+       |bc AS (SELECT bg, COUNT(*) AS c FROM bg0 GROUP BY bg),
+       |per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+       |               CAST(SUM(c) AS BIGINT) AS sum_df,
+       |               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+       |        FROM bg0 JOIN bc USING (bg) GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |       CAST(sum_df AS DOUBLE) / n_bigrams AS avg_bigram_df,
+       |       CAST(n_hapax AS DOUBLE) / n_bigrams AS hapax_frac
+       |FROM per
+       |ORDER BY doc_id ASC""".stripMargin
+
   val repetitionStatsSql: String =
     s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
        |              FROM documents),

@@ -144,6 +144,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("survivors keep exactly one document per cluster") {
+    val clusters = ClusterOps.dedupClusters(spark, sf).collect()
+    val survivors = ClusterOps.dedupSurvivors(spark, sf).collect()
+    assert(survivors.length == clusters.map(_.getLong(1)).distinct.length)
+    val canon = clusters.filter(_.getBoolean(3)).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    survivors.foreach(r => assert(canon(r.getLong(0)) == r.getLong(1)))
+  }
+
+  test("bigram LM score matches a local recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)
+        .sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq).toMap
+    val corpus = docs.values.flatten.groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val rows = QualityFilters.bigramLmScore(spark, sf).collect()
+    assert(rows.length == docs.count(_._2.nonEmpty))
+    rows.foreach { r =>
+      val bgs = docs(r.getLong(0))
+      assert(r.getLong(1) == bgs.length)
+      assert(r.getDouble(2) == bgs.map(corpus).sum.toDouble / bgs.length)
+      assert(r.getDouble(3) == bgs.count(corpus(_) == 1L).toDouble / bgs.length)
+    }
+  }
+
   test("shuffle export: reproducible shards, contiguous positions, hash splits") {
     import graft.operators.Sharding
     def h60(s: String): Long = {
