@@ -42,6 +42,7 @@ object SparkEntry {
     "shuffle_export"      -> ((s, dir) => Sharding.shuffleExport(s, dir)),
     "dedup_survivors"     -> ((s, dir) => ClusterOps.dedupSurvivors(s, dir)),
     "lm_bigram_score"     -> ((s, dir) => QualityFilters.bigramLmScore(s, dir)),
+    "source_profile"      -> ((s, dir) => TextAnalysis.sourceProfile(s, dir)),
     "dedup_minhash_cand"  -> ((s, dir) => DedupOps.minhashCandidates(s, dir)),
     "dedup_jaccard"       -> ((s, dir) => DedupOps.nearDupJaccard(s, dir)),
     "dedup_simhash"       -> ((s, dir) => DedupOps.simhashSignatures(s, dir)),
@@ -188,6 +189,7 @@ object SparkEntry {
     "shuffle_export"      -> Sharding.shuffleExportSql,
     "dedup_survivors"     -> ClusterOps.dedupSurvivorsSql,
     "lm_bigram_score"     -> QualityFilters.bigramLmScoreSql,
+    "source_profile"      -> TextAnalysis.sourceProfileSql,
     "dedup_minhash_cand"  -> DedupOps.minhashCandidatesSql,
     "dedup_jaccard"       -> DedupOps.nearDupJaccardSql,
     "dedup_simhash"       -> DedupOps.simhashSignaturesSql,

@@ -38,6 +38,44 @@ object TextAnalysis {
       .orderBy(col("lang").asc)
   }
 
+  /** Per-source dataset card — the profile a mixture designer reads
+    * before weighting sources: document/token volumes, exact
+    * token-length quantiles (median + p90; Spark's exact `percentile`
+    * and DuckDB's `quantile_cont` share the type-7 linear-interpolation
+    * definition, and on exact integer lengths the interpolation
+    * arithmetic is the same two IEEE ops), and language spread. One
+    * hash aggregation keyed by source; the exact percentile buffers
+    * per-group values, which is safe here because groups are SOURCES
+    * (thousands at most), not documents — the same cardinality argument
+    * as `median_quantity`. */
+  def sourceProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    docs(spark, sfDir)
+      .select(col("source"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        median(col("n_tok")).as("median_tokens"),
+        percentile(col("n_tok"), lit(0.9)).as("p90_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("source").asc)
+  }
+
+  val sourceProfileSql: String =
+    """WITH t AS (SELECT source, lang,
+      |                  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+      |           FROM documents)
+      |SELECT source,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+      |       median(n_tok) AS median_tokens,
+      |       quantile_cont(n_tok, 0.9) AS p90_tokens,
+      |       COUNT(DISTINCT lang) AS n_langs
+      |FROM t
+      |GROUP BY source
+      |ORDER BY source ASC""".stripMargin
+
   val textStatsSql: String =
     """SELECT lang,
       |       COUNT(*) AS n_docs,
