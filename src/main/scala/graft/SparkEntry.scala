@@ -41,6 +41,7 @@ object SparkEntry {
     "embed_quantize"      -> ((s, dir) => Quantization.embedQuantize(s, dir)),
     "shuffle_export"      -> ((s, dir) => Sharding.shuffleExport(s, dir)),
     "dedup_survivors"     -> ((s, dir) => ClusterOps.dedupSurvivors(s, dir)),
+    "dedup_rep_quality"   -> ((s, dir) => ClusterOps.canonicalByQuality(s, dir)),
     "lm_bigram_score"     -> ((s, dir) => QualityFilters.bigramLmScore(s, dir)),
     "source_profile"      -> ((s, dir) => TextAnalysis.sourceProfile(s, dir)),
     "dedup_minhash_cand"  -> ((s, dir) => DedupOps.minhashCandidates(s, dir)),
@@ -188,6 +189,7 @@ object SparkEntry {
     "embed_quantize"      -> Quantization.embedQuantizeSql,
     "shuffle_export"      -> Sharding.shuffleExportSql,
     "dedup_survivors"     -> ClusterOps.dedupSurvivorsSql,
+    "dedup_rep_quality"   -> ClusterOps.canonicalByQualitySql,
     "lm_bigram_score"     -> QualityFilters.bigramLmScoreSql,
     "source_profile"      -> TextAnalysis.sourceProfileSql,
     "dedup_minhash_cand"  -> DedupOps.minhashCandidatesSql,

@@ -126,6 +126,25 @@ object ClusterOps {
       .select(col("doc_id"), col("cluster_size"), col("source"), col("lang"))
       .orderBy(col("doc_id").asc)
 
+  /** Cluster representatives chosen by QUALITY rather than id: per
+    * near-dup cluster, keep the document with the highest quality score
+    * (doc_id ascending as the deterministic tiebreak) — what a real
+    * pipeline keeps when duplicates differ in extraction quality. One
+    * row per cluster. The rank is a per-cluster window over the
+    * label-frame join (cluster-sized partitions, never corpus-wide),
+    * on top of the memoized label propagation. */
+  def canonicalByQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    dedupClusters(spark, sfDir).select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .join(TextAnalysis.qualityScore(spark, sfDir).select(col("doc_id"), col("quality")), "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id")).orderBy(col("quality").desc, col("doc_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+        col("cluster_size"), col("quality"))
+      .orderBy(col("cluster_id").asc)
+  }
+
   /** Shared oracle CTE chain: Jaccard edges exactly as in
     * [[DedupOps.nearDupJaccardSql]], then components by recursive
     * transitive closure (every (node, reachable) pair, then MIN per
@@ -162,6 +181,18 @@ object ClusterOps {
        |SELECT doc_id, cluster_id, cluster_size, is_canonical
        |FROM clus
        |ORDER BY doc_id ASC""".stripMargin
+
+  val canonicalByQualitySql: String =
+    s"""$clusterCtes,
+       |q AS (${TextAnalysis.qualityScoreSql}),
+       |ranked AS (SELECT c.cluster_id, c.doc_id, c.cluster_size, q.quality,
+       |                  ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |                                     ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+       |           FROM clus c JOIN q ON c.doc_id = q.doc_id)
+       |SELECT cluster_id, doc_id AS keep_doc_id, cluster_size, quality
+       |FROM ranked
+       |WHERE rn = 1
+       |ORDER BY cluster_id ASC""".stripMargin
 
   val dedupSurvivorsSql: String =
     s"""$clusterCtes

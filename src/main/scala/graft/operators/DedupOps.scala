@@ -105,6 +105,13 @@ object DedupOps {
       shingleHashes(spark, sfDir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     }
 
+  /** The capped band rows as a storable relation — what a production
+    * pipeline persists (bucketed by `band_key`) so periodic
+    * [[incrementalCandidatesFromBands]] runs touch no text and reshuffle
+    * nothing. */
+  def bandTable(spark: SparkSession, sfDir: String): DataFrame =
+    bandRows(signatures(spark, sfDir, keepHs = false))
+
   /** Slim band rows (doc_id, band_id, band_key) from a signature frame.
     * Deliberately carries NOTHING but the 8-byte doc id and the short
     * band key: the band self-join duplicates every row into each
@@ -224,8 +231,18 @@ object DedupOps {
     * run" (a timestamp/batch-id column on a real signature table); it
     * is part of the oracle contract here, so it is a fixed expression,
     * not a conf knob. */
-  def incrementalCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = bandRows(signatures(spark, sfDir, keepHs = false))
+  def incrementalCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalCandidatesFromBands(bandRows(signatures(spark, sfDir, keepHs = false)))
+
+  /** The delta join over an already-banded frame — so a production
+    * pipeline can run it against a STORED band table. Persist that
+    * table bucketed by `band_key` (`Tables.writeBucketed`) and this
+    * join needs NO exchange on either side: both sides read the same
+    * bucket layout, and hash partitioning on `band_key` co-locates
+    * every (band_id, band_key) join group (ScaleOpsSpec pins the
+    * exchange-free plan). That turns the per-delta cost into a bucketed
+    * scan + local join — the corpus is never reshuffled, however large. */
+  def incrementalCandidatesFromBands(bands: DataFrame): DataFrame = {
     val delta = bands.where(col("doc_id") % 10 === 0)
     // one-sided orientation guard: a delta×delta pair matches from both
     // sides of the join, so keep only the d < o orientation for those —

@@ -152,6 +152,21 @@ class PipelineOpsSpec extends SparkSpec {
     survivors.foreach(r => assert(canon(r.getLong(0)) == r.getLong(1)))
   }
 
+  test("quality-based representatives are the best doc of each cluster") {
+    val quality = graft.operators.TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val clusters = ClusterOps.dedupClusters(spark, sf).collect()
+      .groupBy(_.getLong(1))
+    val reps = ClusterOps.canonicalByQuality(spark, sf).collect()
+    assert(reps.length == clusters.size)
+    reps.foreach { r =>
+      val members = clusters(r.getLong(0)).map(_.getLong(0))
+      val best = members.maxBy(id => (quality(id), -id))
+      assert(r.getLong(1) == best && r.getDouble(3) == quality(best))
+      assert(r.getLong(2) == members.length.toLong)
+    }
+  }
+
   test("bigram LM score matches a local recompute") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty)

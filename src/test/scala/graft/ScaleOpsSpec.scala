@@ -24,6 +24,22 @@ class ScaleOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE li_bkt"); spark.sql("DROP TABLE ord_bkt")
   }
 
+  test("bucketed band table: incremental dedup joins without reshuffling the corpus") {
+    import graft.operators.DedupOps
+    Tables.writeBucketed(DedupOps.bandTable(spark, sf), "bands_bkt", "band_key", 4)
+    val inc = DedupOps.incrementalCandidatesFromBands(spark.table("bands_bkt"))
+    val plan = inc.queryExecution.executedPlan.toString
+    // the ONLY hash exchange is the final pair-count aggregation; the
+    // band self-join runs on the shared bucket layout
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange (pair-count agg), got $exchanges:\n$plan")
+    // and it computes exactly the text path's result
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(inc) == rows(DedupOps.incrementalCandidates(spark, sf)))
+    spark.sql("DROP TABLE bands_bkt")
+  }
+
   test("salted join returns exactly the plain join's result") {
     val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
     val dim = Tables.supplier(spark, sf).select("s_suppkey", "s_acctbal")
