@@ -158,6 +158,64 @@ object DocStream {
       }
   }
 
+  /** One online LSH candidate: docs `doc_a < doc_b` sharing minhash
+    * band `band_id`. */
+  case class CandidatePair(doc_a: Long, doc_b: Long, band_id: Int)
+
+  /** ONLINE LSH band join — streaming near-dedup candidates, not just
+    * signatures: as signature rows arrive (from [[signatureStream]]),
+    * each doc's band rows meet their bucket's earlier members in
+    * per-bucket streaming state, and candidate pairs are emitted the
+    * moment the second member lands. This is the
+    * `flatMapGroupsWithState` form of `DedupOps.bandPairs`: the group
+    * key IS the join key (band_id, band_key), so state is partitioned
+    * exactly like the batch shuffle, and each bucket's state is its
+    * member doc ids, hard-capped at `spark.graft.minhash.bucketCap` —
+    * state per key is bounded no matter how hot a boilerplate bucket
+    * runs.
+    *
+    * Cap semantics vs batch: the batch operator drops an over-cap
+    * bucket RETROACTIVELY (it sees final occupancy); a streaming
+    * operator cannot un-emit, so it stops emitting once a bucket
+    * reaches the cap — the first `cap` arrivals pair, later ones don't
+    * (arrival order is deterministic per micro-batch: ids sorted). Under
+    * the cap the two are IDENTICAL, which the spec pins by comparing
+    * streamed pairs+band-counts against `minhashCandidates`. Production
+    * crawls add an event-time TTL on the state; the fixture documents
+    * carry no event time, so buckets here live for the stream. */
+  def candidateStream(sigs: DataFrame): Dataset[CandidatePair] = {
+    import sigs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val cap = graft.GraftConf.minhashBucketCap(sigs.sparkSession)
+    val rpb = DedupOps.RowsPerBand
+    val bandStructs = (0 until DedupOps.NumBands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("_", (0 until rpb).map(j =>
+          element_at(col("minhash"), b * rpb + j + 1)): _*).as("band_key"))
+    }
+    sigs.where(col("minhash").isNotNull)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_id").as("band_id"), col("bb.band_key").as("band_key"))
+      .as[(Long, Int, String)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[(Long, Int, String)],
+         state: org.apache.spark.sql.streaming.GroupState[Array[Long]]) =>
+          var members = state.getOption.getOrElse(Array.empty[Long])
+          val out = Seq.newBuilder[CandidatePair]
+          // sorted for deterministic within-batch arrival order
+          rows.map(_._1).toArray.distinct.sorted.foreach { d =>
+            if (!members.contains(d) && members.length < cap) {
+              members.foreach(m =>
+                out += CandidatePair(math.min(m, d), math.max(m, d), key._1))
+              members = members :+ d
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+
   /** Stateless streaming chunking: the identical
     * [[graft.operators.Chunking.chunkCols]] projection the
     * oracle-verified batch query runs, applied to a document stream —

@@ -260,6 +260,35 @@ class SinksStreamingSpec extends SparkSpec {
       "signature-table simhash banding must reproduce the text path's pairs")
   }
 
+  test("online LSH band join emits the batch candidate pairs across micro-batches") {
+    import graft.streaming.DocStream
+    import graft.operators.DedupOps
+    // two files → two triggers: pairs spanning the halves exist only if
+    // bucket state survives across micro-batches
+    val dir = Files.createTempDirectory("graft_candstream").toString
+    val docs = Tables.documents(spark, sf)
+    Seq(0, 1).foreach { half =>
+      val tmp = Files.createTempDirectory(s"graft_cand_half$half").toString
+      docs.where(col("doc_id") % 2 === half).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, java.nio.file.Path.of(dir, s"half$half.parquet"))
+    }
+    val q = DocStream.candidateStream(
+        DocStream.signatureStream(DocStream.readDocsStream(spark, dir)).toDF())
+      .writeStream.format("memory").queryName("cand_stream_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // distinct pairs with shared-band counts == the oracle-verified batch
+    // operator (no sf0.001 bucket nears the default cap, so the capped
+    // streaming semantics coincide with the batch retroactive drop)
+    val streamed = spark.table("cand_stream_test").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).distinct
+      .groupBy(_._1).map { case (p, g) => (p._1, p._2, g.size.toLong) }.toSeq.sorted
+    val batch = DedupOps.minhashCandidates(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.length} pairs vs batch ${batch.length}")
+  }
+
   test("streaming checkpoint recovery resumes exactly-once after a restart") {
     import org.apache.spark.sql.expressions.Window
     val inDir = Files.createTempDirectory("graft_rec_in").toString
