@@ -42,6 +42,7 @@ object SparkEntry {
     "shuffle_export"      -> ((s, dir) => Sharding.shuffleExport(s, dir)),
     "dedup_survivors"     -> ((s, dir) => ClusterOps.dedupSurvivors(s, dir)),
     "dedup_rep_quality"   -> ((s, dir) => ClusterOps.canonicalByQuality(s, dir)),
+    "dedup_clusters_incr" -> ((s, dir) => ClusterOps.incrementalClusters(s, dir)),
     "lm_bigram_score"     -> ((s, dir) => QualityFilters.bigramLmScore(s, dir)),
     "source_profile"      -> ((s, dir) => TextAnalysis.sourceProfile(s, dir)),
     "dedup_minhash_cand"  -> ((s, dir) => DedupOps.minhashCandidates(s, dir)),
@@ -190,6 +191,7 @@ object SparkEntry {
     "shuffle_export"      -> Sharding.shuffleExportSql,
     "dedup_survivors"     -> ClusterOps.dedupSurvivorsSql,
     "dedup_rep_quality"   -> ClusterOps.canonicalByQualitySql,
+    "dedup_clusters_incr" -> ClusterOps.incrementalClustersSql,
     "lm_bigram_score"     -> QualityFilters.bigramLmScoreSql,
     "source_profile"      -> TextAnalysis.sourceProfileSql,
     "dedup_minhash_cand"  -> DedupOps.minhashCandidatesSql,

@@ -126,6 +126,79 @@ object ClusterOps {
       .select(col("doc_id"), col("cluster_size"), col("source"), col("lang"))
       .orderBy(col("doc_id").asc)
 
+  /** INCREMENTAL cluster maintenance — merge a delta batch into
+    * existing cluster labels without re-propagating the corpus:
+    *
+    *  1. baseline labels = components of the corpus-only near-dup graph
+    *     (in production these are STORED from the last run; here
+    *     recomputed from the `doc_id % 10 != 0` slice);
+    *  2. delta edges = Jaccard-verified pairs touching the delta
+    *     ([[DedupOps.incrementalCandidatesFromBands]] — cost
+    *     proportional to the delta, never Σ bucket²);
+    *  3. delta edges are mapped through the baseline labels onto
+    *     SUPER-NODES (whole clusters), and label propagation runs on
+    *     that quotient graph — its size is O(affected clusters + delta
+    *     docs), so a daily delta re-propagates thousands of nodes, not
+    *     the corpus.
+    *
+    * Because every cluster label is its component's minimum doc id, the
+    * minimum over merged super-nodes equals the full re-run's label —
+    * so the ORACLE is the full re-clustering itself (exact whenever no
+    * band bucket sits at the occupancy cap, as in the pinned fixtures;
+    * a capped bucket could let the two runs band differently, which is
+    * inherent to capped LSH, not to the merge). */
+  def incrementalClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    var inners: List[DataFrame] = Nil
+    val labels = Materialize.memoized(spark, s"cc_incr_${Materialize.dirTag(sfDir)}") {
+      val sigs = DedupOps.signatures(spark, sfDir, keepHs = true)
+      val baseLabels = componentsOf(spark,
+        DedupOps.nearDupJaccardFromSignatures(sigs.where(col("doc_id") % 10 =!= 0))
+          .select(col("doc_a"), col("doc_b")))
+      val deltaEdges = DedupOps.jaccardVerify(
+          DedupOps.incrementalCandidates(spark, sfDir), sigs)
+        .where(col("jaccard") >= DedupOps.JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"))
+      val lblA = baseLabels.toDF("doc_a", "la")
+      val lblB = baseLabels.toDF("doc_b", "lb")
+      val superEdges = deltaEdges
+        .join(lblA, Seq("doc_a"), "left")
+        .join(lblB, Seq("doc_b"), "left")
+        .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+          coalesce(col("lb"), col("doc_b")).as("doc_b"))
+        .where(col("doc_a") =!= col("doc_b"))
+      val superLabelsRaw = componentsOf(spark, superEdges)
+      val superLabels = superLabelsRaw.toDF("old_label", "new_label")
+      inners = List(baseLabels, superLabelsRaw)
+      // docs the baseline knows keep (possibly remapped) labels; super
+      // nodes that are RAW doc ids — delta docs, and corpus singletons
+      // a delta edge bridged — get their merged label directly (a raw
+      // doc id can never equal a baseline cluster label: labels are
+      // members of baseLabels, raw super-nodes are exactly the ids
+      // absent from it, so the anti-join splits them precisely)
+      val baseClusterIds = baseLabels.toDF("n", "old_label").select(col("old_label")).distinct()
+      baseLabels.toDF("node", "base")
+        .join(superLabels, col("base") === col("old_label"), "left")
+        .select(col("node"), coalesce(col("new_label"), col("base")).as("label"))
+        .unionByName(superLabels
+          .join(baseClusterIds, Seq("old_label"), "left_anti")
+          .select(col("old_label").as("node"), col("new_label").as("label")))
+    }
+    inners.foreach(Materialize.free)
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(labels.toDF("doc_id", "label"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Oracle: the FULL re-clustering — incremental maintenance must land
+    * on the same partition (see [[incrementalClusters]] for the cap
+    * caveat, vacuous at the pinned fixtures). */
+  val incrementalClustersSql: String =
+    s"""$clusterCtes
+       |SELECT doc_id, cluster_id
+       |FROM clus
+       |ORDER BY doc_id ASC""".stripMargin
+
   /** Cluster representatives chosen by QUALITY rather than id: per
     * near-dup cluster, keep the document with the highest quality score
     * (doc_id ascending as the deterministic tiebreak) — what a real

@@ -283,8 +283,13 @@ object DedupOps {
     * `array_intersect`; jaccard = inter / (|A| + |B| - inter),
     * thresholded. The division is one IEEE op over exact integers —
     * deterministic. */
-  def nearDupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = signatures(spark, sfDir, keepHs = true)
+  def nearDupJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupJaccardFromSignatures(signatures(spark, sfDir, keepHs = true))
+
+  /** The verified-pair pipeline over an explicit signature frame (with
+    * `hs` sets) — so callers can run it on a SLICE of the corpus (the
+    * incremental-clustering baseline) or a stored signature table. */
+  private[graft] def nearDupJaccardFromSignatures(sigs: DataFrame): DataFrame = {
     val bands = bandRows(sigs)
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -292,15 +297,21 @@ object DedupOps {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val withSets = pairs
+    jaccardVerify(pairs, sigs)
+      .where(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** Exact Jaccard for an explicit (doc_a, doc_b) pair list: each
+    * side's shingle-hash set rides one per-doc join-back, intersected
+    * in place. Returns (doc_a, doc_b, jaccard), unfiltered. */
+  private[graft] def jaccardVerify(pairs: DataFrame, sigs: DataFrame): DataFrame = {
+    val withSets = pairs.select(col("doc_a"), col("doc_b"))
       .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
     val inter = size(array_intersect(col("ha"), col("hb"))).cast("double")
     val union = (size(col("ha")) + size(col("hb"))).cast("double") - inter
-    withSets
-      .select(col("doc_a"), col("doc_b"), (inter / union).as("jaccard"))
-      .where(col("jaccard") >= JaccardThreshold)
-      .orderBy(col("doc_a").asc, col("doc_b").asc)
+    withSets.select(col("doc_a"), col("doc_b"), (inter / union).as("jaccard"))
   }
 
   val nearDupJaccardSql: String =

@@ -55,6 +55,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getBoolean(3) == (r.getLong(0) == r.getLong(1))))
   }
 
+  test("incremental cluster maintenance lands on the full re-clustering") {
+    val full = ClusterOps.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val incr = ClusterOps.incrementalClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(incr.sameElements(full))
+  }
+
   test("incremental candidates = full candidates restricted to delta pairs") {
     val full = DedupOps.minhashCandidates(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
