@@ -59,34 +59,40 @@ object ClusterOps {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
-      val nbrMin = sym.join(labels.toDF("nbr", "nbr_label"), "nbr")
-        .groupBy(col("node")).agg(min(col("nbr_label")).as("nbr_min"))
-      val jump = labels.toDF("jnode", "jlabel")
-      val next = labels
-        .join(nbrMin, Seq("node"), "left")
-        .join(jump, col("label") === col("jnode"), "left")
-        .select(col("node"),
-          least(col("label"),
-            coalesce(col("nbr_min"), col("label")),
-            coalesce(col("jlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val changed = next.toDF("node", "new_label").join(labels, "node")
-        .where(col("new_label") =!= col("label")).count()
-      Materialize.free(labels)
-      labels = next
-      converged = changed == 0
-      iter += 1
+    // any exit that does not hand `labels` to the caller — a failed
+    // round job, cancellation, or non-convergence — must free BOTH live
+    // checkpoints, or their blocks pin executor storage for the session
+    try {
+      while (!converged && iter < maxIters) {
+        val nbrMin = sym.join(labels.toDF("nbr", "nbr_label"), "nbr")
+          .groupBy(col("node")).agg(min(col("nbr_label")).as("nbr_min"))
+        val jump = labels.toDF("jnode", "jlabel")
+        val next = labels
+          .join(nbrMin, Seq("node"), "left")
+          .join(jump, col("label") === col("jnode"), "left")
+          .select(col("node"),
+            least(col("label"),
+              coalesce(col("nbr_min"), col("label")),
+              coalesce(col("jlabel"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        val changed = next.toDF("node", "new_label").join(labels, "node")
+          .where(col("new_label") =!= col("label")).count()
+        Materialize.free(labels)
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalArgumentException(
+          s"connected components did not converge in $maxIters rounds " +
+            s"(raise ${graft.GraftConf.CcMaxItersKey})")
+    } catch {
+      case e: Throwable =>
+        Materialize.free(labels)
+        Materialize.free(sym)
+        throw e
     }
     Materialize.free(sym)
-    if (!converged) {
-      // free the final round's blocks too — the caller never sees this
-      // frame, and an unfreed checkpoint would leak for the session
-      Materialize.free(labels)
-      throw new IllegalArgumentException(
-        s"connected components did not converge in $maxIters rounds " +
-          s"(raise ${graft.GraftConf.CcMaxItersKey})")
-    }
     labels
   }
 

@@ -223,9 +223,10 @@ object DedupOps {
     * [[bandRows]] frame (one window pass, exchange shared with the
     * join), and in production the stored signature table is bucketed by
     * (band_id, band_key) so the full side never reshuffles at all. A
-    * delta×delta pair is found from both sides, so band rows are
-    * deduplicated on (pair, band) before counting shared bands — the
-    * full self-join's `a < b` orientation needs no such pass.
+    * delta×delta pair would be found from both sides of the join, so
+    * the join predicate keeps only the `d < o` orientation for those —
+    * each (pair, band) row is emitted exactly once, with no
+    * dedup pass over the candidate set.
     *
     * The delta predicate is a placeholder for "ingested since the last
     * run" (a timestamp/batch-id column on a real signature table); it
