@@ -156,6 +156,18 @@ object SparkEntry {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_repetition")
       s.sql("SELECT doc_id, n_tokens, dup_token_frac, top_token_frac, dup_char_frac, dup_bigram_frac, flagged FROM graft_repetition ORDER BY doc_id ASC")
     }),
+    "sql_quantize"        -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_quantized")
+      s.sql("SELECT vec_id, scale, q_sum, q_wsum, n_sat FROM graft_quantized ORDER BY vec_id ASC")
+    }),
+    "sql_export"          -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_shuffle_export")
+      s.sql("SELECT doc_id, shard, pos, split FROM graft_shuffle_export ORDER BY shard ASC, pos ASC")
+    }),
+    "sql_source_profile"  -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_source_profile")
+      s.sql("SELECT source, n_docs, total_tokens, median_tokens, p90_tokens, n_langs FROM graft_source_profile ORDER BY source ASC")
+    }),
     "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),
     "sample_per_source_agg" -> ((s, dir) => TextAnalysis.samplePerSourceAgg(s, dir)),
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
@@ -240,6 +252,9 @@ object SparkEntry {
     "sql_clusters"        -> ClusterOps.dedupClustersSql,
     "sql_chunks"          -> Chunking.chunkDocumentsSql,
     "sql_repetition"      -> QualityFilters.repetitionStatsSql,
+    "sql_quantize"        -> Quantization.embedQuantizeSql,
+    "sql_export"          -> Sharding.shuffleExportSql,
+    "sql_source_profile"  -> TextAnalysis.sourceProfileSql,
     "sample_per_source"   -> TextAnalysis.samplePerSourceSql,
     "sample_per_source_agg" -> TextAnalysis.samplePerSourceSql,
     "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,

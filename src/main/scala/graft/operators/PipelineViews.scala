@@ -42,7 +42,11 @@ object PipelineViews {
     "graft_repetition"         -> ((s, d) => QualityFilters.repetitionStats(s, d)),
     "graft_chunks"             -> ((s, d) => Chunking.chunkDocuments(s, d)),
     "graft_quantized"          -> ((s, d) => Quantization.embedQuantize(s, d)),
-    "graft_shuffle_export"     -> ((s, d) => Sharding.shuffleExport(s, d)))
+    "graft_shuffle_export"     -> ((s, d) => Sharding.shuffleExport(s, d)),
+    "graft_dedup_survivors"    -> ((s, d) => ClusterOps.dedupSurvivors(s, d)),
+    "graft_rep_quality"        -> ((s, d) => ClusterOps.canonicalByQuality(s, d)),
+    "graft_lm_score"           -> ((s, d) => QualityFilters.bigramLmScore(s, d)),
+    "graft_source_profile"     -> ((s, d) => TextAnalysis.sourceProfile(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 
