@@ -47,6 +47,9 @@ object SparkEntry {
     "source_profile"      -> ((s, dir) => TextAnalysis.sourceProfile(s, dir)),
     "dedup_minhash_cand"  -> ((s, dir) => DedupOps.minhashCandidates(s, dir)),
     "dedup_jaccard"       -> ((s, dir) => DedupOps.nearDupJaccard(s, dir)),
+    "dedup_containment"   -> ((s, dir) => DedupOps.containmentPairs(s, dir)),
+    "boilerplate_stats"   -> ((s, dir) => QualityFilters.boilerplateStats(s, dir)),
+    "source_overlap"      -> ((s, dir) => TextAnalysis.sourceOverlap(s, dir)),
     "dedup_simhash"       -> ((s, dir) => DedupOps.simhashSignatures(s, dir)),
     "dedup_simhash_pairs" -> ((s, dir) => DedupOps.simhashNearDups(s, dir)),
     "sim_cosine_topk"     -> ((s, dir) => Similarity.cosineTopK(s, dir)),
@@ -208,6 +211,9 @@ object SparkEntry {
     "source_profile"      -> TextAnalysis.sourceProfileSql,
     "dedup_minhash_cand"  -> DedupOps.minhashCandidatesSql,
     "dedup_jaccard"       -> DedupOps.nearDupJaccardSql,
+    "dedup_containment"   -> DedupOps.containmentPairsSql,
+    "boilerplate_stats"   -> QualityFilters.boilerplateStatsSql,
+    "source_overlap"      -> TextAnalysis.sourceOverlapSql,
     "dedup_simhash"       -> DedupOps.simhashSignaturesSql,
     "dedup_simhash_pairs" -> DedupOps.simhashNearDupsSql,
     "sim_cosine_topk"     -> Similarity.cosineTopKSql,

@@ -332,6 +332,64 @@ object DedupOps {
        |        (CAST(len(ha) + len(hb) AS DOUBLE) - CAST(len(list_intersect(ha, hb)) AS DOUBLE)) >= $JaccardThreshold
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
 
+  /** A pair is reported when either side's shingle set is this contained
+    * in the other. Containment ≥ Jaccard always, so this net is wider
+    * than [[JaccardThreshold]] at the same value — it exists to catch
+    * the asymmetric case Jaccard misses by construction. */
+  val ContainmentThreshold = 0.6
+
+  /** Asymmetric containment dedup: |A∩B| / |A| (and /|B|) over the LSH
+    * candidate pairs — the quote/subset detector symmetric Jaccard
+    * cannot be. A short document pasted inside a long one has
+    * jaccard ≈ |A|/|B| (arbitrarily small) but containment(A in B) = 1;
+    * thresholding the LARGER direction keeps exactly those pairs.
+    *
+    * Shares every scale property of [[nearDupJaccard]] (same slim band
+    * join for discovery, same two per-doc array join-backs, in-place
+    * `array_intersect`) because it IS the same pipeline with a second
+    * division at the end: recall is bounded by the MinHash bands, which
+    * estimate Jaccard — a contained-but-tiny fragment may not band-match
+    * its container (reference behavior for LSH-gated containment; an
+    * exhaustive containment pass would need an inverted shingle index,
+    * which is [[minhashSqlPrefix]]'s `h` CTE shape at Σ df² join cost). */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = signatures(spark, sfDir, keepHs = true)
+    val bands = bandRows(sigs)
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+    val inter = size(array_intersect(col("ha"), col("hb"))).cast("double")
+    withSets.select(col("doc_a"), col("doc_b"),
+        (inter / size(col("ha"))).as("cont_a_in_b"),
+        (inter / size(col("hb"))).as("cont_b_in_a"))
+      .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= ContainmentThreshold)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH $minhashSqlPrefix,
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a
+       |          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |withsets AS (SELECT p.doc_a, p.doc_b, sa.hs AS ha, sb.hs AS hb
+       |             FROM pairs p
+       |             JOIN sig sa ON p.doc_a = sa.doc_id
+       |             JOIN sig sb ON p.doc_b = sb.doc_id),
+       |cont AS (SELECT doc_a, doc_b,
+       |                CAST(len(list_intersect(ha, hb)) AS DOUBLE) / len(ha) AS cont_a_in_b,
+       |                CAST(len(list_intersect(ha, hb)) AS DOUBLE) / len(hb) AS cont_b_in_a
+       |         FROM withsets)
+       |SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a
+       |FROM cont
+       |WHERE greatest(cont_a_in_b, cont_b_in_a) >= $ContainmentThreshold
+       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
+
   /** 120 bits, carried as TWO 60-bit longs (`simhash_lo` = bits 0..59,
     * `simhash_hi` = bits 60..119; both halves come from the one md5 per
     * token — [[TextOps.hash60]]/[[TextOps.hash60b]] — so widening costs

@@ -135,6 +135,73 @@ object QualityFilters {
        |FROM per
        |ORDER BY doc_id ASC""".stripMargin
 
+  /** How many of the corpus's most-document-frequent shingles count as
+    * boilerplate. An absolute top-N (not a df fraction): shingle-df
+    * distributions shift with corpus size, but "the N most repeated
+    * templates" is the knob a curation run actually sets. */
+  val BoilerplateTopN = 100
+  /** A document whose distinct shingles are this boilerplate-heavy gets
+    * flagged (the C4-style template/navigation-chrome signal). */
+  val BoilerplateFracMax = 0.2
+
+  /** Boilerplate exposure per document: the corpus's [[BoilerplateTopN]]
+    * highest-df shingles (ties broken by shingle hash — deterministic)
+    * are the boilerplate set; each document reports how many of its
+    * DISTINCT shingles fall in it.
+    *
+    * Scale design:
+    *  - Reuses [[DedupOps.signatures]]' memoized per-doc shingle-hash
+    *    sets (the same checkpointed frame every MinHash query reads), so
+    *    the text→shingle→md5 pipeline runs zero extra times.
+    *  - df is one hash aggregation over exploded (doc, hash) rows —
+    *    8-byte shuffle keys, map-side combined.
+    *  - The boilerplate set is top-N of that aggregate
+    *    (TakeOrderedAndProject) and rides into the per-doc pass as a
+    *    BROADCAST left join: N rows, so the per-doc side never
+    *    shuffles for membership — only the final per-doc count does,
+    *    keyed on the 8-byte doc_id.
+    * Documents shorter than [[DedupOps.ShingleK]] tokens have no
+    * shingles and no row, exactly as they drop out of the MinHash path. */
+  def boilerplateStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = DedupOps.signatures(spark, sfDir, keepHs = true)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val boiler = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("h").asc)
+      .limit(BoilerplateTopN)
+      .select(col("h"), lit(1L).as("is_boiler"))
+    sh.join(broadcast(boiler), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_shingles")).as("boiler_frac"))
+      .withColumn("flagged", col("boiler_frac") > BoilerplateFracMax)
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Oracle twin. Dedups at the HASH level (DISTINCT over the 60-bit
+    * shingle hash, exactly like Spark's collect_set of hashes) so an
+    * intra-document hash collision cannot make the engines disagree. */
+  val boilerplateStatsSql: String = {
+    val shingleList =
+      s"""list_transform(range(0, greatest(len(t) - ${DedupOps.ShingleK - 1}, 0)),
+         | i -> concat_ws(' ', ${(1 to DedupOps.ShingleK).map(j => s"t[i+$j]").mkString(", ")}))""".stripMargin.replace("\n", "")
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |              FROM documents),
+       |sh0 AS (SELECT doc_id, unnest($shingleList) AS s FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, ${graft.functions.TextOps.hash60Sql("s")} AS h FROM sh0),
+       |boiler AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+       |           ORDER BY df DESC, h ASC LIMIT $BoilerplateTopN),
+       |per AS (SELECT doc_id, COUNT(*) AS n_shingles,
+       |               CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+       |        FROM sh LEFT JOIN boiler b USING (h) GROUP BY doc_id)
+       |SELECT doc_id, n_shingles, n_boiler,
+       |       CAST(n_boiler AS DOUBLE) / n_shingles AS boiler_frac,
+       |       CAST(n_boiler AS DOUBLE) / n_shingles > $BoilerplateFracMax AS flagged
+       |FROM per
+       |ORDER BY doc_id ASC""".stripMargin
+  }
+
   val repetitionStatsSql: String =
     s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
        |              FROM documents),

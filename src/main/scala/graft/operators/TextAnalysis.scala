@@ -474,4 +474,70 @@ object TextAnalysis {
        |      FROM documents)
        |ORDER BY doc_id ASC""".stripMargin
   }
+
+  /** Cross-source redundancy matrix: exact shingle-set Jaccard between
+    * every pair of sources — the number a mixture designer reads to
+    * know whether two feeds are the same crawl in different wrappers
+    * (deduplicate first) or genuinely disjoint (weight independently).
+    *
+    * Scale design — the inverted-index shape, never a doc×doc or
+    * source×source data join:
+    *  - ONE aggregation keyed by the 60-bit shingle hash builds the
+    *    per-shingle source set (`collect_set` dedups in-agg, so the
+    *    exploded (source, hash) rows need no separate distinct pass;
+    *    map-side combine collapses each partition's duplicates first).
+    *  - Pair counts come from exploding each shingle's ≤|sources| sorted
+    *    source array into its (i<j) combinations — Σ k²/2 rows where k
+    *    is bounded by the SOURCE count (tens), not by df, so a
+    *    ubiquitous shingle costs k²/2 ≈ 200 rows, not df² ≈ 10^12. The
+    *    combination explode is the hot-key guard.
+    *  - Per-source set sizes reuse the SAME aggregated frame (explode +
+    *    count), and join back by broadcast — sizes is |sources| rows.
+    * Output: one row per source pair sharing at least one shingle. */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val perShingle = docs(spark, sfDir)
+      .select(col("source"), TextOps.tokens(col("text")).as("t"))
+      .select(col("source"), col("t"), explode(TextOps.ngramIndex(col("t"), 3)).as("i"))
+      .select(col("source"), TextOps.hash60(TextOps.ngramAt(col("t"), col("i"), 3)).as("h"))
+      .groupBy(col("h")).agg(sort_array(collect_set(col("source"))).as("ss"))
+    val sizes = perShingle.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val combos = flatten(transform(col("ss"), (x, i) =>
+      transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
+        struct(x.as("src_a"), y.as("src_b")))))
+    val inter = perShingle
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+      .orderBy(col("src_a").asc, col("src_b").asc)
+  }
+
+  /** Oracle twin: the same distinct (source, hash) relation, intersected
+    * by a plain self-join — simpler than the combination explode and
+    * independent of it, so a pairing bug cannot hide in both engines. */
+  val sourceOverlapSql: String = {
+    val shingleList =
+      """list_transform(range(0, greatest(len(t) - 2, 0)),
+        | i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))""".stripMargin.replace("\n", "")
+    s"""WITH toks AS (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |              FROM documents),
+       |sh0 AS (SELECT source, unnest($shingleList) AS s FROM toks),
+       |sh AS (SELECT DISTINCT source, ${TextOps.hash60Sql("s")} AS h FROM sh0),
+       |sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+       |inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+       |          FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+       |          GROUP BY src_a, src_b)
+       |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+       |       CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON src_a = sa.source
+       |JOIN sizes sb ON src_b = sb.source
+       |ORDER BY src_a ASC, src_b ASC""".stripMargin
+  }
 }

@@ -89,4 +89,27 @@ class DedupSpec extends SparkSpec {
     val plan = DedupOps.minhashCandidates(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"plan has a cartesian product:\n$plan")
   }
+
+  test("containment bounds: ordered pairs, values in (0,1], threshold respected") {
+    val rows = DedupOps.containmentPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    assert(rows.forall { r =>
+      val a = r.getAs[Double]("cont_a_in_b"); val b = r.getAs[Double]("cont_b_in_a")
+      a > 0 && a <= 1.0 && b > 0 && b <= 1.0 &&
+        math.max(a, b) >= DedupOps.ContainmentThreshold
+    })
+  }
+
+  test("containment dominates jaccard: every high-jaccard pair is a containment pair") {
+    // jaccard = inter/union <= inter/|A| (and /|B|), and both queries
+    // discover pairs from the same band join — so jaccard >= threshold
+    // implies max-containment >= threshold on the identical pair set
+    val cont = DedupOps.containmentPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val highJ = DedupOps.nearDupJaccard(spark, sf).collect()
+      .filter(_.getAs[Double]("jaccard") >= DedupOps.ContainmentThreshold)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(highJ.forall(cont))
+  }
 }

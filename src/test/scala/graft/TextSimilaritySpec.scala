@@ -237,4 +237,36 @@ class TextSimilaritySpec extends SparkSpec {
     // ANN searches one bucket: its best hit cannot beat the global best.
     assert(ann.max <= brute.max + 1e-12)
   }
+
+  test("source overlap: ordered pairs, intersection bounded by both set sizes") {
+    val rows = TextAnalysis.sourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[String]("src_a") < r.getAs[String]("src_b")))
+    assert(rows.forall { r =>
+      val common = r.getAs[Long]("n_common")
+      val j = r.getAs[Double]("jaccard")
+      common >= 1 && common <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) &&
+        j > 0 && j <= 1.0
+    })
+    // no duplicate pair from the combination explode
+    val pairs = rows.map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")))
+    assert(pairs.distinct.length == pairs.length)
+  }
+
+  test("boilerplate exposure: counts bounded, only shingle-bearing docs appear") {
+    val rows = graft.operators.QualityFilters.boilerplateStats(spark, sf).collect()
+    val withShingles = graft.sources.Tables.documents(spark, sf)
+      .where(org.apache.spark.sql.functions.size(
+        graft.functions.TextOps.tokens(org.apache.spark.sql.functions.col("text")))
+        >= graft.operators.DedupOps.ShingleK)
+      .count()
+    assert(rows.length == withShingles)
+    assert(rows.forall { r =>
+      val n = r.getAs[Long]("n_shingles"); val b = r.getAs[Long]("n_boiler")
+      n >= 1 && b >= 0 && b <= n &&
+        math.abs(r.getAs[Double]("boiler_frac") - b.toDouble / n) < 1e-15
+    })
+    // the boilerplate set is corpus-level: at least one doc must touch it
+    assert(rows.exists(_.getAs[Long]("n_boiler") > 0))
+  }
 }
