@@ -57,6 +57,7 @@ object SparkEntry {
     "sim_ivf_topk"        -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "sim_ivf_trained"     -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "sim_embedding_dups"  -> ((s, dir) => Similarity.embeddingNearDups(s, dir)),
+    "semantic_dedup"      -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "events_hourly"       -> ((s, dir) => EventOps.hourlyEventCounts(s, dir)),
     "events_sliding"      -> ((s, dir) => EventOps.slidingEventCounts(s, dir)),
     "events_sessions"     -> ((s, dir) => EventOps.sessionize(s, dir)),
@@ -221,6 +222,7 @@ object SparkEntry {
     "sim_ivf_topk"        -> Similarity.ivfTopKSql,
     "sim_ivf_trained"     -> Similarity.ivfTrainedTopKSql,
     "sim_embedding_dups"  -> Similarity.embeddingNearDupsSql,
+    "semantic_dedup"      -> Similarity.semanticDedupSql,
     "events_hourly"       -> EventOps.hourlyEventCountsSql,
     "events_sliding"      -> EventOps.slidingEventCountsSql,
     "events_sessions"     -> EventOps.sessionizeSql(),

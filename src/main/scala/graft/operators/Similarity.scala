@@ -429,7 +429,81 @@ object Similarity {
   def ivfTrainedTopK(spark: SparkSession, sfDir: String): DataFrame =
     ivfSearchWith(spark, sfDir, kmeansCentroids(spark, sfDir, TrainedK, TrainedIters))
 
-  val ivfTrainedTopKSql: String = {
+  /** Cosine above this marks a vector as a semantic duplicate of an
+    * earlier same-cell vector. */
+  val SemDedupTau = 0.8
+
+  /** SemDeDup-style semantic deduplication: cluster the embedding space
+    * with the trained k-means ([[kmeansCentroids]] — deterministic, so
+    * the oracle replays it), then compare each vector ONLY against its
+    * own cell and drop it if an earlier (lower vec_id) cell-mate is
+    * within cosine [[SemDedupTau]]. Emits every vector's verdict:
+    * its cell, how many earlier cell-mates it was compared against,
+    * the strongest of those similarities, and the drop decision —
+    * the manifest a curation job joins on to filter the corpus.
+    *
+    * Scale design: the cluster assignment is the zero-exchange
+    * broadcast-fold of [[ivfSearchWith]]; the quadratic is confined
+    * WITHIN cells, which is the SemDeDup contract — k grows with the
+    * corpus (cells stay ~constant-sized, like [[annPlanesFor]] scales
+    * planes), so Σ cell² is linear in n at fixed cell size, never the
+    * global n². Pairing happens on slim (vec_id, cid) rows only; the
+    * 8-byte-keyed join-backs attach each side's quantized vector once
+    * per PAIR — unavoidable here since every pair is scored, but the
+    * rows never carry text or float arrays, and the per-cell occupancy
+    * bound caps the blowup. The assignment frame is memoized/
+    * checkpointed: the pair join reads it from three subtrees, and the
+    * training checkpoint is freed once the assignment materializes. */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    var cent: DataFrame = null
+    val cells = Materialize.memoized(spark,
+        s"semdedup_cells_${Materialize.dirTag(sfDir)}") {
+      cent = kmeansCentroids(spark, sfDir, TrainedK, TrainedIters)
+      corpus(spark, sfDir).join(broadcast(centroidArray(cent)))
+        .select(col("vec_id"), col("q"), col("n2"),
+          nearestCid(col("cents"), col("q"), col("n2")).as("cid"))
+    }
+    if (cent ne null) Materialize.free(cent)
+    val slim = cells.select(col("vec_id"), col("cid"))
+    val pairs = slim.as("a").join(slim.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("prior_id"), col("b.vec_id").as("vec_id"))
+    val prior = pairs
+      .join(cells.select(col("vec_id").as("prior_id"), col("q").as("qa"), col("n2").as("n2a")), "prior_id")
+      .join(cells.select(col("vec_id"), col("q").as("qb"), col("n2").as("n2b")), "vec_id")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_prior"),
+        max(cosineFrom(dotQ(col("qa"), col("qb")), col("n2a"), col("n2b"))).as("max_prior_cos"))
+    cells.select(col("vec_id"), col("cid"))
+      .join(prior, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        col("max_prior_cos"),
+        coalesce(col("max_prior_cos") >= SemDedupTau, lit(false)).as("dropped"))
+      .orderBy(col("vec_id").asc)
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH $corpusSql,
+       |$trainedCellsSql,
+       |pc AS (SELECT b.vec_id, COUNT(*) AS n_prior,
+       |              MAX(${cosineFromSql(dotQSql("a.q", "b.q"), "a.n2", "b.n2")}) AS max_prior_cos
+       |       FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |       GROUP BY b.vec_id)
+       |SELECT c.vec_id, c.cid,
+       |       COALESCE(pc.n_prior, 0) AS n_prior,
+       |       pc.max_prior_cos,
+       |       COALESCE(pc.max_prior_cos >= $SemDedupTau, FALSE) AS dropped
+       |FROM cells c LEFT JOIN pc ON c.vec_id = pc.vec_id
+       |ORDER BY c.vec_id ASC""".stripMargin
+
+  /** CTE chain `c0 … c<TrainedIters>` replaying [[kmeansCentroids]]
+    * (assignment with (dist2, cid) ties, per-dim integer sums,
+    * round-half-away mean, empty-cell keep) plus an `assigned`/`cells`
+    * pair assigning every vector to its trained cell — the shared
+    * oracle prefix of [[ivfTrainedTopKSql]] and [[semanticDedupSql]].
+    * Expects the `e` CTE ([[corpusSql]]) in scope. */
+  private def trainedCellsSql: String = {
     val dims = Dims
     // one k-means iteration: cIn -> cOut (CTE names), matching
     // kmeansCentroids' assignment/update/keep semantics exactly
@@ -451,15 +525,19 @@ object Similarity {
     val iters = (1 to TrainedIters).map(i => iterSql(i, if (i == 1) "c0" else s"c${i - 1}"))
       .mkString(",\n")
     val cent = s"c$TrainedIters"
-    s"""WITH $corpusSql,
-       |c0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM e WHERE vec_id BETWEEN 1 AND $TrainedK),
+    s"""c0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM e WHERE vec_id BETWEEN 1 AND $TrainedK),
        |$iters,
        |assigned AS (SELECT e.vec_id, e.label, e.q, e.n2, c.cid,
        |                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |                                       ORDER BY e.n2 - 2 * ${dotQSql("e.q", "c.cq")} + c.cn2 ASC,
        |                                                c.cid ASC) AS rn
        |             FROM e, $cent c),
-       |cells AS (SELECT vec_id, label, q, n2, cid FROM assigned WHERE rn = 1),
+       |cells AS (SELECT vec_id, label, q, n2, cid FROM assigned WHERE rn = 1)""".stripMargin
+  }
+
+  val ivfTrainedTopKSql: String =
+    s"""WITH $corpusSql,
+       |$trainedCellsSql,
        |probes AS (SELECT cid AS probe_cid FROM assigned WHERE vec_id = $QueryVecId AND rn <= $NumProbes),
        |qv AS (SELECT q AS qq, n2 AS qn2 FROM e WHERE vec_id = $QueryVecId)
        |SELECT cells.vec_id, cells.label, cells.cid,
@@ -469,7 +547,6 @@ object Similarity {
        |WHERE cells.vec_id <> $QueryVecId
        |ORDER BY cos_sim DESC, cells.vec_id ASC
        |LIMIT $TopK""".stripMargin
-  }
 
   /** Embedding-cosine near-duplicate candidates: the most-similar pairs
     * among the multi-table bucket collisions — O(n · tables · bucket

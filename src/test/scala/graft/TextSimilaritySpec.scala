@@ -238,6 +238,26 @@ class TextSimilaritySpec extends SparkSpec {
     assert(ann.max <= brute.max + 1e-12)
   }
 
+  test("semantic dedup: per-cell pair accounting and drop semantics hold") {
+    val rows = Similarity.semanticDedup(spark, sf).collect()
+    val corpusN = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.length == corpusN) // every vector gets a verdict
+    // within each cell: the i-th vector (by vec_id) has i earlier mates,
+    // so per-cell n_prior sums to m(m-1)/2 and exactly one vector (the
+    // first) has no prior and a null max_prior_cos
+    rows.groupBy(_.getAs[Long]("cid")).foreach { case (_, cell) =>
+      val m = cell.length.toLong
+      assert(cell.map(_.getAs[Long]("n_prior")).sum == m * (m - 1) / 2)
+      assert(cell.count(_.isNullAt(cell.head.fieldIndex("max_prior_cos"))) == 1)
+    }
+    assert(rows.forall { r =>
+      val dropped = r.getAs[Boolean]("dropped")
+      val cos = Option(r.getAs[java.lang.Double]("max_prior_cos")).map(_.doubleValue)
+      if (dropped) cos.exists(_ >= Similarity.SemDedupTau)
+      else cos.forall(_ < Similarity.SemDedupTau)
+    })
+  }
+
   test("source overlap: ordered pairs, intersection bounded by both set sizes") {
     val rows = TextAnalysis.sourceOverlap(spark, sf).collect()
     assert(rows.nonEmpty)
