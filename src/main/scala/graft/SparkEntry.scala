@@ -172,6 +172,18 @@ object SparkEntry {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_source_profile")
       s.sql("SELECT source, n_docs, total_tokens, median_tokens, p90_tokens, n_langs FROM graft_source_profile ORDER BY source ASC")
     }),
+    "sql_containment"     -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_containment")
+      s.sql("SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM graft_containment ORDER BY doc_a ASC, doc_b ASC")
+    }),
+    "sql_boilerplate"     -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_boilerplate")
+      s.sql("SELECT doc_id, n_shingles, n_boiler, boiler_frac, flagged FROM graft_boilerplate ORDER BY doc_id ASC")
+    }),
+    "sql_semantic_dedup"  -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_semantic_dedup")
+      s.sql("SELECT vec_id, cid, n_prior, max_prior_cos, dropped FROM graft_semantic_dedup ORDER BY vec_id ASC")
+    }),
     "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),
     "sample_per_source_agg" -> ((s, dir) => TextAnalysis.samplePerSourceAgg(s, dir)),
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
@@ -263,6 +275,9 @@ object SparkEntry {
     "sql_quantize"        -> Quantization.embedQuantizeSql,
     "sql_export"          -> Sharding.shuffleExportSql,
     "sql_source_profile"  -> TextAnalysis.sourceProfileSql,
+    "sql_containment"     -> DedupOps.containmentPairsSql,
+    "sql_boilerplate"     -> QualityFilters.boilerplateStatsSql,
+    "sql_semantic_dedup"  -> Similarity.semanticDedupSql,
     "sample_per_source"   -> TextAnalysis.samplePerSourceSql,
     "sample_per_source_agg" -> TextAnalysis.samplePerSourceSql,
     "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,

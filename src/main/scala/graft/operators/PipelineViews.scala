@@ -46,7 +46,11 @@ object PipelineViews {
     "graft_dedup_survivors"    -> ((s, d) => ClusterOps.dedupSurvivors(s, d)),
     "graft_rep_quality"        -> ((s, d) => ClusterOps.canonicalByQuality(s, d)),
     "graft_lm_score"           -> ((s, d) => QualityFilters.bigramLmScore(s, d)),
-    "graft_source_profile"     -> ((s, d) => TextAnalysis.sourceProfile(s, d)))
+    "graft_source_profile"     -> ((s, d) => TextAnalysis.sourceProfile(s, d)),
+    "graft_containment"        -> ((s, d) => DedupOps.containmentPairs(s, d)),
+    "graft_boilerplate"        -> ((s, d) => QualityFilters.boilerplateStats(s, d)),
+    "graft_source_overlap"     -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
+    "graft_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 
