@@ -426,8 +426,24 @@ object Similarity {
   val TrainedK = 8
   val TrainedIters = 2
 
+  /** The trained centroid frame shared by [[ivfTrainedTopK]] and
+    * [[semanticDedup]] — memoized per (dir, session) so the k-means
+    * runs ONCE however many consumers build on it, and the training
+    * loop's final internal checkpoint is freed as soon as the memo's
+    * own (k-row) checkpoint has materialized. */
+  private def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    var inner: DataFrame = null
+    val out = Materialize.memoized(spark,
+        s"kmeans_cent_${TrainedK}_${TrainedIters}_${Materialize.dirTag(sfDir)}") {
+      inner = kmeansCentroids(spark, sfDir, TrainedK, TrainedIters)
+      inner
+    }
+    if (inner ne null) Materialize.free(inner)
+    out
+  }
+
   def ivfTrainedTopK(spark: SparkSession, sfDir: String): DataFrame =
-    ivfSearchWith(spark, sfDir, kmeansCentroids(spark, sfDir, TrainedK, TrainedIters))
+    ivfSearchWith(spark, sfDir, trainedCentroids(spark, sfDir))
 
   /** Cosine above this marks a vector as a semantic duplicate of an
     * earlier same-cell vector. */
@@ -452,18 +468,17 @@ object Similarity {
     * per PAIR — unavoidable here since every pair is scored, but the
     * rows never carry text or float arrays, and the per-cell occupancy
     * bound caps the blowup. The assignment frame is memoized/
-    * checkpointed: the pair join reads it from three subtrees, and the
-    * training checkpoint is freed once the assignment materializes. */
+    * checkpointed (the pair join reads it from three subtrees) on top
+    * of the [[trainedCentroids]] memo it shares with
+    * [[ivfTrainedTopK]] — one training run serves both queries. */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    var cent: DataFrame = null
     val cells = Materialize.memoized(spark,
         s"semdedup_cells_${Materialize.dirTag(sfDir)}") {
-      cent = kmeansCentroids(spark, sfDir, TrainedK, TrainedIters)
-      corpus(spark, sfDir).join(broadcast(centroidArray(cent)))
+      corpus(spark, sfDir)
+        .join(broadcast(centroidArray(trainedCentroids(spark, sfDir))))
         .select(col("vec_id"), col("q"), col("n2"),
           nearestCid(col("cents"), col("q"), col("n2")).as("cid"))
     }
-    if (cent ne null) Materialize.free(cent)
     val slim = cells.select(col("vec_id"), col("cid"))
     val pairs = slim.as("a").join(slim.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))

@@ -482,6 +482,11 @@ object TextAnalysis {
     *
     * Scale design — the inverted-index shape, never a doc×doc or
     * source×source data join:
+    *  - The per-doc shingle-hash sets come from
+    *    [[DedupOps.signatures]]' memoized checkpoint (the frame every
+    *    MinHash query already reads), with the 8-byte doc_id joining
+    *    back to `documents` for the source — the text→shingle→md5
+    *    pipeline runs zero extra times.
     *  - ONE aggregation keyed by the 60-bit shingle hash builds the
     *    per-shingle source set (`collect_set` dedups in-agg, so the
     *    exploded (source, hash) rows need no separate distinct pass;
@@ -495,10 +500,10 @@ object TextAnalysis {
     *    count), and join back by broadcast — sizes is |sources| rows.
     * Output: one row per source pair sharing at least one shingle. */
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val perShingle = docs(spark, sfDir)
-      .select(col("source"), TextOps.tokens(col("text")).as("t"))
-      .select(col("source"), col("t"), explode(TextOps.ngramIndex(col("t"), 3)).as("i"))
-      .select(col("source"), TextOps.hash60(TextOps.ngramAt(col("t"), col("i"), 3)).as("h"))
+    val perShingle = DedupOps.signatures(spark, sfDir, keepHs = true)
+      .select(col("doc_id"), col("hs"))
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), explode(col("hs")).as("h"))
       .groupBy(col("h")).agg(sort_array(collect_set(col("source"))).as("ss"))
     val sizes = perShingle.select(explode(col("ss")).as("source"))
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
