@@ -498,13 +498,21 @@ object TextAnalysis {
     *    combination explode is the hot-key guard.
     *  - Per-source set sizes reuse the SAME aggregated frame (explode +
     *    count), and join back by broadcast — sizes is |sources| rows.
+    *  - The per-shingle frame is memoized/checkpointed: three subtrees
+    *    consume it (pair counts + both size joins), and without the
+    *    checkpoint each would re-run the explode→aggregate pipeline.
+    *    Its size is the DISTINCT shingle vocabulary — corpus-sublinear —
+    *    times a ≤|sources| array, safe to hold at any corpus size.
     * Output: one row per source pair sharing at least one shingle. */
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val perShingle = DedupOps.signatures(spark, sfDir, keepHs = true)
-      .select(col("doc_id"), col("hs"))
-      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), explode(col("hs")).as("h"))
-      .groupBy(col("h")).agg(sort_array(collect_set(col("source"))).as("ss"))
+    val perShingle = Materialize.memoized(spark,
+        s"source_overlap_sh_${Materialize.dirTag(sfDir)}") {
+      DedupOps.signatures(spark, sfDir, keepHs = true)
+        .select(col("doc_id"), col("hs"))
+        .join(docs(spark, sfDir).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), explode(col("hs")).as("h"))
+        .groupBy(col("h")).agg(sort_array(collect_set(col("source"))).as("ss"))
+    }
     val sizes = perShingle.select(explode(col("ss")).as("source"))
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
     val combos = flatten(transform(col("ss"), (x, i) =>
