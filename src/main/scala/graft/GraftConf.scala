@@ -75,6 +75,14 @@ object GraftConf {
     * planning knob: results are identical either way, so no Verify
     * guard is needed. */
   val DeconBroadcastEvalKey = "spark.graft.decontamination.broadcastEval"
+  /** Per-cell occupancy cap for semantic dedup's within-cell pairing:
+    * cells holding more than this many vectors are excluded from the
+    * pair join (their members keep conservative not-dropped verdicts).
+    * An over-cap cell means the trained k is too small for the corpus —
+    * the cap turns a degenerate clustering from a quadratic job into a
+    * visible no-op, the same hot-key discipline as the LSH bucket caps.
+    * The oracle mirrors the DEFAULT, so overrides invalidate Verify. */
+  val SemdedupCellCapKey = "spark.graft.semdedup.cellCap"
 
   val DefaultTopK = 10
   val DefaultQ1Start = "1996-01-01"
@@ -91,6 +99,7 @@ object GraftConf {
   val DefaultChunkStride = 24
   val DefaultCcMaxIters = 25
   val DefaultExportShards = 8
+  val DefaultSemdedupCellCap = 10000
 
   def topK(s: SparkSession): Int = s.conf.get(TopKKey, DefaultTopK.toString).toInt
   def q1Start(s: SparkSession): String = s.conf.get(Q1StartKey, DefaultQ1Start)
@@ -113,6 +122,8 @@ object GraftConf {
     require(n > 0, s"$PackingShardsKey must be positive, got $n")
     n
   }
+  def semdedupCellCap(s: SparkSession): Int =
+    s.conf.get(SemdedupCellCapKey, DefaultSemdedupCellCap.toString).toInt
   def ccMaxIters(s: SparkSession): Int = {
     val n = s.conf.get(CcMaxItersKey, DefaultCcMaxIters.toString).toInt
     require(n > 0, s"$CcMaxItersKey must be positive, got $n")

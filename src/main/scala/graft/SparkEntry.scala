@@ -184,6 +184,10 @@ object SparkEntry {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_semantic_dedup")
       s.sql("SELECT vec_id, cid, n_prior, max_prior_cos, dropped FROM graft_semantic_dedup ORDER BY vec_id ASC")
     }),
+    "sql_source_overlap"  -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_source_overlap")
+      s.sql("SELECT src_a, src_b, n_a, n_b, n_common, jaccard FROM graft_source_overlap ORDER BY src_a ASC, src_b ASC")
+    }),
     "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),
     "sample_per_source_agg" -> ((s, dir) => TextAnalysis.samplePerSourceAgg(s, dir)),
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
@@ -278,6 +282,7 @@ object SparkEntry {
     "sql_containment"     -> DedupOps.containmentPairsSql,
     "sql_boilerplate"     -> QualityFilters.boilerplateStatsSql,
     "sql_semantic_dedup"  -> Similarity.semanticDedupSql,
+    "sql_source_overlap"  -> TextAnalysis.sourceOverlapSql,
     "sample_per_source"   -> TextAnalysis.samplePerSourceSql,
     "sample_per_source_agg" -> TextAnalysis.samplePerSourceSql,
     "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,

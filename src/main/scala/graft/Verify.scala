@@ -28,7 +28,8 @@ object Verify {
     // cap does NOT (retrieval is exact at any cap) and needs no guard.
     for (key <- Seq(GraftConf.AnnPlanesKey, GraftConf.MinhashBucketCapKey,
                     GraftConf.PackingShardsKey, GraftConf.ChunkSizeKey,
-                    GraftConf.ChunkStrideKey, GraftConf.ExportShardsKey))
+                    GraftConf.ChunkStrideKey, GraftConf.ExportShardsKey,
+                    GraftConf.SemdedupCellCapKey))
       require(spark.conf.getOption(key).isEmpty,
         s"$key is set; unset it before verifying " +
           "(the oracle SQL pins this knob's default)")

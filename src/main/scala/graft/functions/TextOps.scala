@@ -101,6 +101,16 @@ object TextOps {
   def ngramAt(t: Column, i: Column, n: Int): Column =
     concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)
 
+  /** DuckDB twin of the k-token shingle list over a token-list column
+    * `t` (with possible duplicates — dedup downstream at the hash
+    * level, as the Spark side's collect_set does). Shared by every
+    * oracle that shingles, so the n-gram shape is written ONCE and a
+    * [[graft.operators.DedupOps.ShingleK]] change cannot silently
+    * diverge one twin. */
+  def shingleListSql(t: String, k: Int): String =
+    s"""list_transform(range(0, greatest(len($t) - ${k - 1}, 0)),
+       | i -> concat_ws(' ', ${(1 to k).map(j => s"$t[i+$j]").mkString(", ")}))""".stripMargin.replace("\n", "")
+
   /** Portable 60-bit string hash: first 15 hex chars of md5, as a long.
     * Identical in DuckDB: `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`.
     * (md5 is bytewise-identical across engines; 15 hex chars keep the

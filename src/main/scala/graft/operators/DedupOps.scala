@@ -287,43 +287,59 @@ object DedupOps {
   def nearDupJaccard(spark: SparkSession, sfDir: String): DataFrame =
     nearDupJaccardFromSignatures(signatures(spark, sfDir, keepHs = true))
 
-  /** The verified-pair pipeline over an explicit signature frame (with
-    * `hs` sets) — so callers can run it on a SLICE of the corpus (the
-    * incremental-clustering baseline) or a stored signature table. */
-  private[graft] def nearDupJaccardFromSignatures(sigs: DataFrame): DataFrame = {
+  /** Distinct candidate pairs from the banded self-join — the shared
+    * discovery step of the jaccard and containment verifiers. */
+  private def bandCandidatePairs(sigs: DataFrame): DataFrame = {
     val bands = bandRows(sigs)
-    val pairs = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardVerify(pairs, sigs)
-      .where(col("jaccard") >= JaccardThreshold)
-      .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
-  /** Exact Jaccard for an explicit (doc_a, doc_b) pair list: each
-    * side's shingle-hash set rides one per-doc join-back, intersected
-    * in place. Returns (doc_a, doc_b, jaccard), unfiltered. */
-  private[graft] def jaccardVerify(pairs: DataFrame, sigs: DataFrame): DataFrame = {
-    val withSets = pairs.select(col("doc_a"), col("doc_b"))
+  /** A pair list with both sides' shingle-hash sets attached — one
+    * 8-byte-keyed join-back per side, so each doc's ~80-element array
+    * ships once per doc, never once per (pair × shared-band). */
+  private def pairsWithSets(pairs: DataFrame, sigs: DataFrame): DataFrame =
+    pairs.select(col("doc_a"), col("doc_b"))
       .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+
+  /** The verified-pair pipeline over an explicit signature frame (with
+    * `hs` sets) — so callers can run it on a SLICE of the corpus (the
+    * incremental-clustering baseline) or a stored signature table. */
+  private[graft] def nearDupJaccardFromSignatures(sigs: DataFrame): DataFrame =
+    jaccardVerify(bandCandidatePairs(sigs), sigs)
+      .where(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** Exact Jaccard for an explicit (doc_a, doc_b) pair list. Returns
+    * (doc_a, doc_b, jaccard), unfiltered. */
+  private[graft] def jaccardVerify(pairs: DataFrame, sigs: DataFrame): DataFrame = {
     val inter = size(array_intersect(col("ha"), col("hb"))).cast("double")
     val union = (size(col("ha")) + size(col("hb"))).cast("double") - inter
-    withSets.select(col("doc_a"), col("doc_b"), (inter / union).as("jaccard"))
+    pairsWithSets(pairs, sigs)
+      .select(col("doc_a"), col("doc_b"), (inter / union).as("jaccard"))
   }
 
-  val nearDupJaccardSql: String =
-    s"""WITH $minhashSqlPrefix,
-       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  /** Shared CTE fragment (after [[minhashSqlPrefix]]): distinct banded
+    * candidate pairs + both sides' hash sets — the SQL twin of
+    * [[bandCandidatePairs]]+[[pairsWithSets]], shared by the jaccard
+    * and containment oracles so the two cannot drift apart. */
+  private def pairsWithSetsSqlCtes: String =
+    s"""pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM bands a
        |          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
        |withsets AS (SELECT p.doc_a, p.doc_b, sa.hs AS ha, sb.hs AS hb
        |             FROM pairs p
        |             JOIN sig sa ON p.doc_a = sa.doc_id
-       |             JOIN sig sb ON p.doc_b = sb.doc_id)
+       |             JOIN sig sb ON p.doc_b = sb.doc_id)""".stripMargin
+
+  val nearDupJaccardSql: String =
+    s"""WITH $minhashSqlPrefix,
+       |$pairsWithSetsSqlCtes
        |SELECT doc_a, doc_b,
        |       CAST(len(list_intersect(ha, hb)) AS DOUBLE) /
        |         (CAST(len(ha) + len(hb) AS DOUBLE) - CAST(len(list_intersect(ha, hb)) AS DOUBLE)) AS jaccard
@@ -354,18 +370,9 @@ object DedupOps {
     * which is [[minhashSqlPrefix]]'s `h` CTE shape at Σ df² join cost). */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sigs = signatures(spark, sfDir, keepHs = true)
-    val bands = bandRows(sigs)
-    val pairs = bands.as("a").join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val withSets = pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
     val inter = size(array_intersect(col("ha"), col("hb"))).cast("double")
-    withSets.select(col("doc_a"), col("doc_b"),
+    pairsWithSets(bandCandidatePairs(sigs), sigs)
+      .select(col("doc_a"), col("doc_b"),
         (inter / size(col("ha"))).as("cont_a_in_b"),
         (inter / size(col("hb"))).as("cont_b_in_a"))
       .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= ContainmentThreshold)
@@ -374,13 +381,7 @@ object DedupOps {
 
   val containmentPairsSql: String =
     s"""WITH $minhashSqlPrefix,
-       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |          FROM bands a
-       |          JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |withsets AS (SELECT p.doc_a, p.doc_b, sa.hs AS ha, sb.hs AS hb
-       |             FROM pairs p
-       |             JOIN sig sa ON p.doc_a = sa.doc_id
-       |             JOIN sig sb ON p.doc_b = sb.doc_id),
+       |$pairsWithSetsSqlCtes,
        |cont AS (SELECT doc_a, doc_b,
        |                CAST(len(list_intersect(ha, hb)) AS DOUBLE) / len(ha) AS cont_a_in_b,
        |                CAST(len(list_intersect(ha, hb)) AS DOUBLE) / len(hb) AS cont_b_in_a

@@ -183,9 +183,7 @@ object QualityFilters {
     * shingle hash, exactly like Spark's collect_set of hashes) so an
     * intra-document hash collision cannot make the engines disagree. */
   val boilerplateStatsSql: String = {
-    val shingleList =
-      s"""list_transform(range(0, greatest(len(t) - ${DedupOps.ShingleK - 1}, 0)),
-         | i -> concat_ws(' ', ${(1 to DedupOps.ShingleK).map(j => s"t[i+$j]").mkString(", ")}))""".stripMargin.replace("\n", "")
+    val shingleList = TextOps.shingleListSql("t", DedupOps.ShingleK)
     s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
        |              FROM documents),
        |sh0 AS (SELECT doc_id, unnest($shingleList) AS s FROM toks),

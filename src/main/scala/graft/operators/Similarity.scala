@@ -460,18 +460,26 @@ object Similarity {
     *
     * Scale design: the cluster assignment is the zero-exchange
     * broadcast-fold of [[ivfSearchWith]]; the quadratic is confined
-    * WITHIN cells, which is the SemDeDup contract — k grows with the
-    * corpus (cells stay ~constant-sized, like [[annPlanesFor]] scales
-    * planes), so Σ cell² is linear in n at fixed cell size, never the
-    * global n². Pairing happens on slim (vec_id, cid) rows only; the
-    * 8-byte-keyed join-backs attach each side's quantized vector once
-    * per PAIR — unavoidable here since every pair is scored, but the
-    * rows never carry text or float arrays, and the per-cell occupancy
-    * bound caps the blowup. The assignment frame is memoized/
-    * checkpointed (the pair join reads it from three subtrees) on top
-    * of the [[trainedCentroids]] memo it shares with
-    * [[ivfTrainedTopK]] — one training run serves both queries. */
+    * WITHIN cells, which is the SemDeDup contract — in production k
+    * grows with the corpus (cells stay ~constant-sized, like
+    * [[annPlanesFor]] scales planes; here k is pinned to [[TrainedK]]
+    * because the oracle replays the training iterations), and cells
+    * over `spark.graft.semdedup.cellCap` are EXCLUDED from pairing
+    * (members keep conservative not-dropped verdicts), so a degenerate
+    * clustering degrades to a visible no-op instead of a quadratic job
+    * — the LSH bucket-cap discipline, oracle-mirrored at the default.
+    * Pairing happens on slim (vec_id, cid) rows only; the 8-byte-keyed
+    * join-backs attach each side's quantized vector once per PAIR —
+    * unavoidable here since every pair is scored, but the rows never
+    * carry text or float arrays. Zero-norm vectors have undefined
+    * cosine; their pairs score NULL (never NaN) so they cannot poison
+    * a drop verdict. The assignment frame is memoized/checkpointed
+    * (the pair join reads it from three subtrees) on top of the
+    * [[trainedCentroids]] memo it shares with [[ivfTrainedTopK]] —
+    * one training run serves both queries. */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = graft.GraftConf.semdedupCellCap(spark)
     val cells = Materialize.memoized(spark,
         s"semdedup_cells_${Materialize.dirTag(sfDir)}") {
       corpus(spark, sfDir)
@@ -479,16 +487,25 @@ object Similarity {
         .select(col("vec_id"), col("q"), col("n2"),
           nearestCid(col("cents"), col("q"), col("n2")).as("cid"))
     }
+    // occupancy window partitions on the SAME key the self-join shuffles
+    // on, so the cap reuses the exchange rather than adding one
     val slim = cells.select(col("vec_id"), col("cid"))
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .where(col("occ") <= cap)
+      .select(col("vec_id"), col("cid"))
     val pairs = slim.as("a").join(slim.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("prior_id"), col("b.vec_id").as("vec_id"))
+    val cos = cosineFrom(dotQ(col("qa"), col("qb")), col("n2a"), col("n2b"))
     val prior = pairs
       .join(cells.select(col("vec_id").as("prior_id"), col("q").as("qa"), col("n2").as("n2a")), "prior_id")
       .join(cells.select(col("vec_id"), col("q").as("qb"), col("n2").as("n2b")), "vec_id")
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_prior"),
-        max(cosineFrom(dotQ(col("qa"), col("qb")), col("n2a"), col("n2b"))).as("max_prior_cos"))
+        // 0/0 = NaN sorts ABOVE every double in both engines, so an
+        // undefined cosine would win the max and force dropped=true;
+        // null instead, which max ignores
+        max(when(col("n2a") > 0 && col("n2b") > 0, cos)).as("max_prior_cos"))
     cells.select(col("vec_id"), col("cid"))
       .join(prior, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
@@ -501,9 +518,12 @@ object Similarity {
   val semanticDedupSql: String =
     s"""WITH $corpusSql,
        |$trainedCellsSql,
+       |paired AS (SELECT vec_id, cid, q, n2 FROM cells
+       |           QUALIFY COUNT(*) OVER (PARTITION BY cid) <= ${graft.GraftConf.DefaultSemdedupCellCap}),
        |pc AS (SELECT b.vec_id, COUNT(*) AS n_prior,
-       |              MAX(${cosineFromSql(dotQSql("a.q", "b.q"), "a.n2", "b.n2")}) AS max_prior_cos
-       |       FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |              MAX(CASE WHEN a.n2 > 0 AND b.n2 > 0
+       |                       THEN ${cosineFromSql(dotQSql("a.q", "b.q"), "a.n2", "b.n2")} END) AS max_prior_cos
+       |       FROM paired a JOIN paired b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |       GROUP BY b.vec_id)
        |SELECT c.vec_id, c.cid,
        |       COALESCE(pc.n_prior, 0) AS n_prior,

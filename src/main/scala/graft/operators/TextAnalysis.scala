@@ -535,9 +535,7 @@ object TextAnalysis {
     * by a plain self-join — simpler than the combination explode and
     * independent of it, so a pairing bug cannot hide in both engines. */
   val sourceOverlapSql: String = {
-    val shingleList =
-      """list_transform(range(0, greatest(len(t) - 2, 0)),
-        | i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))""".stripMargin.replace("\n", "")
+    val shingleList = TextOps.shingleListSql("t", DedupOps.ShingleK)
     s"""WITH toks AS (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
        |              FROM documents),
        |sh0 AS (SELECT source, unnest($shingleList) AS s FROM toks),

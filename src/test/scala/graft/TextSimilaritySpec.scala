@@ -258,6 +258,18 @@ class TextSimilaritySpec extends SparkSpec {
     })
   }
 
+  test("semantic dedup cell cap: over-cap cells degrade to conservative no-drop verdicts") {
+    try {
+      // cap 0 forces every cell over-cap: no pairs may form, every
+      // vector keeps n_prior=0 / null cosine / dropped=false
+      spark.conf.set(graft.GraftConf.SemdedupCellCapKey, "0")
+      val rows = Similarity.semanticDedup(spark, sf).collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getAs[Long]("n_prior") == 0 &&
+        r.isNullAt(r.fieldIndex("max_prior_cos")) && !r.getAs[Boolean]("dropped")))
+    } finally spark.conf.unset(graft.GraftConf.SemdedupCellCapKey)
+  }
+
   test("source overlap: ordered pairs, intersection bounded by both set sizes") {
     val rows = TextAnalysis.sourceOverlap(spark, sf).collect()
     assert(rows.nonEmpty)
