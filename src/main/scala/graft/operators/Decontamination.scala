@@ -47,7 +47,7 @@ object Decontamination {
   /** Distinct (doc_id, shingle-hash) rows via the scalar codegen path
     * (the token array is materialized as a column BEFORE the explode,
     * so it is computed once per row, not once per shingle element). */
-  private def shingleRows(docs: DataFrame): DataFrame = {
+  private[graft] def shingleRows(docs: DataFrame): DataFrame = {
     val t = col("t")
     val idx = when(size(t) >= ShingleK, sequence(lit(0), size(t) - ShingleK))
       .otherwise(array().cast("array<int>"))
@@ -79,6 +79,16 @@ object Decontamination {
         .join(bc(evalHashes), "h")
         .select(col("doc_id").as("corpus_doc"), col("h"))
     }
+    overlapFromMatched(corpusMatched, evalSh, bc)
+  }
+
+  /** The periodic-batch TAIL over stored matched rows — rarity judged
+    * on the matched subset, pair counting, threshold. Split out so a
+    * crawl pipeline can land matched (corpus_doc, h) rows continuously
+    * ([[graft.streaming.DocStream.contaminationStream]]) and run only
+    * this aggregation periodically, never re-reading corpus text. */
+  private[graft] def overlapFromMatched(corpusMatched: DataFrame, evalSh: DataFrame,
+                                        bc: DataFrame => DataFrame): DataFrame = {
     val rare = evalSh.select(col("h"))
       .unionByName(corpusMatched.select(col("h")))
       .groupBy(col("h")).agg(count(lit(1)).as("df"))

@@ -216,6 +216,30 @@ object DocStream {
       }
   }
 
+  /** Streaming eval-decontamination, stream half: emit the matched
+    * (corpus_doc, h) rows — each arriving document's distinct shingle
+    * hashes intersected with the STATIC eval-set hash frame via a
+    * stream-static equi-join (stateless; Spark broadcasts the small
+    * static side per micro-batch). Of a crawl's ~10^13 shingles only
+    * the eval-matched handful are ever emitted, exactly like the batch
+    * operator's map-side semi-join. The periodic batch tail
+    * ([[graft.operators.Decontamination.overlapFromMatched]]) then
+    * judges rarity and counts pairs over the accumulated matched rows —
+    * the same continuous-land/periodic-aggregate architecture as
+    * [[signatureStream]]. Per-doc shingle dedup is row-local
+    * (`array_distinct` at the HASH level, matching the batch
+    * `.distinct()` and the oracle's hash-level DISTINCT), so no
+    * streaming state is needed anywhere. */
+  def contaminationStream(docs: DataFrame, evalHashes: DataFrame): DataFrame = {
+    val k = graft.operators.Decontamination.ShingleK
+    val hs = array_distinct(transform(
+      TextOps.shingles(TextOps.tokens(col("text")), k), s => TextOps.hash60(s)))
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id").as("corpus_doc"), explode(hs).as("h"))
+      .join(evalHashes.select(col("h")), "h")
+      .select(col("corpus_doc"), col("h"))
+  }
+
   /** Stateless streaming chunking: the identical
     * [[graft.operators.Chunking.chunkCols]] projection the
     * oracle-verified batch query runs, applied to a document stream —

@@ -349,6 +349,39 @@ class SinksStreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming decontamination: matched rows equal the batch semi-join; batch tail completes the chain") {
+    import graft.streaming.DocStream
+    import graft.operators.Decontamination
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dir = Files.createTempDirectory("graft_deconstream").toString
+    Files.copy(java.nio.file.Path.of(s"$sf/documents.parquet"),
+      java.nio.file.Path.of(dir, "documents.parquet"))
+    val docs = Tables.documents(spark, sf)
+    val evalSh = Decontamination.shingleRows(
+      docs.where(col("source") === Decontamination.EvalSource))
+    val evalHashes = evalSh.select(col("h")).distinct()
+    val q = DocStream.contaminationStream(
+        DocStream.readDocsStream(spark, dir)
+          .where(col("source") =!= Decontamination.EvalSource), evalHashes)
+      .writeStream.format("memory").queryName("decon_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("decon_test")
+    val streamedRows = streamed.collect()
+      .map(r => (r.getAs[Long]("corpus_doc"), r.getAs[Long]("h"))).sorted
+    val batchRows = Decontamination.shingleRows(
+        docs.where(col("source") =!= Decontamination.EvalSource))
+      .join(evalHashes, "h")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h"))).sorted
+    assert(streamedRows.nonEmpty && streamedRows.sameElements(batchRows))
+    // full chain: the periodic batch tail over the STREAMED rows equals
+    // the oracle-verified end-to-end batch query
+    val tail = Decontamination.overlapFromMatched(streamed, evalSh, broadcast)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val full = Decontamination.evalOverlap(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tail.sameElements(full))
+  }
+
   test("streaming sessionization closes sessions on gap (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
