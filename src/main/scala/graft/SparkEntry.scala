@@ -75,6 +75,7 @@ object SparkEntry {
     "curate_filter"       -> ((s, dir) => graft.streaming.DocStream
       .curateStream(graft.sources.Tables.documents(s, dir)).orderBy("doc_id")),
     "mixture_sample"      -> ((s, dir) => Curation.mixtureSample(s, dir)),
+    "version_diff"        -> ((s, dir) => graft.operators.Versioning.versionDiff(s, dir)),
     // The declarative entry point (reference's Hive CLI path, SURVEY.md
     // §3.3): the SAME SQL text the DuckDB oracle runs, executed by
     // spark.sql over the registered views — full query compatibility.
@@ -255,6 +256,7 @@ object SparkEntry {
     "eval_overlap"        -> Decontamination.evalOverlapSql,
     "curate_filter"       -> graft.streaming.DocStream.curateBatchSql,
     "mixture_sample"      -> Curation.mixtureSampleSql,
+    "version_diff"        -> graft.operators.Versioning.versionDiffSql,
     "sql_q1a"             -> RefQueries.q1aSql,
     "sql_q2"              -> RefQueries.q2Sql,
     "sql_q1b"             -> RefQueries.q1bSql,

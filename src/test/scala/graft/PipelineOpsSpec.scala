@@ -12,6 +12,31 @@ import graft.sources.Tables
   * the semantics and the edge cases at test scale). */
 class PipelineOpsSpec extends SparkSpec {
 
+  test("version diff: statuses partition by the defining predicates") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Versioning.versionDiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val inV1 = id % 10 != 0; val inV2 = id % 7 != 0
+      val expected =
+        if (inV1 && inV2) { if (id % 5 == 0) "changed" else "unchanged" }
+        else if (inV2) "added"
+        else if (inV1) "removed"
+        else null
+      assert(byId.get(id).orNull == expected,
+        s"doc $id: expected $expected, got ${byId.get(id)}")
+    }
+    // hash columns are null exactly on the absent side
+    rows.foreach { r =>
+      val s = r.getAs[String]("status")
+      assert((r.isNullAt(r.fieldIndex("old_hash"))) == (s == "added"))
+      assert((r.isNullAt(r.fieldIndex("new_hash"))) == (s == "removed"))
+    }
+  }
+
   private def edgesDf(pairs: Seq[(Long, Long)]) = {
     val rows = pairs.map { case (a, b) => Row(a, b) }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
