@@ -117,6 +117,19 @@ object Tables {
   def writeGzip(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("sep", "\t").option("compression", "gzip").csv(path)
 
+  /** JSONL export — the interchange format training stacks ingest (one
+    * JSON object per line, gzip-compressed, one file per partition).
+    * Pair with `Sharding.shuffleExport`'s shard/split columns via
+    * `partitionBy` for a ready-to-train directory layout. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+  /** Schema-pinned JSONL reader (inferring would scan twice and can
+    * widen types a round-trip must preserve). */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S6: external-table DDL — the Spark twin of the reference's
     * `CREATE EXTERNAL TABLE ... row format delimited fields terminated
     * by '|' location ...` (Software Documentation.pdf "stores.dat" DDL):

@@ -30,6 +30,19 @@ class SinksStreamingSpec extends SparkSpec {
     assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".gz")))
   }
 
+  test("jsonl sink/source round-trip preserves the curated-document export") {
+    val dir = Files.createTempDirectory("graft_jsonl").toFile
+    val out = graft.streaming.DocStream.curateStream(Tables.documents(spark, sf))
+    Tables.writeJsonl(out, dir.toString)
+    // gzip'd one-object-per-line part files, schema-pinned read-back
+    val parts = dir.listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".json.gz")))
+    val back = Tables.readJsonl(spark, dir.toString, out.schema)
+    val a = out.orderBy("doc_id").collect()
+    val b = back.select(out.columns.map(col).toSeq: _*).orderBy("doc_id").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("malformed rows become nulls under the typed pipe schema (P4 parity)") {
     val dir = Files.createTempDirectory("graft_bad").toString
     Files.writeString(java.nio.file.Path.of(dir, "data.csv"),
