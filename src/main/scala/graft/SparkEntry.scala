@@ -189,6 +189,10 @@ object SparkEntry {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_source_overlap")
       s.sql("SELECT src_a, src_b, n_a, n_b, n_common, jaccard FROM graft_source_overlap ORDER BY src_a ASC, src_b ASC")
     }),
+    "sql_version_diff"    -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_version_diff")
+      s.sql("SELECT doc_id, status, old_hash, new_hash FROM graft_version_diff ORDER BY doc_id ASC")
+    }),
     "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),
     "sample_per_source_agg" -> ((s, dir) => TextAnalysis.samplePerSourceAgg(s, dir)),
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
@@ -285,6 +289,7 @@ object SparkEntry {
     "sql_boilerplate"     -> QualityFilters.boilerplateStatsSql,
     "sql_semantic_dedup"  -> Similarity.semanticDedupSql,
     "sql_source_overlap"  -> TextAnalysis.sourceOverlapSql,
+    "sql_version_diff"    -> graft.operators.Versioning.versionDiffSql,
     "sample_per_source"   -> TextAnalysis.samplePerSourceSql,
     "sample_per_source_agg" -> TextAnalysis.samplePerSourceSql,
     "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,

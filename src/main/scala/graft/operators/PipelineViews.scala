@@ -50,7 +50,8 @@ object PipelineViews {
     "graft_containment"        -> ((s, d) => DedupOps.containmentPairs(s, d)),
     "graft_boilerplate"        -> ((s, d) => QualityFilters.boilerplateStats(s, d)),
     "graft_source_overlap"     -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
-    "graft_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(s, d)))
+    "graft_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "graft_version_diff"       -> ((s, d) => Versioning.versionDiff(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 
