@@ -75,6 +75,9 @@ object SparkEntry {
     "curate_filter"       -> ((s, dir) => graft.streaming.DocStream
       .curateStream(graft.sources.Tables.documents(s, dir)).orderBy("doc_id")),
     "mixture_sample"      -> ((s, dir) => Curation.mixtureSample(s, dir)),
+    "mixture_temperature" -> ((s, dir) => Curation.temperatureMixture(s, dir)),
+    "split_leakage_safe"  -> ((s, dir) => ClusterOps.leakageSplit(s, dir)),
+    "dedup_priority"      -> ((s, dir) => DedupOps.priorityDedup(s, dir)),
     "version_diff"        -> ((s, dir) => graft.operators.Versioning.versionDiff(s, dir)),
     // The declarative entry point (reference's Hive CLI path, SURVEY.md
     // §3.3): the SAME SQL text the DuckDB oracle runs, executed by
@@ -260,6 +263,9 @@ object SparkEntry {
     "eval_overlap"        -> Decontamination.evalOverlapSql,
     "curate_filter"       -> graft.streaming.DocStream.curateBatchSql,
     "mixture_sample"      -> Curation.mixtureSampleSql,
+    "mixture_temperature" -> Curation.temperatureMixtureSql,
+    "split_leakage_safe"  -> ClusterOps.leakageSplitSql,
+    "dedup_priority"      -> DedupOps.priorityDedupSql,
     "version_diff"        -> graft.operators.Versioning.versionDiffSql,
     "sql_q1a"             -> RefQueries.q1aSql,
     "sql_q2"              -> RefQueries.q2Sql,

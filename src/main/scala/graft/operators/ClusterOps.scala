@@ -280,4 +280,42 @@ object ClusterOps {
        |JOIN documents d ON c.doc_id = d.doc_id
        |WHERE c.is_canonical
        |ORDER BY c.doc_id ASC""".stripMargin
+
+  /** Leakage-safe train/val/test split — the holdout assignment a plain
+    * per-document hash split gets WRONG on near-duplicate data: when two
+    * near-identical documents land on opposite sides of the train/test
+    * line, the test set leaks into training and eval scores inflate.
+    * Here the split key is the near-dup CLUSTER id ([[dedupClusters]]'s
+    * component label), so an entire cluster moves to one split
+    * atomically; singletons hash their own doc_id (which IS their
+    * cluster_id). Thresholds and salt discipline are exactly
+    * [[Sharding.shuffleExport]]'s per-document split — the two operators
+    * differ only in the key, which is the point.
+    *
+    * Scale: a pure per-row projection over the memoized cluster frame
+    * (the 8-byte label hashes inline, codegen'd md5) — zero shuffles or
+    * joins beyond cluster formation itself, which is shared with every
+    * other cluster consumer via the label memo. */
+  def leakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val sk = graft.functions.TextOps.hash60(
+      concat(lit("lsplit|"), col("cluster_id").cast("string"))) % 100
+    dedupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        when(sk < Sharding.TrainPct, lit("train"))
+          .when(sk < Sharding.TrainPct + Sharding.ValPct, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val leakageSplitSql: String = {
+    val sk = graft.functions.TextOps.hash60Sql(
+      "concat('lsplit|', CAST(cluster_id AS VARCHAR))") + " % 100"
+    s"""$clusterCtes
+       |SELECT doc_id, cluster_id, cluster_size,
+       |       CASE WHEN $sk < ${Sharding.TrainPct} THEN 'train'
+       |            WHEN $sk < ${Sharding.TrainPct + Sharding.ValPct} THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM clus
+       |ORDER BY doc_id ASC""".stripMargin
+  }
 }

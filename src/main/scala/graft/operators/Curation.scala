@@ -109,6 +109,66 @@ object Curation {
        |ORDER BY d.lang ASC""".stripMargin
   }
 
+  /** Fixed-point scale for the temperature weights: s_l =
+    * floor(sqrt(available_l · 10^6)) keeps the α = 0.5 arithmetic in
+    * exact integers end to end (IEEE sqrt is correctly rounded, so the
+    * one double op is bit-identical on both engines; everything before
+    * and after is BIGINT). */
+  val TemperatureScale = 1000000L
+
+  /** Temperature-scaled mixture sampling (α = 0.5) — the standard
+    * multilingual re-balancing rule: language targets proportional to
+    * available_l^α rather than available_l, up-weighting small languages
+    * without letting the head language drown them (the mBERT/XLM-R
+    * exponent-sampling recipe). target_l = ⌊T · s_l / Σ s_l⌋ with
+    * s_l = ⌊sqrt(available_l · 10^6)⌋, then the same deterministic
+    * hash-modulo document selection as [[mixtureSample]].
+    *
+    * All-integer allocation: no cross-language float normalization ever
+    * happens (a Σ of doubles would make the result depend on summation
+    * order and diverge between engines); truncation means Σ target ≤ T
+    * by at most |langs| documents. Scale shape is [[mixtureSample]]'s:
+    * one count aggregation, one languages-sized broadcast join back —
+    * the corpus shuffles its 8-byte keys once. */
+  def temperatureMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.hash60(col("doc_id").cast("string")).as("hm"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("available"))
+      .withColumn("s",
+        floor(sqrt((col("available") * TemperatureScale).cast("double"))).cast("long"))
+    val stot = counts.agg(sum(col("s")).as("s_tot"))
+    val targets = counts.crossJoin(broadcast(stot))
+      .withColumn("target_docs", expr(s"($MixtureTotal * s) DIV s_tot"))
+      .select(col("lang"), col("available"), col("target_docs"))
+    d.join(broadcast(targets), "lang")
+      .where(col("hm") % col("available") < col("target_docs"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_selected"),
+        max(col("available")).as("available"),
+        max(col("target_docs")).as("target_docs"))
+      .orderBy(col("lang").asc)
+  }
+
+  val temperatureMixtureSql: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |                  ${TextOps.hash60Sql("CAST(doc_id AS VARCHAR)")} AS hm
+       |           FROM documents),
+       |c AS (SELECT lang, COUNT(*) AS available FROM d GROUP BY lang),
+       |s AS (SELECT lang, available,
+       |             CAST(floor(sqrt(CAST(available * $TemperatureScale AS DOUBLE))) AS BIGINT) AS s
+       |      FROM c),
+       |t AS (SELECT lang, available,
+       |             CAST(($MixtureTotal * s) // (SELECT SUM(s) FROM s) AS BIGINT) AS target_docs
+       |      FROM s)
+       |SELECT d.lang, COUNT(*) AS n_selected,
+       |       MAX(t.available) AS available,
+       |       MAX(t.target_docs) AS target_docs
+       |FROM d JOIN t ON d.lang = t.lang
+       |WHERE d.hm % t.available < t.target_docs
+       |GROUP BY d.lang
+       |ORDER BY d.lang ASC""".stripMargin
+
   /** The oracle composes the SAME sub-oracles ([[DedupOps.dedupExactSql]],
     * [[TextAnalysis.qualityScoreSql]]) as CTEs — operator reuse on both
     * engines. */

@@ -64,6 +64,11 @@ object DedupOps {
        |ORDER BY keep_doc_id ASC""".stripMargin
   }
 
+  /** The canonical source for cross-source priority dedup: documents in
+    * every OTHER source that duplicate one of this source's documents
+    * are dropped. */
+  val PrioritySource = "src0"
+
   /** Exploded (doc_id, shingle-hash) rows — the shared base of the
     * MinHash ops. The md5 runs ONCE per shingle in codegen'd scalar
     * expressions (an array-native formulation looks cleaner but
@@ -578,5 +583,83 @@ object DedupOps {
        |JOIN sig b ON a.doc_id < b.doc_id
        |WHERE $d <= $SimHashMaxHamming
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
+  }
+
+  /** Cross-source priority dedup — dedup the rest of the corpus AGAINST
+    * a canonical source rather than against itself (the "remove crawl
+    * copies of Wikipedia" stage): every document outside
+    * [[PrioritySource]] that is an exact copy (normalized 120-bit
+    * content hash) OR a verified near-duplicate (banded MinHash
+    * candidates + Jaccard ≥ [[JaccardThreshold]]) of a priority
+    * document, with the smallest matching priority doc id — the drop
+    * list a pipeline applies before mixing sources.
+    *
+    * Scale shape: the exact arm reduces both sides to (16-byte hash,
+    * 8-byte id) rows before the shuffle, with the priority side
+    * pre-aggregated to one row per hash so intra-priority duplicates
+    * cannot fan matches out; the near arm reuses the SAME memoized
+    * signature frame and occupancy-capped band join as every other
+    * near-dedup consumer, then ships only 8-byte pair halves through the
+    * source join. Neither arm broadcasts the priority side — at 100 TB
+    * the canonical source is corpus-scale too; AQE picks broadcast when
+    * it is small. */
+  def priorityDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val src = docs.select(col("doc_id"), col("source"))
+    val norm = TextOps.normText(col("text"))
+    val hashed = docs.select(col("doc_id"), col("source"),
+      TextOps.hash60(norm).as("h1"), TextOps.hash60b(norm).as("h2"))
+    val prio = hashed.where(col("source") === PrioritySource)
+      .groupBy(col("h1"), col("h2")).agg(min(col("doc_id")).as("dup_of"))
+    val exactHits = hashed.where(col("source") =!= PrioritySource)
+      .join(prio, Seq("h1", "h2"))
+      .select(col("doc_id"), col("dup_of"))
+    // both pair orientations from one pass over the verified-pair plan
+    val sym = nearDupJaccard(spark, sfDir)
+      .select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("doc_b").as("other")),
+        struct(col("doc_b").as("doc_id"), col("doc_a").as("other")))).as("e"))
+      .select(col("e.doc_id"), col("e.other"))
+    val nearHits = sym
+      .join(src.toDF("other", "other_source"), "other")
+      .where(col("other_source") === PrioritySource)
+      .select(col("doc_id"), col("other").as("dup_of"))
+    exactHits.unionByName(nearHits)
+      .join(src, "doc_id")
+      .where(col("source") =!= PrioritySource)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(min(col("dup_of")).as("dup_of"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val priorityDedupSql: String = {
+    val norm = TextOps.normTextSql("text")
+    val jac = "CAST(len(list_intersect(ha, hb)) AS DOUBLE) / " +
+      "(CAST(len(ha) + len(hb) AS DOUBLE) - CAST(len(list_intersect(ha, hb)) AS DOUBLE))"
+    s"""WITH $minhashSqlPrefix,
+       |$pairsWithSetsSqlCtes,
+       |edges AS (SELECT doc_a, doc_b FROM withsets WHERE $jac >= $JaccardThreshold),
+       |srcs AS (SELECT doc_id, source FROM documents),
+       |hashed AS (SELECT doc_id, source,
+       |                  ${TextOps.hash60Sql(norm)} AS h1,
+       |                  ${TextOps.hash60bSql(norm)} AS h2
+       |           FROM documents),
+       |prio AS (SELECT h1, h2, MIN(doc_id) AS dup_of
+       |         FROM hashed WHERE source = '$PrioritySource'
+       |         GROUP BY h1, h2),
+       |exact_hits AS (SELECT h.doc_id, p.dup_of
+       |               FROM hashed h JOIN prio p ON h.h1 = p.h1 AND h.h2 = p.h2
+       |               WHERE h.source <> '$PrioritySource'),
+       |sym AS (SELECT doc_a AS doc_id, doc_b AS other FROM edges
+       |        UNION ALL SELECT doc_b, doc_a FROM edges),
+       |near_hits AS (SELECT s.doc_id, s.other AS dup_of
+       |              FROM sym s JOIN srcs o ON s.other = o.doc_id
+       |              WHERE o.source = '$PrioritySource'),
+       |all_hits AS (SELECT * FROM exact_hits UNION ALL SELECT * FROM near_hits)
+       |SELECT a.doc_id, d.source, MIN(a.dup_of) AS dup_of
+       |FROM all_hits a JOIN srcs d ON a.doc_id = d.doc_id
+       |WHERE d.source <> '$PrioritySource'
+       |GROUP BY a.doc_id, d.source
+       |ORDER BY a.doc_id ASC""".stripMargin
   }
 }

@@ -261,4 +261,77 @@ class PipelineOpsSpec extends SparkSpec {
     try intercept[IllegalArgumentException](Chunking.chunkDocuments(spark, sf))
     finally spark.conf.unset(GraftConf.ChunkStrideKey)
   }
+
+  test("leakage-safe split: clusters never straddle splits; singletons hash their own id") {
+    val rows = ClusterOps.leakageSplit(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+    // THE property this operator exists for: one split per cluster
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, docs) =>
+      assert(docs.map(_.getAs[String]("split")).distinct.length == 1,
+        s"cluster $cid straddles splits")
+    }
+    // at least one real (size > 1) cluster exercises the property
+    assert(rows.exists(_.getAs[Long]("cluster_size") > 1))
+    // near-dup pairs land in the same split (the leakage a per-doc split permits)
+    val split = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val pairs = DedupOps.nearDupJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(p => assert(split(p.getLong(0)) == split(p.getLong(1))))
+  }
+
+  test("priority dedup: non-priority docs duplicating the priority source, exact or near") {
+    import org.apache.spark.sql.functions.col
+    val src = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = DedupOps.priorityDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(src(r.getAs[Long]("doc_id")) != DedupOps.PrioritySource)
+      assert(src(r.getAs[Long]("dup_of")) == DedupOps.PrioritySource)
+      assert(r.getAs[String]("source") == src(r.getAs[Long]("doc_id")))
+    }
+    // completeness against the near-dup pair graph: every verified pair
+    // with exactly one side in the priority source must be reported
+    val reported = rows.map(_.getAs[Long]("doc_id")).toSet
+    DedupOps.nearDupJaccard(spark, sf).select("doc_a", "doc_b").collect().foreach { p =>
+      val (a, b) = (p.getLong(0), p.getLong(1))
+      if (src(a) == DedupOps.PrioritySource && src(b) != DedupOps.PrioritySource)
+        assert(reported(b), s"near-dup $b of priority $a missing")
+      if (src(b) == DedupOps.PrioritySource && src(a) != DedupOps.PrioritySource)
+        assert(reported(a), s"near-dup $a of priority $b missing")
+    }
+  }
+
+  test("temperature mixture: exact integer α=0.5 targets, order-preserving, bounded") {
+    import graft.operators.Curation
+    val rows = Curation.temperatureMixture(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val avail = rows.map(r => r.getString(0) -> r.getAs[Long]("available")).toMap
+    // local recompute of the all-integer allocation
+    val s = avail.map { case (l, a) =>
+      l -> math.floor(math.sqrt((a * Curation.TemperatureScale).toDouble)).toLong }
+    val sTot = s.values.sum
+    rows.foreach { r =>
+      val l = r.getString(0)
+      assert(r.getAs[Long]("target_docs") == Curation.MixtureTotal * s(l) / sTot)
+      assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("available"))
+      if (r.getAs[Long]("available") <= r.getAs[Long]("target_docs"))
+        assert(r.getAs[Long]("n_selected") == r.getAs[Long]("available"))
+    }
+    // Σ targets never exceeds the budget (truncation, never rounding up)
+    assert(rows.map(_.getAs[Long]("target_docs")).sum <= Curation.MixtureTotal)
+    // α=0.5 preserves the availability order but compresses the ratios:
+    // the head/tail target ratio must be strictly below the count ratio
+    val byAvail = rows.sortBy(_.getAs[Long]("available"))
+    val (lo, hi) = (byAvail.head, byAvail.last)
+    if (lo.getAs[Long]("available") < hi.getAs[Long]("available")) {
+      assert(lo.getAs[Long]("target_docs") <= hi.getAs[Long]("target_docs"))
+      assert(hi.getAs[Long]("target_docs").toDouble * lo.getAs[Long]("available") <
+        lo.getAs[Long]("target_docs").toDouble * hi.getAs[Long]("available"),
+        "temperature sampling must compress the head/tail ratio")
+    }
+  }
 }
