@@ -45,6 +45,9 @@ object SparkEntry {
     "dedup_clusters_incr" -> ((s, dir) => ClusterOps.incrementalClusters(s, dir)),
     "lm_bigram_score"     -> ((s, dir) => QualityFilters.bigramLmScore(s, dir)),
     "source_profile"      -> ((s, dir) => TextAnalysis.sourceProfile(s, dir)),
+    "vocab_induction"     -> ((s, dir) => TextAnalysis.vocabInduction(s, dir)),
+    "oov_rate"            -> ((s, dir) => TextAnalysis.oovStats(s, dir)),
+    "curriculum_order"    -> ((s, dir) => Sharding.curriculumOrder(s, dir)),
     "dedup_minhash_cand"  -> ((s, dir) => DedupOps.minhashCandidates(s, dir)),
     "dedup_jaccard"       -> ((s, dir) => DedupOps.nearDupJaccard(s, dir)),
     "dedup_containment"   -> ((s, dir) => DedupOps.containmentPairs(s, dir)),
@@ -234,6 +237,9 @@ object SparkEntry {
     "dedup_clusters_incr" -> ClusterOps.incrementalClustersSql,
     "lm_bigram_score"     -> QualityFilters.bigramLmScoreSql,
     "source_profile"      -> TextAnalysis.sourceProfileSql,
+    "vocab_induction"     -> TextAnalysis.vocabInductionSql,
+    "oov_rate"            -> TextAnalysis.oovStatsSql,
+    "curriculum_order"    -> Sharding.curriculumOrderSql,
     "dedup_minhash_cand"  -> DedupOps.minhashCandidatesSql,
     "dedup_jaccard"       -> DedupOps.nearDupJaccardSql,
     "dedup_containment"   -> DedupOps.containmentPairsSql,

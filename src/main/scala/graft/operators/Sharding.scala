@@ -65,4 +65,55 @@ object Sharding {
        |FROM assigned
        |ORDER BY shard ASC, pos ASC""".stripMargin
   }
+
+  /** Quality bands for [[curriculumOrder]]'s two-phase global ranking. */
+  val CurriculumBands = 256
+
+  /** Curriculum-ordered export: every document's EXACT global position
+    * under (quality DESC, doc_id ASC) — the easy-to-hard total order a
+    * curriculum-learning schedule reads — computed WITHOUT a global
+    * window (`ROW_NUMBER() OVER (ORDER BY ...)` with no PARTITION BY is
+    * the classic single-task scale trap: one executor sorts the corpus).
+    *
+    * Two-phase banded ranking instead: quality lives in [0,1], so
+    * `band = min(⌊(1-quality)·B⌋, B-1)` is order-preserving (higher
+    * quality → lower band, ties stay inside one band); a B-row histogram
+    * gives each band the count of documents in all better bands (its
+    * global offset, a window over B rows); the per-band ROW_NUMBER
+    * windows run in parallel with ~n/B-document partitions. Global pos =
+    * offset + within-band rank — provably the true global rank, which is
+    * exactly what the oracle asserts: the DuckDB twin IS the naive
+    * global window, so any banding error (a boundary doc in the wrong
+    * band, an off-by-one offset) hash-mismatches.
+    *
+    * The one float op (⌊(1-q)·256⌋) is reproducible: q is the
+    * hash-verified quality double, and IEEE subtract/multiply/floor are
+    * deterministic and identical on both engines. */
+  def curriculumOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.qualityScore(spark, sfDir).select(col("doc_id"), col("quality"))
+    val banded = q.withColumn("band",
+      least(floor((lit(1.0) - col("quality")) * CurriculumBands), lit(CurriculumBands - 1))
+        .cast("long"))
+    val offsets = banded.groupBy(col("band")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("band").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("off"))
+    banded.join(broadcast(offsets), "band")
+      .withColumn("pos", (col("off") + row_number().over(
+        Window.partitionBy(col("band"))
+          .orderBy(col("quality").desc, col("doc_id").asc))).cast("long"))
+      .select(col("doc_id"), col("quality"), col("pos"))
+      .orderBy(col("pos").asc)
+  }
+
+  /** Oracle twin: the naive global window the Spark side must equal. */
+  val curriculumOrderSql: String =
+    s"""WITH q AS (${TextAnalysis.qualityScoreSql})
+       |SELECT doc_id, quality,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS pos
+       |FROM q
+       |ORDER BY pos ASC""".stripMargin
 }

@@ -551,4 +551,123 @@ object TextAnalysis {
        |JOIN sizes sb ON src_b = sb.source
        |ORDER BY src_a ASC, src_b ASC""".stripMargin
   }
+
+  /** Induced vocabulary size for [[vocabInduction]] / [[oovStats]]. */
+  val VocabSize = 50
+
+  /** Normalized corpus term rows — the shared base of the vocabulary
+    * operators (one explode, text dropped immediately). */
+  private def termRows(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(explode(TextOps.tokens(TextOps.normText(col("text")))).as("term"))
+
+  /** The top-[[VocabSize]] terms by exact corpus frequency, unranked. */
+  private def topVocab(spark: SparkSession, sfDir: String): DataFrame =
+    termRows(spark, sfDir)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(VocabSize)
+
+  /** Tokenizer-vocabulary induction: the top-[[VocabSize]] corpus terms
+    * by exact frequency, with rank and cumulative corpus coverage — the
+    * first step of building a word-level tokenizer, and the dashboard
+    * curve ("what fraction of the corpus does a V-term vocab cover?")
+    * that sizes V.
+    *
+    * Scale: one explode and one (term)-keyed aggregation — the same
+    * shuffles as the keyword extractor's df side; the global top-V is a
+    * TakeOrderedAndProject (per-partition heads merged on the driver,
+    * never a global sort), and the rank/cumulative-sum window runs on
+    * the V surviving rows only, so its single-partition shape is
+    * irrelevant at any corpus size. The corpus token total rides a
+    * 1-row broadcast crossJoin. */
+  def vocabInduction(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFreq = Window.orderBy(col("cnt").desc, col("term").asc)
+    val total = termRows(spark, sfDir).agg(count(lit(1)).as("total_tokens"))
+    topVocab(spark, sfDir).crossJoin(broadcast(total))
+      .withColumn("rk", row_number().over(byFreq).cast("long"))
+      .withColumn("cum_cnt",
+        sum(col("cnt")).over(byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rk"), col("term"), col("cnt"), col("cum_cnt"),
+        (col("cum_cnt").cast("double") / col("total_tokens").cast("double")).as("coverage"))
+      .orderBy(col("rk").asc)
+  }
+
+  /** Shared oracle CTE chain: term rows → counts → frequency-ranked. */
+  private def vocabSqlCtes: String = {
+    val norm = TextOps.normTextSql("text")
+    s"""toks AS (SELECT unnest(list_filter(string_split($norm, ' '), x -> x <> '')) AS term
+       |         FROM documents),
+       |vcounts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+       |vranked AS (SELECT term, cnt,
+       |                   ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rk
+       |            FROM vcounts)""".stripMargin
+  }
+
+  val vocabInductionSql: String =
+    s"""WITH $vocabSqlCtes,
+       |total AS (SELECT COUNT(*) AS total_tokens FROM toks)
+       |SELECT rk, term, cnt,
+       |       CAST(SUM(cnt) OVER (ORDER BY rk ASC
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt,
+       |       CAST(SUM(cnt) OVER (ORDER BY rk ASC
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |         / CAST(total.total_tokens AS DOUBLE) AS coverage
+       |FROM vranked, total
+       |WHERE rk <= $VocabSize
+       |ORDER BY rk ASC""".stripMargin
+
+  /** Per-source out-of-vocabulary rate against the induced top-V vocab —
+    * the fertility/coverage signal that tells a pipeline which sources a
+    * fixed vocabulary serves badly (and when the tokenizer needs
+    * retraining as the mixture shifts).
+    *
+    * Scale: the V-term vocab collapses to ONE array row and broadcasts
+    * to the corpus scan, so per-document OOV counting is a map-side
+    * array membership test (no explode, no join, the text column never
+    * shuffles); what reaches the aggregation is (source, two longs) per
+    * document. */
+  def oovStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = topVocab(spark, sfDir).agg(collect_list(col("term")).as("vocab"))
+    docs(spark, sfDir)
+      .select(col("source"), TextOps.tokens(TextOps.normText(col("text"))).as("t"))
+      .crossJoin(broadcast(vocab))
+      .select(col("source"), size(col("t")).cast("long").as("n_tok"),
+        size(filter(col("t"), tk => !array_contains(col("vocab"), tk)))
+          .cast("long").as("n_oov"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_oov")).as("n_oov"))
+      .withColumn("oov_frac",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_oov").cast("double") / col("n_tokens").cast("double")))
+      .orderBy(col("source").asc)
+  }
+
+  /** Oracle twin: the per-document membership test is re-expressed as an
+    * exploded token relation with an IN-subquery — independent of the
+    * Spark side's broadcast-array formulation. */
+  val oovStatsSql: String = {
+    val norm = TextOps.normTextSql("text")
+    s"""WITH $vocabSqlCtes,
+       |vtop AS (SELECT term FROM vranked WHERE rk <= $VocabSize),
+       |d AS (SELECT source, doc_id,
+       |             list_filter(string_split($norm, ' '), x -> x <> '') AS t
+       |      FROM documents),
+       |tok2 AS (SELECT source, unnest(t) AS term FROM d),
+       |flags AS (SELECT source,
+       |                 CASE WHEN term IN (SELECT term FROM vtop) THEN 0 ELSE 1 END AS oov
+       |          FROM tok2),
+       |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |               CAST(SUM(oov) AS BIGINT) AS n_oov
+       |        FROM flags GROUP BY source),
+       |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+       |SELECT nd.source, nd.n_docs,
+       |       coalesce(agg.n_tokens, 0) AS n_tokens,
+       |       coalesce(agg.n_oov, 0) AS n_oov,
+       |       CASE WHEN coalesce(agg.n_tokens, 0) = 0 THEN 0.0
+       |            ELSE CAST(agg.n_oov AS DOUBLE) / CAST(agg.n_tokens AS DOUBLE) END AS oov_frac
+       |FROM nd LEFT JOIN agg ON nd.source = agg.source
+       |ORDER BY nd.source ASC""".stripMargin
+  }
 }

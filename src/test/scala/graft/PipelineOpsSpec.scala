@@ -334,4 +334,63 @@ class PipelineOpsSpec extends SparkSpec {
         "temperature sampling must compress the head/tail ratio")
     }
   }
+
+  test("vocab induction: ranked prefix of the exact term frequencies") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.vocabInduction(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.VocabSize)
+    // rank is contiguous from 1, counts nonincreasing, terms distinct
+    assert(rows.map(_.getAs[Long]("rk")).sameElements(1L to rows.length))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getAs[String]("term")).distinct.length == rows.length)
+    // cumulative column really is the prefix sum; coverage ends at the
+    // whole corpus when V exceeds the true vocabulary
+    assert(rows.map(_.getAs[Long]("cum_cnt")).sameElements(cnts.scanLeft(0L)(_ + _).tail))
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b } && cov.last <= 1.0)
+    if (rows.length < TextAnalysis.VocabSize)
+      assert(math.abs(cov.last - 1.0) < 1e-12,
+        "an unsaturated vocab must cover the whole corpus")
+  }
+
+  test("oov rate matches a local recompute over the induced vocab") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextAnalysis
+    val vocab = TextAnalysis.vocabInduction(spark, sf).collect()
+      .map(_.getAs[String]("term")).toSet
+    def toks(text: String): Seq[String] =
+      text.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+    val expected = docs.groupBy(_.getString(0)).map { case (src, ds) =>
+      val ts = ds.flatMap(d => toks(d.getString(1)))
+      src -> ((ds.length.toLong, ts.length.toLong, ts.count(t => !vocab(t)).toLong))
+    }
+    val rows = TextAnalysis.oovStats(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (nDocs, nTok, nOov) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      assert(r.getAs[Long]("n_tokens") == nTok)
+      assert(r.getAs[Long]("n_oov") == nOov)
+      assert(r.getAs[Double]("oov_frac") ==
+        (if (nTok == 0) 0.0 else nOov.toDouble / nTok))
+    }
+  }
+
+  test("curriculum order: banded two-phase rank equals the true global rank") {
+    import graft.operators.Sharding
+    val rows = Sharding.curriculumOrder(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // pos is a permutation of 1..n
+    assert(rows.map(_.getAs[Long]("pos")).sorted.sameElements(1L to rows.length))
+    // and agrees with the naive (quality DESC, doc_id ASC) sort
+    val naive = rows.sortBy(r => (-r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+    naive.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("pos") == i + 1,
+        s"doc ${r.getAs[Long]("doc_id")}: banded rank ${r.getAs[Long]("pos")} != global ${i + 1}")
+    }
+  }
 }
