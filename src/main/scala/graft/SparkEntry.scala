@@ -61,6 +61,7 @@ object SparkEntry {
     "sim_ivf_trained"     -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "sim_embedding_dups"  -> ((s, dir) => Similarity.embeddingNearDups(s, dir)),
     "semantic_dedup"      -> ((s, dir) => Similarity.semanticDedup(s, dir)),
+    "knn_label"           -> ((s, dir) => Similarity.knnLabel(s, dir)),
     "events_hourly"       -> ((s, dir) => EventOps.hourlyEventCounts(s, dir)),
     "events_sliding"      -> ((s, dir) => EventOps.slidingEventCounts(s, dir)),
     "events_sessions"     -> ((s, dir) => EventOps.sessionize(s, dir)),
@@ -82,6 +83,7 @@ object SparkEntry {
     "split_leakage_safe"  -> ((s, dir) => ClusterOps.leakageSplit(s, dir)),
     "dedup_priority"      -> ((s, dir) => DedupOps.priorityDedup(s, dir)),
     "version_diff"        -> ((s, dir) => graft.operators.Versioning.versionDiff(s, dir)),
+    "manifest_incremental" -> ((s, dir) => Curation.incrementalManifest(s, dir)),
     // The declarative entry point (reference's Hive CLI path, SURVEY.md
     // §3.3): the SAME SQL text the DuckDB oracle runs, executed by
     // spark.sql over the registered views — full query compatibility.
@@ -199,6 +201,34 @@ object SparkEntry {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_version_diff")
       s.sql("SELECT doc_id, status, old_hash, new_hash FROM graft_version_diff ORDER BY doc_id ASC")
     }),
+    "sql_leakage_split"   -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_leakage_split")
+      s.sql("SELECT doc_id, cluster_id, cluster_size, split FROM graft_leakage_split ORDER BY doc_id ASC")
+    }),
+    "sql_priority_dedup"  -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_priority_dedup")
+      s.sql("SELECT doc_id, source, dup_of FROM graft_priority_dedup ORDER BY doc_id ASC")
+    }),
+    "sql_mixture_temp"    -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_mixture_temp")
+      s.sql("SELECT lang, n_selected, available, target_docs FROM graft_mixture_temp ORDER BY lang ASC")
+    }),
+    "sql_vocab"           -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_vocab")
+      s.sql("SELECT rk, term, cnt, cum_cnt, coverage FROM graft_vocab ORDER BY rk ASC")
+    }),
+    "sql_oov"             -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_oov")
+      s.sql("SELECT source, n_docs, n_tokens, n_oov, oov_frac FROM graft_oov ORDER BY source ASC")
+    }),
+    "sql_curriculum"      -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_curriculum")
+      s.sql("SELECT doc_id, quality, pos FROM graft_curriculum ORDER BY pos ASC")
+    }),
+    "sql_knn_label"       -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_knn_label")
+      s.sql("SELECT query_id, pred_label, n_votes FROM graft_knn_label ORDER BY query_id ASC")
+    }),
     "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),
     "sample_per_source_agg" -> ((s, dir) => TextAnalysis.samplePerSourceAgg(s, dir)),
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
@@ -253,6 +283,7 @@ object SparkEntry {
     "sim_ivf_trained"     -> Similarity.ivfTrainedTopKSql,
     "sim_embedding_dups"  -> Similarity.embeddingNearDupsSql,
     "semantic_dedup"      -> Similarity.semanticDedupSql,
+    "knn_label"           -> Similarity.knnLabelSql,
     "events_hourly"       -> EventOps.hourlyEventCountsSql,
     "events_sliding"      -> EventOps.slidingEventCountsSql,
     "events_sessions"     -> EventOps.sessionizeSql(),
@@ -273,6 +304,7 @@ object SparkEntry {
     "split_leakage_safe"  -> ClusterOps.leakageSplitSql,
     "dedup_priority"      -> DedupOps.priorityDedupSql,
     "version_diff"        -> graft.operators.Versioning.versionDiffSql,
+    "manifest_incremental" -> Curation.incrementalManifestSql,
     "sql_q1a"             -> RefQueries.q1aSql,
     "sql_q2"              -> RefQueries.q2Sql,
     "sql_q1b"             -> RefQueries.q1bSql,
@@ -302,6 +334,13 @@ object SparkEntry {
     "sql_semantic_dedup"  -> Similarity.semanticDedupSql,
     "sql_source_overlap"  -> TextAnalysis.sourceOverlapSql,
     "sql_version_diff"    -> graft.operators.Versioning.versionDiffSql,
+    "sql_leakage_split"   -> ClusterOps.leakageSplitSql,
+    "sql_priority_dedup"  -> DedupOps.priorityDedupSql,
+    "sql_mixture_temp"    -> Curation.temperatureMixtureSql,
+    "sql_vocab"           -> TextAnalysis.vocabInductionSql,
+    "sql_oov"             -> TextAnalysis.oovStatsSql,
+    "sql_curriculum"      -> Sharding.curriculumOrderSql,
+    "sql_knn_label"       -> Similarity.knnLabelSql,
     "sample_per_source"   -> TextAnalysis.samplePerSourceSql,
     "sample_per_source_agg" -> TextAnalysis.samplePerSourceSql,
     "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,

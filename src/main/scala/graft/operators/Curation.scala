@@ -109,6 +109,59 @@ object Curation {
        |ORDER BY d.lang ASC""".stripMargin
   }
 
+  /** The per-document curation gate (quality ≥ [[QualityMin]], language
+    * allowlist) over an explicit snapshot frame — the pure, per-row
+    * half of [[corpusManifest]], which is exactly the part that can be
+    * maintained incrementally. */
+  private def gateOf(snapshot: DataFrame): DataFrame = {
+    val (nTokens, quality) = TextAnalysis.qualityCols(col("text"))
+    snapshot.select(col("doc_id"), col("source"), col("lang"),
+        nTokens.as("n_tokens"), quality.as("quality"))
+      .where(col("lang").isin(LangAllow.map(l => l: Any): _*) &&
+        col("quality") >= QualityMin)
+  }
+
+  /** INCREMENTAL curation manifest — maintain the gated manifest across
+    * a snapshot upgrade by scoring ONLY the delta: carried-over rows are
+    * v1-manifest rows whose documents survived unchanged (one anti-join
+    * on the diff's removed ∪ changed ids), and only added/changed
+    * documents run the quality gate. At 100 TB this is the difference
+    * between re-scoring the corpus and re-scoring a day's crawl; it is
+    * sound because the gate is a pure per-document function, so a
+    * document's verdict cannot change unless its text did (which the
+    * 120-bit diff detects).
+    *
+    * In production the v1 manifest is READ BACK from storage (slim
+    * gated rows, no text); the fixture recomputes it from the simulated
+    * v1 snapshot because nothing is persisted between queries. The
+    * oracle is the FULL recompute over v2 — any carry-over error
+    * (a changed doc served from the stale manifest, a removed doc
+    * surviving, a delta doc double-counted) hash-mismatches. */
+  def incrementalManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val diff = Versioning.versionDiff(spark, sfDir)
+    val touched = diff.where(col("status").isin("added", "changed"))
+      .select(col("doc_id"))
+    val gone = diff.where(col("status").isin("removed", "changed"))
+      .select(col("doc_id"))
+    gateOf(Versioning.v1Of(spark, sfDir))
+      .join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(gateOf(Versioning.v2Of(spark, sfDir).join(touched, "doc_id")))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Oracle: the full v2 recompute the incremental path must equal,
+    * reusing the SAME quality formula text via
+    * [[TextAnalysis.qualityScoreSqlFrom]]. */
+  val incrementalManifestSql: String = {
+    val langs = LangAllow.map(l => s"'$l'").mkString(", ")
+    s"""WITH v2 AS (${Versioning.v2Sql}),
+       |q AS (${TextAnalysis.qualityScoreSqlFrom("v2")})
+       |SELECT q.doc_id, v2.source, v2.lang, q.n_tokens, q.quality
+       |FROM q JOIN v2 ON q.doc_id = v2.doc_id
+       |WHERE v2.lang IN ($langs) AND q.quality >= $QualityMin
+       |ORDER BY q.doc_id ASC""".stripMargin
+  }
+
   /** Fixed-point scale for the temperature weights: s_l =
     * floor(sqrt(available_l · 10^6)) keeps the α = 0.5 arithmetic in
     * exact integers end to end (IEEE sqrt is correctly rounded, so the

@@ -51,7 +51,14 @@ object PipelineViews {
     "graft_boilerplate"        -> ((s, d) => QualityFilters.boilerplateStats(s, d)),
     "graft_source_overlap"     -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     "graft_semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(s, d)),
-    "graft_version_diff"       -> ((s, d) => Versioning.versionDiff(s, d)))
+    "graft_version_diff"       -> ((s, d) => Versioning.versionDiff(s, d)),
+    "graft_leakage_split"      -> ((s, d) => ClusterOps.leakageSplit(s, d)),
+    "graft_priority_dedup"     -> ((s, d) => DedupOps.priorityDedup(s, d)),
+    "graft_mixture_temp"       -> ((s, d) => Curation.temperatureMixture(s, d)),
+    "graft_vocab"              -> ((s, d) => TextAnalysis.vocabInduction(s, d)),
+    "graft_oov"                -> ((s, d) => TextAnalysis.oovStats(s, d)),
+    "graft_curriculum"         -> ((s, d) => Sharding.curriculumOrder(s, d)),
+    "graft_knn_label"          -> ((s, d) => Similarity.knnLabel(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 

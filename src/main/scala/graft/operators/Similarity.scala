@@ -618,4 +618,74 @@ object Similarity {
        |JOIN e eb2 ON p.vec_b = eb2.vec_id
        |ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
        |LIMIT $NearDupPairs""".stripMargin
+
+  /** Every [[KnnQueryMod]]-th vector is held out as an unlabeled query
+    * for [[knnLabel]]; the rest are the labeled reference corpus. */
+  val KnnQueryMod = 25L
+
+  /** Neighbors consulted per query. Deliberately even, so the
+    * deterministic tiebreak (vote count DESC, label ASC) is exercised. */
+  val KnnK = 8
+
+  /** kNN label assignment — the embedding-space stand-in for a
+    * model-based quality/topic classifier: every held-out query vector
+    * (vec_id ≡ 0 mod [[KnnQueryMod]]) is labeled by majority vote of its
+    * [[KnnK]] nearest reference vectors under exact quantized cosine
+    * (ties: higher vote count, then smaller label).
+    *
+    * Scale shape: the query set broadcasts and the REFERENCE CORPUS
+    * NEVER SHUFFLES — scoring is map-side over the corpus scan; what
+    * leaves the map is (query, neighbor-rank) rows already cut to the
+    * per-query top-K by the window, i.e. |Q|·K slim rows, then a
+    * |Q|·K → |Q| vote aggregation. This is the labeled-corpus dual of
+    * [[cosineTopK]]'s one-query broadcast. For query sets too large to
+    * broadcast, route each query through the trained IVF cells
+    * ([[ivfTrainedTopK]]) instead — same vote tail, probed-cell
+    * candidate generation. */
+  def knnLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = corpus(spark, sfDir)
+    val queries = emb.where(col("vec_id") % KnnQueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+    val scored = emb.where(col("vec_id") % KnnQueryMod =!= 0)
+      .join(broadcast(queries))
+      .select(col("query_id"), col("label"),
+        cosineFrom(dotQ(col("q"), col("qq")), col("n2"), col("qn2")).as("cos_sim"),
+        col("vec_id"))
+    val topk = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .where(col("rn") <= KnnK)
+    topk.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("n_votes").desc, col("label").asc)))
+      .where(col("vr") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
+      .orderBy(col("query_id").asc)
+  }
+
+  val knnLabelSql: String =
+    s"""WITH $corpusSql,
+       |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM e
+       |       WHERE vec_id % $KnnQueryMod = 0),
+       |scored AS (SELECT qs.query_id, e.label, e.vec_id,
+       |                  ${cosineFromSql(dotQSql("e.q", "qs.qq"), "e.n2", "qs.qn2")} AS cos_sim
+       |           FROM e, qs
+       |           WHERE e.vec_id % $KnnQueryMod <> 0),
+       |topk AS (SELECT query_id, label,
+       |                ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                   ORDER BY cos_sim DESC, vec_id ASC) AS rn
+       |         FROM scored),
+       |votes AS (SELECT query_id, label, COUNT(*) AS n_votes
+       |          FROM topk WHERE rn <= $KnnK
+       |          GROUP BY query_id, label)
+       |SELECT query_id, label AS pred_label, n_votes
+       |FROM (SELECT query_id, label, n_votes,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                ORDER BY n_votes DESC, label ASC) AS vr
+       |      FROM votes)
+       |WHERE vr = 1
+       |ORDER BY query_id ASC""".stripMargin
 }

@@ -195,7 +195,10 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
   }
 
-  val qualityScoreSql: String = {
+  /** The quality-score oracle over any relation exposing (doc_id, text)
+    * — parameterized so snapshot-sliced twins (the incremental manifest)
+    * reuse the IDENTICAL formula text instead of a drift-prone copy. */
+  def qualityScoreSqlFrom(rel: String): String = {
     val en = TextOps.StopwordsByLang.toMap.apply("en").map(w => s"'$w'").mkString(", ")
     s"""SELECT doc_id, n_tokens,
        |       CASE WHEN n_tokens = 0 THEN 0.0 ELSE
@@ -211,9 +214,11 @@ object TextAnalysis {
        |             len(list_filter(t, x -> x IN ($en))) AS stop_n,
        |             list_sum(list_transform(t, x -> len(x))) AS toklen_sum
        |      FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS t
-       |            FROM documents))
+       |            FROM $rel))
        |ORDER BY doc_id ASC""".stripMargin
   }
+
+  val qualityScoreSql: String = qualityScoreSqlFrom("documents")
 
   /** Token counting per source: whitespace tokens and BPE-ish subword
     * tokens (letter runs / digit runs / punctuation marks) — the budget
@@ -561,11 +566,16 @@ object TextAnalysis {
     docs(spark, sfDir)
       .select(explode(TextOps.tokens(TextOps.normText(col("text")))).as("term"))
 
-  /** The top-[[VocabSize]] terms by exact corpus frequency, unranked. */
+  /** The top-[[VocabSize]] terms by exact corpus frequency, unranked.
+    * Memoized per (session, dir): four consumers (both vocab operators
+    * and their SQL views) share one corpus explode+aggregation instead
+    * of paying it each — the V-row result is all that is pinned. */
   private def topVocab(spark: SparkSession, sfDir: String): DataFrame =
-    termRows(spark, sfDir)
-      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("term").asc).limit(VocabSize)
+    Materialize.memoized(spark, s"vocab_${Materialize.dirTag(sfDir)}") {
+      termRows(spark, sfDir)
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(VocabSize)
+    }
 
   /** Tokenizer-vocabulary induction: the top-[[VocabSize]] corpus terms
     * by exact frequency, with rank and cumulative corpus coverage — the
@@ -583,7 +593,10 @@ object TextAnalysis {
   def vocabInduction(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byFreq = Window.orderBy(col("cnt").desc, col("term").asc)
-    val total = termRows(spark, sfDir).agg(count(lit(1)).as("total_tokens"))
+    // token total as a map-side sum of per-doc sizes — no second explode
+    val total = docs(spark, sfDir)
+      .agg(sum(size(TextOps.tokens(TextOps.normText(col("text")))).cast("long"))
+        .as("total_tokens"))
     topVocab(spark, sfDir).crossJoin(broadcast(total))
       .withColumn("rk", row_number().over(byFreq).cast("long"))
       .withColumn("cum_cnt",

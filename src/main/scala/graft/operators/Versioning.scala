@@ -46,15 +46,27 @@ object Versioning {
       .orderBy(col("doc_id").asc)
   }
 
-  def versionDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val v1 = docs.where(col("doc_id") % 10 =!= 0)
-    val v2 = docs.where(col("doc_id") % 7 =!= 0)
+  /** The simulated v1 snapshot (see class doc). Shared with the
+    * incremental-manifest operator so the two cannot drift. */
+  private[graft] def v1Of(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).where(col("doc_id") % 10 =!= 0)
+
+  /** The simulated v2 snapshot: different membership, revised text on
+    * doc_id % 5 == 0. */
+  private[graft] def v2Of(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).where(col("doc_id") % 7 =!= 0)
       .withColumn("text",
         when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
           .otherwise(col("text")))
-    diffOf(v1, v2)
-  }
+
+  /** v2's oracle twin as a CTE body (doc_id, source, lang, text). */
+  private[graft] val v2Sql: String =
+    """SELECT doc_id, source, lang,
+      |       CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+      |FROM documents WHERE doc_id % 7 <> 0""".stripMargin
+
+  def versionDiff(spark: SparkSession, sfDir: String): DataFrame =
+    diffOf(v1Of(spark, sfDir), v2Of(spark, sfDir))
 
   val versionDiffSql: String = {
     def hashes(t: String) = {

@@ -380,6 +380,35 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental manifest equals the full gate over the new snapshot") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Curation, TextAnalysis, Versioning}
+    // full recompute over v2 — the independent definition
+    val (nTokens, quality) = TextAnalysis.qualityCols(col("text"))
+    val full = Versioning.v2Of(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"),
+        nTokens.as("n_tokens"), quality.as("quality"))
+      .where(col("lang").isin(Curation.LangAllow.map(l => l: Any): _*) &&
+        col("quality") >= Curation.QualityMin)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    val rows = Curation.incrementalManifest(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length == full.size)
+    rows.foreach { r =>
+      val (src, lang, nTok, q) = full(r.getAs[Long]("doc_id"))
+      assert(r.getAs[String]("source") == src && r.getAs[String]("lang") == lang)
+      assert(r.getAs[Long]("n_tokens") == nTok && r.getAs[Double]("quality") == q)
+    }
+    // the delta really is smaller than the corpus: carried-over rows
+    // (v1 gate survivors untouched by the diff) must exist, as must
+    // rows that ONLY the delta arm can produce (changed/added docs)
+    val statuses = Versioning.versionDiff(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(rows.exists(r => statuses(r.getAs[Long]("doc_id")) == "unchanged"))
+    assert(rows.exists(r => statuses(r.getAs[Long]("doc_id")) == "added" ||
+      statuses(r.getAs[Long]("doc_id")) == "changed"))
+  }
+
   test("curriculum order: banded two-phase rank equals the true global rank") {
     import graft.operators.Sharding
     val rows = Sharding.curriculumOrder(spark, sf).collect()

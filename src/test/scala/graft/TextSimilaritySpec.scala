@@ -301,4 +301,35 @@ class TextSimilaritySpec extends SparkSpec {
     // the boilerplate set is corpus-level: at least one doc must touch it
     assert(rows.exists(_.getAs[Long]("n_boiler") > 0))
   }
+
+  test("knn label assignment matches a local brute-force vote") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val all = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.round(x.toDouble * 1000000.0)).toArray))
+    val (qs, corpus) = all.partition(_._1 % Similarity.KnnQueryMod == 0)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val expected = qs.map { case (qid, _, qv) =>
+      val top = corpus.map { case (id, lab, v) => (cos(v, qv), id, lab) }
+        .sortBy { case (c, id, _) => (-c, id) }.take(Similarity.KnnK)
+      val votes = top.groupBy(_._3).map { case (l, v) => (l, v.length) }
+      val (lab, n) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      qid -> ((lab, n.toLong))
+    }.toMap
+    val rows = Similarity.knnLabel(spark, sf).collect()
+    assert(rows.length == qs.length && rows.nonEmpty)
+    rows.foreach { r =>
+      val (lab, n) = expected(r.getAs[Long]("query_id"))
+      assert(r.getAs[Int]("pred_label") == lab)
+      assert(r.getAs[Long]("n_votes") == n)
+    }
+    // the vote is non-degenerate somewhere: not every query is unanimous
+    assert(rows.exists(_.getAs[Long]("n_votes") < Similarity.KnnK))
+  }
 }
