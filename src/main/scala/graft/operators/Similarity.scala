@@ -634,29 +634,32 @@ object Similarity {
     * (ties: higher vote count, then smaller label).
     *
     * Scale shape: the query set broadcasts and the REFERENCE CORPUS
-    * NEVER SHUFFLES — scoring is map-side over the corpus scan; what
-    * leaves the map is (query, neighbor-rank) rows already cut to the
-    * per-query top-K by the window, i.e. |Q|·K slim rows, then a
-    * |Q|·K → |Q| vote aggregation. This is the labeled-corpus dual of
-    * [[cosineTopK]]'s one-query broadcast. For query sets too large to
-    * broadcast, route each query through the trained IVF cells
-    * ([[ivfTrainedTopK]]) instead — same vote tail, probed-cell
-    * candidate generation. */
+    * NEVER SHUFFLES — scoring is map-side over the corpus scan, and the
+    * per-query top-K is cut by the bounded-buffer
+    * [[graft.functions.BestKByScore]] aggregator BEFORE the exchange
+    * (a per-query ROW_NUMBER window would ship every |corpus|·|Q|
+    * scored row to one partition per query first), so the shuffle
+    * carries O(|Q| · K · partitions) slim buffers. This is the
+    * labeled-corpus dual of [[cosineTopK]]'s one-query broadcast; the
+    * n·|Q| scoring COMPUTE is the price of exact brute force. For query
+    * sets too large to broadcast — or to cut the compute — route each
+    * query through the trained IVF cells ([[ivfTrainedTopK]]) instead:
+    * same vote tail, probed-cell candidate generation. */
   def knnLabel(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bestK = udaf(new graft.functions.BestKByScore(KnnK))
     val emb = corpus(spark, sfDir)
     val queries = emb.where(col("vec_id") % KnnQueryMod === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
     val scored = emb.where(col("vec_id") % KnnQueryMod =!= 0)
       .join(broadcast(queries))
-      .select(col("query_id"), col("label"),
+      .select(col("query_id"),
         cosineFrom(dotQ(col("q"), col("qq")), col("n2"), col("qn2")).as("cos_sim"),
-        col("vec_id"))
-    val topk = scored.withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("vec_id").asc)))
-      .where(col("rn") <= KnnK)
-    topk.groupBy(col("query_id"), col("label"))
+        col("vec_id"), col("label"))
+    scored.groupBy(col("query_id"))
+      .agg(bestK(col("cos_sim"), col("vec_id"), col("label")).as("nbrs"))
+      .select(col("query_id"), explode(col("nbrs")).as("nbr"))
+      .groupBy(col("query_id"), col("nbr.label").as("label"))
       .agg(count(lit(1)).as("n_votes"))
       .withColumn("vr", row_number().over(
         Window.partitionBy(col("query_id"))
