@@ -62,6 +62,7 @@ object SparkEntry {
     "sim_embedding_dups"  -> ((s, dir) => Similarity.embeddingNearDups(s, dir)),
     "semantic_dedup"      -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "knn_label"           -> ((s, dir) => Similarity.knnLabel(s, dir)),
+    "knn_label_ivf"       -> ((s, dir) => Similarity.knnLabelIvf(s, dir)),
     "events_hourly"       -> ((s, dir) => EventOps.hourlyEventCounts(s, dir)),
     "events_sliding"      -> ((s, dir) => EventOps.slidingEventCounts(s, dir)),
     "events_sessions"     -> ((s, dir) => EventOps.sessionize(s, dir)),
@@ -284,6 +285,7 @@ object SparkEntry {
     "sim_embedding_dups"  -> Similarity.embeddingNearDupsSql,
     "semantic_dedup"      -> Similarity.semanticDedupSql,
     "knn_label"           -> Similarity.knnLabelSql,
+    "knn_label_ivf"       -> Similarity.knnLabelIvfSql,
     "events_hourly"       -> EventOps.hourlyEventCountsSql,
     "events_sliding"      -> EventOps.slidingEventCountsSql,
     "events_sessions"     -> EventOps.sessionizeSql(),

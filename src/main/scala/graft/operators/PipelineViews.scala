@@ -58,7 +58,8 @@ object PipelineViews {
     "graft_vocab"              -> ((s, d) => TextAnalysis.vocabInduction(s, d)),
     "graft_oov"                -> ((s, d) => TextAnalysis.oovStats(s, d)),
     "graft_curriculum"         -> ((s, d) => Sharding.curriculumOrder(s, d)),
-    "graft_knn_label"          -> ((s, d) => Similarity.knnLabel(s, d)))
+    "graft_knn_label"          -> ((s, d) => Similarity.knnLabel(s, d)),
+    "graft_knn_label_ivf"      -> ((s, d) => Similarity.knnLabelIvf(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 

@@ -646,8 +646,6 @@ object Similarity {
     * query through the trained IVF cells ([[ivfTrainedTopK]]) instead:
     * same vote tail, probed-cell candidate generation. */
   def knnLabel(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bestK = udaf(new graft.functions.BestKByScore(KnnK))
     val emb = corpus(spark, sfDir)
     val queries = emb.where(col("vec_id") % KnnQueryMod === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
@@ -656,6 +654,15 @@ object Similarity {
       .select(col("query_id"),
         cosineFrom(dotQ(col("q"), col("qq")), col("n2"), col("qn2")).as("cos_sim"),
         col("vec_id"), col("label"))
+    voteTail(scored)
+  }
+
+  /** The shared kNN vote tail over (query_id, cos_sim, vec_id, label)
+    * scored-candidate rows: bounded-buffer top-[[KnnK]] cut BEFORE the
+    * exchange, explode, vote count, deterministic argmax. */
+  private def voteTail(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bestK = udaf(new graft.functions.BestKByScore(KnnK))
     scored.groupBy(col("query_id"))
       .agg(bestK(col("cos_sim"), col("vec_id"), col("label")).as("nbrs"))
       .select(col("query_id"), explode(col("nbrs")).as("nbr"))
@@ -668,6 +675,70 @@ object Similarity {
       .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
       .orderBy(col("query_id").asc)
   }
+
+  /** kNN labeling routed through the TRAINED IVF cells — the scale path
+    * [[knnLabel]]'s scaladoc points at for query sets too large to
+    * broadcast or corpora too large to brute-force: every query probes
+    * its [[NumProbes]] nearest trained cells and votes among reference
+    * vectors assigned to those cells ONLY, so scoring work is
+    * Σ_cell |refs_cell| · |queries probing cell| instead of n·|Q|.
+    *
+    * Cell assignment on both sides is the zero-exchange broadcast fold
+    * ([[nearestCid]] / [[probeCids]] over the memoized trained
+    * centroids). The candidate join is cell-KEYED: here the probe side
+    * broadcasts (it is |Q|·probes slim rows); for a non-broadcastable
+    * query set, dropping the hint lets both sides shuffle by the 8-byte
+    * cid — the join shape a distributed kNN-join has to have. Each
+    * reference lives in exactly one cell, so no (query, candidate) pair
+    * is scored twice. Same bounded-buffer vote tail as [[knnLabel]];
+    * recall is governed by the probe count, and the oracle replays the
+    * identical training + probing, so the probed semantics themselves
+    * are hash-verified. */
+  def knnLabelIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = corpus(spark, sfDir)
+    val centArr = centroidArray(trainedCentroids(spark, sfDir))
+    val refs = emb.where(col("vec_id") % KnnQueryMod =!= 0)
+      .join(broadcast(centArr))
+      .select(col("vec_id"), col("label"), col("q"), col("n2"),
+        nearestCid(col("cents"), col("q"), col("n2")).as("cid"))
+    val queries = emb.where(col("vec_id") % KnnQueryMod === 0)
+      .join(broadcast(centArr))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"),
+        explode(probeCids(col("cents"), col("q"), col("n2"), NumProbes)).as("cid"))
+    val scored = refs.join(broadcast(queries), "cid")
+      .select(col("query_id"),
+        cosineFrom(dotQ(col("q"), col("qq")), col("n2"), col("qn2")).as("cos_sim"),
+        col("vec_id"), col("label"))
+    voteTail(scored)
+  }
+
+  val knnLabelIvfSql: String =
+    s"""WITH $corpusSql,
+       |$trainedCellsSql,
+       |qprobes AS (SELECT vec_id AS query_id, cid FROM assigned
+       |            WHERE vec_id % $KnnQueryMod = 0 AND rn <= $NumProbes),
+       |qv AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM e
+       |       WHERE vec_id % $KnnQueryMod = 0),
+       |scored AS (SELECT qp.query_id, cells.label, cells.vec_id,
+       |                  ${cosineFromSql(dotQSql("cells.q", "qv.qq"), "cells.n2", "qv.qn2")} AS cos_sim
+       |           FROM cells
+       |           JOIN qprobes qp ON cells.cid = qp.cid
+       |           JOIN qv ON qv.query_id = qp.query_id
+       |           WHERE cells.vec_id % $KnnQueryMod <> 0),
+       |topk AS (SELECT query_id, label,
+       |                ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                   ORDER BY cos_sim DESC, vec_id ASC) AS rn
+       |         FROM scored),
+       |votes AS (SELECT query_id, label, COUNT(*) AS n_votes
+       |          FROM topk WHERE rn <= $KnnK
+       |          GROUP BY query_id, label)
+       |SELECT query_id, label AS pred_label, n_votes
+       |FROM (SELECT query_id, label, n_votes,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                ORDER BY n_votes DESC, label ASC) AS vr
+       |      FROM votes)
+       |WHERE vr = 1
+       |ORDER BY query_id ASC""".stripMargin
 
   val knnLabelSql: String =
     s"""WITH $corpusSql,

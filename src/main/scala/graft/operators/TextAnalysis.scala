@@ -630,6 +630,15 @@ object TextAnalysis {
        |WHERE rk <= $VocabSize
        |ORDER BY rk ASC""".stripMargin
 
+  /** The induced vocabulary as a driver-side term list — the
+    * broadcast-sized artifact (V terms, V bounded by [[VocabSize]]) that
+    * a streaming OOV monitor bakes into its per-row projection, the same
+    * way the decontamination stream carries the eval hash set. Collect
+    * is V rows off the memoized frame — never corpus-scale. */
+  def vocabTerms(spark: SparkSession, sfDir: String): Seq[String] =
+    topVocab(spark, sfDir).orderBy(col("cnt").desc, col("term").asc)
+      .collect().map(_.getAs[String]("term")).toSeq
+
   /** Per-source out-of-vocabulary rate against the induced top-V vocab —
     * the fertility/coverage signal that tells a pipeline which sources a
     * fixed vocabulary serves badly (and when the tokenizer needs

@@ -251,6 +251,29 @@ object DocStream {
   def chunkStream(docs: DataFrame): DataFrame =
     graft.operators.Chunking.chunkCols(docs)
 
+  /** Stateless streaming OOV monitor — the tokenizer-drift signal over
+    * a live feed: each arriving document is scored against a FIXED
+    * induced vocabulary (the broadcast-sized artifact from
+    * [[TextAnalysis.vocabTerms]], baked into the projection as a
+    * literal array exactly like the batch operator's one-row broadcast),
+    * emitting slim (doc_id, source, n_tok, n_oov) rows. A periodic
+    * batch job aggregates per source and compares against the
+    * vocabulary's training-time OOV profile — rising OOV on a source
+    * means the mixture drifted and the tokenizer needs retraining. Same
+    * continuous-land/periodic-aggregate architecture as
+    * [[signatureStream]]; no state, no watermark, throughput scales
+    * with input rate. The spec pins streamed rows == the batch
+    * projection and their per-source sums == the oracle-verified
+    * `oov_rate` aggregates. */
+  def oovStream(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    val varr = array(vocab.map(lit): _*)
+    val t = TextOps.tokens(TextOps.normText(col("text")))
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(t).cast("long").as("n_tok"),
+        size(filter(t, tk => !array_contains(varr, tk))).cast("long").as("n_oov"))
+  }
+
   /** Exact content-dedup on top of [[curateStream]], state bounded by
     * an INGEST-time watermark (the fixture documents carry no event
     * time, so arrival time is the only clock — the standard shape for

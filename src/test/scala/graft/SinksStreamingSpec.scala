@@ -418,4 +418,32 @@ class SinksStreamingSpec extends SparkSpec {
       r.getAs[Long]("user_id") == 1 && r.getAs[Long]("n_events") == 2
     }, s"expected user 1's first 2-event session to close; got ${sessions.mkString(", ")}")
   }
+
+  test("streaming OOV monitor matches the batch projection and the oov_rate aggregates") {
+    import graft.streaming.DocStream
+    import graft.operators.TextAnalysis
+    val vocab = TextAnalysis.vocabTerms(spark, sf)
+    assert(vocab.nonEmpty && vocab.length <= TextAnalysis.VocabSize)
+    val dir = Files.createTempDirectory("graft_oovstream").toString
+    Files.copy(java.nio.file.Path.of(s"$sf/documents.parquet"),
+      java.nio.file.Path.of(dir, "documents.parquet"))
+    val q = DocStream.oovStream(DocStream.readDocsStream(spark, dir), vocab)
+      .writeStream.format("memory").queryName("oov_stream_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("oov_stream_test").orderBy("doc_id").collect()
+    // stateless: streamed == the same projection on the batch frame
+    val batch = DocStream.oovStream(Tables.documents(spark, sf), vocab)
+      .orderBy("doc_id").collect()
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+    // per-source sums reproduce the oracle-verified batch aggregates
+    val agg = streamed.groupBy(_.getAs[String]("source")).map { case (s, rs) =>
+      s -> ((rs.length.toLong, rs.map(_.getAs[Long]("n_tok")).sum,
+        rs.map(_.getAs[Long]("n_oov")).sum))
+    }
+    TextAnalysis.oovStats(spark, sf).collect().foreach { r =>
+      val (nDocs, nTok, nOov) = agg(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == nDocs && r.getAs[Long]("n_tokens") == nTok &&
+        r.getAs[Long]("n_oov") == nOov)
+    }
+  }
 }

@@ -332,4 +332,39 @@ class TextSimilaritySpec extends SparkSpec {
     // the vote is non-degenerate somewhere: not every query is unanimous
     assert(rows.exists(_.getAs[Long]("n_votes") < Similarity.KnnK))
   }
+
+  test("knn IVF route labels the same query set with bounded votes") {
+    import graft.operators.Similarity
+    val brute = Similarity.knnLabel(spark, sf).collect()
+    val ivf = Similarity.knnLabelIvf(spark, sf).collect()
+    assert(ivf.map(_.getAs[Long]("query_id")).toSeq ==
+      brute.map(_.getAs[Long]("query_id")).toSeq,
+      "every held-out query must receive a label from the probed cells")
+    assert(ivf.forall { r =>
+      val v = r.getAs[Long]("n_votes"); v >= 1 && v <= Similarity.KnnK
+    })
+    // probing is a recall knob, not a rewrite: most predictions agree
+    // with brute force on this corpus (cells cover half the space)
+    val bruteBy = brute.map(r => r.getAs[Long]("query_id") -> r.getAs[Int]("pred_label")).toMap
+    val agree = ivf.count(r => bruteBy(r.getAs[Long]("query_id")) == r.getAs[Int]("pred_label"))
+    assert(agree * 2 >= ivf.length, s"only $agree/${ivf.length} IVF labels agree with brute force")
+  }
+
+  test("BestKByScore is partitioning-invariant") {
+    import org.apache.spark.sql.functions.{col, udaf}
+    import spark.implicits._
+    val agg = udaf(new graft.functions.BestKByScore(3))
+    val data = Seq(
+      (1L, 0.9, 10L, 1), (1L, 0.8, 11L, 2), (1L, 0.9, 9L, 3), (1L, 0.1, 12L, 1),
+      (2L, 0.5, 20L, 5), (2L, 0.5, 21L, 6)).toDF("g", "cos", "id", "lab")
+    def run(parts: Int) = data.repartition(parts)
+      .groupBy(col("g"))
+      .agg(agg(col("cos"), col("id"), col("lab")).as("top"))
+      .orderBy(col("g")).collect().map(_.toString).toSeq
+    val one = run(1)
+    assert(run(7) == one && run(3) == one)
+    // ties on cos break by id: (0.9, 9) must precede (0.9, 10)
+    assert(one.head.contains("[0.9,9,3]") || one.head.contains("{0.9, 9, 3}") ||
+      one.head.indexOf("9") < one.head.indexOf("10"))
+  }
 }
