@@ -84,6 +84,24 @@ object GraftConf {
     * The oracle mirrors the DEFAULT, so overrides invalidate Verify. */
   val SemdedupCellCapKey = "spark.graft.semdedup.cellCap"
 
+  /** Induced vocabulary size (`TextAnalysis.vocabInduction` /
+    * `oovStats`). The vocab is an OUTPUT (and the OOV denominator), so
+    * the oracle pins the default; `Verify` refuses an override like the
+    * other oracle-pinned knobs. */
+  val VocabSizeKey = "spark.graft.vocab.size"
+  /** Neighbors consulted per query in the kNN labelers
+    * (`Similarity.knnLabel` / `knnLabelIvf`). Vote counts are OUTPUT
+    * values, so the oracle pins the default; `Verify` refuses an
+    * override. */
+  val KnnKKey = "spark.graft.knn.k"
+  /** Quality-band count for the curriculum export's two-phase global
+    * ranking (`Sharding.curriculumOrder`) — production sizes it to the
+    * task fleet. A pure parallelism knob: the banded rank equals the
+    * true global rank at ANY band count (order-preserving banding +
+    * exact offsets), so the result is band-invariant and needs no
+    * Verify guard — pinned by a spec running 1 and 4096 bands. */
+  val CurriculumBandsKey = "spark.graft.curriculum.bands"
+
   val DefaultTopK = 10
   val DefaultQ1Start = "1996-01-01"
   val DefaultQ1End = "1997-12-31 23:59:59"
@@ -100,6 +118,9 @@ object GraftConf {
   val DefaultCcMaxIters = 25
   val DefaultExportShards = 8
   val DefaultSemdedupCellCap = 10000
+  val DefaultVocabSize = 50
+  val DefaultKnnK = 8
+  val DefaultCurriculumBands = 256
 
   def topK(s: SparkSession): Int = s.conf.get(TopKKey, DefaultTopK.toString).toInt
   def q1Start(s: SparkSession): String = s.conf.get(Q1StartKey, DefaultQ1Start)
@@ -148,4 +169,19 @@ object GraftConf {
   }
   def deconBroadcastEval(s: SparkSession): Boolean =
     s.conf.get(DeconBroadcastEvalKey, DefaultDeconBroadcastEval.toString).toBoolean
+  def vocabSize(s: SparkSession): Int = {
+    val n = s.conf.get(VocabSizeKey, DefaultVocabSize.toString).toInt
+    require(n > 0, s"$VocabSizeKey must be positive, got $n")
+    n
+  }
+  def knnK(s: SparkSession): Int = {
+    val n = s.conf.get(KnnKKey, DefaultKnnK.toString).toInt
+    require(n > 0, s"$KnnKKey must be positive, got $n")
+    n
+  }
+  def curriculumBands(s: SparkSession): Int = {
+    val n = s.conf.get(CurriculumBandsKey, DefaultCurriculumBands.toString).toInt
+    require(n > 0, s"$CurriculumBandsKey must be positive, got $n")
+    n
+  }
 }

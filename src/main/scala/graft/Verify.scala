@@ -26,10 +26,13 @@ object Verify {
     // COUNT(*)) and the minhash bucket cap (oracle QUALIFY pins
     // DefaultMinhashBucketCap) both have that property; the simhash hot
     // cap does NOT (retrieval is exact at any cap) and needs no guard.
+    // (CurriculumBandsKey is band-invariant — spec-pinned — and needs
+    // no guard, like SimhashHotCapKey.)
     for (key <- Seq(GraftConf.AnnPlanesKey, GraftConf.MinhashBucketCapKey,
                     GraftConf.PackingShardsKey, GraftConf.ChunkSizeKey,
                     GraftConf.ChunkStrideKey, GraftConf.ExportShardsKey,
-                    GraftConf.SemdedupCellCapKey))
+                    GraftConf.SemdedupCellCapKey, GraftConf.VocabSizeKey,
+                    GraftConf.KnnKKey))
       require(spark.conf.getOption(key).isEmpty,
         s"$key is set; unset it before verifying " +
           "(the oracle SQL pins this knob's default)")

@@ -66,8 +66,12 @@ object Sharding {
        |ORDER BY shard ASC, pos ASC""".stripMargin
   }
 
-  /** Quality bands for [[curriculumOrder]]'s two-phase global ranking. */
-  val CurriculumBands = 256
+  /** Default quality-band count for [[curriculumOrder]]'s two-phase
+    * global ranking — runtime-settable via
+    * `spark.graft.curriculum.bands` (production sizes it to the task
+    * fleet). Band-INVARIANT result: any positive band count yields the
+    * identical global rank, pinned by a spec running 1 and 4096. */
+  val CurriculumBands: Int = graft.GraftConf.DefaultCurriculumBands
 
   /** Curriculum-ordered export: every document's EXACT global position
     * under (quality DESC, doc_id ASC) — the easy-to-hard total order a
@@ -91,9 +95,10 @@ object Sharding {
     * deterministic and identical on both engines. */
   def curriculumOrder(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bands = graft.GraftConf.curriculumBands(spark)
     val q = TextAnalysis.qualityScore(spark, sfDir).select(col("doc_id"), col("quality"))
     val banded = q.withColumn("band",
-      least(floor((lit(1.0) - col("quality")) * CurriculumBands), lit(CurriculumBands - 1))
+      least(floor((lit(1.0) - col("quality")) * bands), lit(bands - 1))
         .cast("long"))
     val offsets = banded.groupBy(col("band")).agg(count(lit(1)).as("c"))
       .withColumn("off", coalesce(

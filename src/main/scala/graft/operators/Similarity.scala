@@ -623,9 +623,11 @@ object Similarity {
     * for [[knnLabel]]; the rest are the labeled reference corpus. */
   val KnnQueryMod = 25L
 
-  /** Neighbors consulted per query. Deliberately even, so the
-    * deterministic tiebreak (vote count DESC, label ASC) is exercised. */
-  val KnnK = 8
+  /** Default neighbors consulted per query — runtime-settable via
+    * `spark.graft.knn.k` (oracle-pinned at the default, like topK).
+    * Deliberately even, so the deterministic tiebreak (vote count DESC,
+    * label ASC) is exercised. */
+  val KnnK: Int = graft.GraftConf.DefaultKnnK
 
   /** kNN label assignment — the embedding-space stand-in for a
     * model-based quality/topic classifier: every held-out query vector
@@ -658,11 +660,12 @@ object Similarity {
   }
 
   /** The shared kNN vote tail over (query_id, cos_sim, vec_id, label)
-    * scored-candidate rows: bounded-buffer top-[[KnnK]] cut BEFORE the
+    * scored-candidate rows: bounded-buffer top-k cut BEFORE the
     * exchange, explode, vote count, deterministic argmax. */
   private def voteTail(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bestK = udaf(new graft.functions.BestKByScore(KnnK))
+    val bestK = udaf(new graft.functions.BestKByScore(
+      graft.GraftConf.knnK(scored.sparkSession)))
     scored.groupBy(col("query_id"))
       .agg(bestK(col("cos_sim"), col("vec_id"), col("label")).as("nbrs"))
       .select(col("query_id"), explode(col("nbrs")).as("nbr"))

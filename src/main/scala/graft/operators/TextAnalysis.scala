@@ -557,8 +557,10 @@ object TextAnalysis {
        |ORDER BY src_a ASC, src_b ASC""".stripMargin
   }
 
-  /** Induced vocabulary size for [[vocabInduction]] / [[oovStats]]. */
-  val VocabSize = 50
+  /** Default induced vocabulary size for [[vocabInduction]] /
+    * [[oovStats]] — runtime-settable via `spark.graft.vocab.size`
+    * (oracle-pinned at the default, like topK). */
+  val VocabSize: Int = graft.GraftConf.DefaultVocabSize
 
   /** Normalized corpus term rows — the shared base of the vocabulary
     * operators (one explode, text dropped immediately). */
@@ -566,16 +568,19 @@ object TextAnalysis {
     docs(spark, sfDir)
       .select(explode(TextOps.tokens(TextOps.normText(col("text")))).as("term"))
 
-  /** The top-[[VocabSize]] terms by exact corpus frequency, unranked.
-    * Memoized per (session, dir): four consumers (both vocab operators
-    * and their SQL views) share one corpus explode+aggregation instead
-    * of paying it each — the V-row result is all that is pinned. */
-  private def topVocab(spark: SparkSession, sfDir: String): DataFrame =
-    Materialize.memoized(spark, s"vocab_${Materialize.dirTag(sfDir)}") {
+  /** The top-V terms by exact corpus frequency, unranked. Memoized per
+    * (session, dir, V): four consumers (both vocab operators and their
+    * SQL views) share one corpus explode+aggregation instead of paying
+    * it each — the V-row result is all that is pinned. V is part of the
+    * memo key so a runtime size override never serves a stale vocab. */
+  private def topVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = graft.GraftConf.vocabSize(spark)
+    Materialize.memoized(spark, s"vocab_${v}_${Materialize.dirTag(sfDir)}") {
       termRows(spark, sfDir)
         .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("term").asc).limit(VocabSize)
+        .orderBy(col("cnt").desc, col("term").asc).limit(v)
     }
+  }
 
   /** Tokenizer-vocabulary induction: the top-[[VocabSize]] corpus terms
     * by exact frequency, with rank and cumulative corpus coverage — the

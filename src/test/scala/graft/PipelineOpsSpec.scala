@@ -421,5 +421,37 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("pos") == i + 1,
         s"doc ${r.getAs[Long]("doc_id")}: banded rank ${r.getAs[Long]("pos")} != global ${i + 1}")
     }
+    // the band count is a pure parallelism knob: 1 band (the naive
+    // single window) and 4096 bands produce the identical total order
+    val default = rows.map(_.toString).toSeq
+    for (b <- Seq("1", "4096")) {
+      spark.conf.set(GraftConf.CurriculumBandsKey, b)
+      try assert(Sharding.curriculumOrder(spark, sf).collect().map(_.toString).toSeq == default,
+        s"band count $b changed the global order")
+      finally spark.conf.unset(GraftConf.CurriculumBandsKey)
+    }
+  }
+
+  test("vocab size and knn k are runtime knobs; invalid values fail fast") {
+    import graft.operators.{Similarity, TextAnalysis}
+    spark.conf.set(GraftConf.VocabSizeKey, "5")
+    try {
+      val v5 = TextAnalysis.vocabInduction(spark, sf).collect()
+      assert(v5.length == 5)
+      // the 5-term vocab is the prefix of the default-size ranking
+      val vDefault = { spark.conf.unset(GraftConf.VocabSizeKey)
+        TextAnalysis.vocabInduction(spark, sf).collect() }
+      assert(v5.map(_.getAs[String]("term")).toSeq ==
+        vDefault.take(5).map(_.getAs[String]("term")).toSeq)
+    } finally spark.conf.unset(GraftConf.VocabSizeKey)
+    spark.conf.set(GraftConf.KnnKKey, "1")
+    try {
+      val rows = Similarity.knnLabel(spark, sf).collect()
+      // k=1: every prediction is the single nearest neighbor's label
+      assert(rows.nonEmpty && rows.forall(_.getAs[Long]("n_votes") == 1L))
+    } finally spark.conf.unset(GraftConf.KnnKKey)
+    spark.conf.set(GraftConf.VocabSizeKey, "0")
+    try intercept[IllegalArgumentException](TextAnalysis.vocabInduction(spark, sf))
+    finally spark.conf.unset(GraftConf.VocabSizeKey)
   }
 }
