@@ -69,6 +69,8 @@ object SparkEntry {
     "events_json_props"   -> ((s, dir) => EventOps.propsExtract(s, dir)),
     "events_asof"         -> ((s, dir) => EventOps.purchaseAttribution(s, dir)),
     "events_range_join"   -> ((s, dir) => EventOps.nearbyClickCounts(s, dir)),
+    "events_funnel"       -> ((s, dir) => EventOps.funnelStages(s, dir)),
+    "events_transitions"  -> ((s, dir) => EventOps.sessionTransitions(s, dir)),
     "topk_per_group"      -> ((s, dir) => EventOps.topPartsPerFlag(s, dir)),
     "multimodal_stats"    -> ((s, dir) => Multimodal.multimodalStats(s, dir)),
     "multimodal_frames"   -> ((s, dir) => Multimodal.multimodalFrames(s, dir)),
@@ -292,6 +294,8 @@ object SparkEntry {
     "events_json_props"   -> EventOps.propsExtractSql,
     "events_asof"         -> EventOps.purchaseAttributionSql,
     "events_range_join"   -> EventOps.nearbyClickCountsSql,
+    "events_funnel"       -> EventOps.funnelStagesSql,
+    "events_transitions"  -> EventOps.sessionTransitionsSql(),
     "topk_per_group"      -> EventOps.topPartsPerFlagSql(),
     "multimodal_stats"    -> Multimodal.multimodalStatsSql,
     "multimodal_frames"   -> Multimodal.multimodalFramesSql,

@@ -232,6 +232,107 @@ object EventOps {
        |ORDER BY user_id ASC, session_id ASC""".stripMargin
   }
 
+  /** The ordered funnel stages for [[funnelStages]]. */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Funnel analysis — how many users progressed view → click →
+    * purchase IN ORDER (each stage strictly after the previous one's
+    * earliest qualifying time): the classic product-analytics query,
+    * here as ONE window pass. Per user-ordered row, a running min of
+    * qualifying stage-1 times gates stage 2, whose running min gates
+    * stage 3 — so the whole funnel is three running-min columns over a
+    * single (user) partition, one exchange total, never a self-join
+    * per stage. The oracle is the INDEPENDENT join formulation
+    * (min-ts CTE per stage, each joined strictly after the previous),
+    * so the window encoding is cross-verified, not replayed.
+    *
+    * Output: one row per stage with the users reaching it. */
+  def funnelStages(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col("ts"))
+    val t1 = min(when(col("event_type") === FunnelStages(0), us)).over(w)
+    val q2 = when(col("event_type") === FunnelStages(1) && us > col("t1r"), us)
+    val q3 = when(col("event_type") === FunnelStages(2) && us > col("t2r"), us)
+    val perUser = Tables.events(spark, sfDir)
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .withColumn("t1r", t1)
+      .withColumn("t2r", min(q2).over(w))
+      .withColumn("t3r", min(q3).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1r").isNotNull).as("s1"),
+        max(col("t2r").isNotNull).as("s2"),
+        max(col("t3r").isNotNull).as("s3"))
+    val stages = FunnelStages.zipWithIndex.map { case (name, i) =>
+      perUser.where(col(s"s${i + 1}"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage"), lit(name).as("event_type"), col("n_users"))
+    }
+    stages.reduce(_.unionByName(_)).orderBy(col("stage").asc)
+  }
+
+  val funnelStagesSql: String = {
+    val Seq(s1, s2, s3) = FunnelStages
+    s"""WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+       |            WHERE event_type = '$s1' AND ts IS NOT NULL AND user_id IS NOT NULL
+       |            GROUP BY user_id),
+       |u2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       |       JOIN u1 ON e.user_id = u1.user_id AND e.ts > u1.t1
+       |       WHERE e.event_type = '$s2' GROUP BY e.user_id),
+       |u3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       |       JOIN u2 ON e.user_id = u2.user_id AND e.ts > u2.t2
+       |       WHERE e.event_type = '$s3' GROUP BY e.user_id)
+       |SELECT CAST(1 AS BIGINT) AS stage, '$s1' AS event_type, COUNT(*) AS n_users FROM u1
+       |UNION ALL SELECT 2, '$s2', COUNT(*) FROM u2
+       |UNION ALL SELECT 3, '$s3', COUNT(*) FROM u3
+       |ORDER BY stage ASC""".stripMargin
+  }
+
+  /** Within-session event-type transition matrix — the next-event
+    * model a product team (or a user-behavior simulator) reads:
+    * count of consecutive (from_type → to_type) steps inside one
+    * session, sessions cut by the same gap rule as [[sessionize]].
+    * One window pass over the same (user, ts) partition order the
+    * sessionizer uses (one exchange); the transition pairing is a
+    * per-row lag, so no self-join and nothing quadratic. The oracle
+    * re-derives sessions and lags in SQL with the same exact-µs gap
+    * arithmetic the sessionize oracle pins. */
+  def sessionTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = graft.GraftConf.sessionGapMinutes(spark).toLong * 60L * 1000000L
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val us = unix_micros(col("ts"))
+    val newSession = when(lag(us, 1).over(byTs).isNull || us - lag(us, 1).over(byTs) > gapUs, 1L)
+      .otherwise(0L)
+    Tables.events(spark, sfDir)
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .withColumn("session_id", sum(newSession).over(byTs))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byTs))
+      .withColumn("prev_session", lag(col("session_id"), 1).over(byTs))
+      .where(col("from_type").isNotNull && col("prev_session") === col("session_id"))
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_steps"))
+      .orderBy(col("from_type").asc, col("to_type").asc)
+  }
+
+  def sessionTransitionsSql(gapMinutes: Int = graft.GraftConf.DefaultSessionGap): String = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    s"""WITH ordered AS (SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us,
+       |                        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us,
+       |                        LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS from_type
+       |                 FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       |stepped AS (SELECT *,
+       |                   CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > $gapUs THEN 1 ELSE 0 END)
+       |                     OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |            FROM ordered)
+       |SELECT from_type, event_type AS to_type, COUNT(*) AS n_steps
+       |FROM stepped
+       |WHERE from_type IS NOT NULL
+       |  AND (prev_us IS NOT NULL AND us - prev_us <= $gapUs)
+       |GROUP BY from_type, to_type
+       |ORDER BY from_type ASC, to_type ASC""".stripMargin
+  }
+
   def topPartsPerFlagSql(k: Int = graft.GraftConf.DefaultGroupTopK): String =
     s"""SELECT l_returnflag, l_partkey, revenue, rn
        |FROM (SELECT l_returnflag, l_partkey, revenue,

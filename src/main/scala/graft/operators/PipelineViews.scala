@@ -59,7 +59,9 @@ object PipelineViews {
     "graft_oov"                -> ((s, d) => TextAnalysis.oovStats(s, d)),
     "graft_curriculum"         -> ((s, d) => Sharding.curriculumOrder(s, d)),
     "graft_knn_label"          -> ((s, d) => Similarity.knnLabel(s, d)),
-    "graft_knn_label_ivf"      -> ((s, d) => Similarity.knnLabelIvf(s, d)))
+    "graft_knn_label_ivf"      -> ((s, d) => Similarity.knnLabelIvf(s, d)),
+    "graft_funnel"             -> ((s, d) => EventOps.funnelStages(s, d)),
+    "graft_transitions"        -> ((s, d) => EventOps.sessionTransitions(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 

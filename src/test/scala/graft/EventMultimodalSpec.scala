@@ -192,4 +192,64 @@ class EventMultimodalSpec extends SparkSpec {
     assert(byDoc(2L) == 2)
     assert(byDoc(3L) == 4)
   }
+
+  test("funnel stages match a per-user linear scan and are monotone") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, sf)
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val stages = EventOps.FunnelStages
+    var reached = Array(0L, 0L, 0L)
+    events.groupBy(_._1).foreach { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._2))
+      var t = Array.fill[Option[Long]](3)(None)
+      ordered.foreach { case (_, _, us, tpe) =>
+        val i = stages.indexOf(tpe)
+        if (i == 0 && t(0).forall(_ > us)) t(0) = Some(us)
+        else if (i > 0 && t(i - 1).exists(us > _) && t(i).forall(_ > us)) t(i) = Some(us)
+      }
+      for (i <- 0 until 3) if (t(i).isDefined) reached(i) += 1
+    }
+    val rows = EventOps.funnelStages(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSeq == stages)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_users") == reached(i), s"stage ${i + 1}")
+    }
+    // a funnel can only narrow (the dense fixture retains every user,
+    // so equality is legitimate — the ordering constraint is what the
+    // local scan above verifies)
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b } && ns.last > 0)
+  }
+
+  test("session transitions match a local recompute and count every within-session step") {
+    import org.apache.spark.sql.functions.col
+    val gapUs = GraftConf.DefaultSessionGap.toLong * 60L * 1000000L
+    val events = Tables.events(spark, sf)
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = scala.collection.mutable.Map.empty[(String, String), Long]
+    events.groupBy(_._1).foreach { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._2))
+      ordered.sliding(2).foreach {
+        case Array((_, _, us1, t1), (_, _, us2, t2)) if us2 - us1 <= gapUs =>
+          expected((t1, t2)) = expected.getOrElse((t1, t2), 0L) + 1
+        case _ =>
+      }
+    }
+    val rows = EventOps.sessionTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+      r.getAs[Long]("n_steps")).toMap == expected.toMap)
+    // total steps = Σ_sessions (session length - 1)
+    val sessions = EventOps.sessionize(spark, sf).collect()
+    val total = sessions.map(_.getAs[Long]("n_events") - 1).sum
+    assert(rows.map(_.getAs[Long]("n_steps")).sum == total)
+  }
 }
