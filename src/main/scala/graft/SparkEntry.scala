@@ -70,6 +70,8 @@ object SparkEntry {
     "events_asof"         -> ((s, dir) => EventOps.purchaseAttribution(s, dir)),
     "events_range_join"   -> ((s, dir) => EventOps.nearbyClickCounts(s, dir)),
     "events_funnel"       -> ((s, dir) => EventOps.funnelStages(s, dir)),
+    "events_retention"    -> ((s, dir) => EventOps.cohortRetention(s, dir)),
+    "dedup_report"        -> ((s, dir) => ClusterOps.dedupReport(s, dir)),
     "events_transitions"  -> ((s, dir) => EventOps.sessionTransitions(s, dir)),
     "topk_per_group"      -> ((s, dir) => EventOps.topPartsPerFlag(s, dir)),
     "multimodal_stats"    -> ((s, dir) => Multimodal.multimodalStats(s, dir)),
@@ -295,6 +297,8 @@ object SparkEntry {
     "events_asof"         -> EventOps.purchaseAttributionSql,
     "events_range_join"   -> EventOps.nearbyClickCountsSql,
     "events_funnel"       -> EventOps.funnelStagesSql,
+    "events_retention"    -> EventOps.cohortRetentionSql,
+    "dedup_report"        -> ClusterOps.dedupReportSql,
     "events_transitions"  -> EventOps.sessionTransitionsSql(),
     "topk_per_group"      -> EventOps.topPartsPerFlagSql(),
     "multimodal_stats"    -> Multimodal.multimodalStatsSql,

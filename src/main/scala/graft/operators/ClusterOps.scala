@@ -281,6 +281,63 @@ object ClusterOps {
        |WHERE c.is_canonical
        |ORDER BY c.doc_id ASC""".stripMargin
 
+  /** Per-source dedup report — the dataset-card numbers a curation run
+    * publishes: for every source, how many documents it contributed,
+    * how many were exact copies (not the keeper of their 120-bit
+    * content-hash group), how many were near-dup cluster members that
+    * lost canonicalization, and the combined drop fraction. High
+    * exact-dup sources are mirrors; high near-dup sources are template
+    * farms — the two numbers drive different curation decisions, which
+    * is why both are reported.
+    *
+    * Scale shape: the exact arm is the dedup-exact aggregation re-keyed
+    * to keep (doc, source); the near arm is a projection of the
+    * memoized cluster frame; one 8-byte doc_id join aligns them and a
+    * sources-sized aggregate ends the plan. Text never shuffles. */
+  def dedupReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = graft.functions.TextOps.normText(col("text"))
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextOps.hash60(norm).as("h1"),
+        graft.functions.TextOps.hash60b(norm).as("h2"))
+    val keep = hashed.groupBy(col("h1"), col("h2"))
+      .agg(min(col("doc_id")).as("keep_doc_id"))
+    val exact = hashed.join(keep, Seq("h1", "h2"))
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") =!= col("keep_doc_id")).as("exact_dup"))
+    val near = dedupClusters(spark, sfDir)
+      .select(col("doc_id"), (!col("is_canonical")).as("near_dup"))
+    exact.join(near, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("exact_dup"), 1L).otherwise(0L)).as("n_exact_dups"),
+        sum(when(col("near_dup"), 1L).otherwise(0L)).as("n_near_dups"),
+        sum(when(col("exact_dup") || col("near_dup"), 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("dup_frac", col("n_dropped").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source").asc)
+  }
+
+  val dedupReportSql: String = {
+    val norm = graft.functions.TextOps.normTextSql("text")
+    s"""$clusterCtes,
+       |hashed AS (SELECT doc_id, source,
+       |                  ${graft.functions.TextOps.hash60Sql(norm)} AS h1,
+       |                  ${graft.functions.TextOps.hash60bSql(norm)} AS h2
+       |           FROM documents),
+       |keep AS (SELECT h1, h2, MIN(doc_id) AS keep_doc_id FROM hashed GROUP BY h1, h2),
+       |ex AS (SELECT h.doc_id, h.source, h.doc_id <> k.keep_doc_id AS exact_dup
+       |       FROM hashed h JOIN keep k ON h.h1 = k.h1 AND h.h2 = k.h2)
+       |SELECT ex.source, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN ex.exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+       |       CAST(SUM(CASE WHEN NOT c.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+       |       CAST(SUM(CASE WHEN ex.exact_dup OR NOT c.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       CAST(SUM(CASE WHEN ex.exact_dup OR NOT c.is_canonical THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+       |FROM ex JOIN clus c ON ex.doc_id = c.doc_id
+       |GROUP BY ex.source
+       |ORDER BY ex.source ASC""".stripMargin
+  }
+
   /** Leakage-safe train/val/test split — the holdout assignment a plain
     * per-document hash split gets WRONG on near-duplicate data: when two
     * near-identical documents land on opposite sides of the train/test

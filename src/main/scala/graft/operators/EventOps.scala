@@ -333,6 +333,38 @@ object EventOps {
        |ORDER BY from_type ASC, to_type ASC""".stripMargin
   }
 
+  /** Daily cohort retention — the other classic behavioral query: users
+    * grouped by the DAY of their first event (their cohort), and for
+    * each cohort the distinct users still active N days later. Two
+    * narrow shuffles: a per-user min (8-byte keys, partial-agg'd) to
+    * find cohort days, one join back on user_id, then a (cohort, age)
+    * count-distinct whose key space is cohorts × horizon — bounded by
+    * the calendar, not the corpus. Ages are exact integer day
+    * differences of date-truncated timestamps, so both engines agree
+    * without any timezone arithmetic (the session is pinned UTC). */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = events.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    events.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("age_days"))
+      .groupBy(col("cohort_day"), col("age_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day").asc, col("age_days").asc)
+  }
+
+  val cohortRetentionSql: String =
+    s"""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+       |           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+       |SELECT c.cohort_day, CAST(e.day - c.cohort_day AS BIGINT) AS age_days,
+       |       COUNT(DISTINCT e.user_id) AS n_users
+       |FROM e JOIN c ON e.user_id = c.user_id
+       |GROUP BY c.cohort_day, age_days
+       |ORDER BY c.cohort_day ASC, age_days ASC""".stripMargin
+
   def topPartsPerFlagSql(k: Int = graft.GraftConf.DefaultGroupTopK): String =
     s"""SELECT l_returnflag, l_partkey, revenue, rn
        |FROM (SELECT l_returnflag, l_partkey, revenue,

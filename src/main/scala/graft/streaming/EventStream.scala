@@ -125,4 +125,54 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** One newly-reached funnel stage for one user. */
+  case class FunnelHit(user_id: Long, stage: Int, event_type: String, ts: Timestamp)
+
+  /** Streaming funnel tracking — the real-time twin of
+    * `EventOps.funnelStages`: per-user state is just the earliest
+    * qualifying time of each stage (three optional longs — state size
+    * is users × 24 bytes, independent of stream length), and a
+    * [[FunnelHit]] row is emitted the moment a user first reaches a
+    * stage, each stage at most once per user. Stage i qualifies only
+    * STRICTLY after stage i-1's recorded time — the batch operator's
+    * ordering rule.
+    *
+    * Equivalence contract: for an in-order feed (the file-source /
+    * replay shape), per-stage distinct users equal the batch funnel
+    * exactly (spec-pinned). An out-of-order feed can only UNDER-count
+    * transiently — a stage is never emitted for a user who has not
+    * genuinely reached it, because qualification only ever compares
+    * against an earlier-or-equal recorded time. No timeout: a funnel is
+    * cumulative; production adds a TTL to expire abandoned users. */
+  def funnel(events: Dataset[Event],
+             stages: Seq[String] = graft.operators.EventOps.FunnelStages): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    def toUs(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[(Option[Long], Option[Long], Option[Long])]): Iterator[FunnelHit] = {
+      var t = state.getOption.map(s => Array(s._1, s._2, s._3))
+        .getOrElse(Array[Option[Long]](None, None, None))
+      val out = List.newBuilder[FunnelHit]
+      rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
+        val i = stages.indexOf(e.event_type)
+        if (i >= 0) {
+          val us = toUs(e.ts)
+          val qualifies =
+            if (i == 0) t(0).isEmpty
+            else t(i).isEmpty && t(i - 1).exists(us > _)
+          if (qualifies) {
+            t(i) = Some(us)
+            out += FunnelHit(userId, i + 1, e.event_type, e.ts)
+          }
+        }
+      }
+      state.update((t(0), t(1), t(2)))
+      out.result().iterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -225,6 +225,27 @@ class EventMultimodalSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b } && ns.last > 0)
   }
 
+  test("cohort retention: age-0 row per cohort covers all users; actives bounded by cohort size") {
+    import org.apache.spark.sql.functions.col
+    val rows = EventOps.cohortRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_day").toString)
+    // every user appears in their cohort's age-0 row (first-day activity
+    // is definitionally day 0), so Σ age-0 users = all users
+    val age0 = rows.filter(_.getAs[Long]("age_days") == 0L)
+    assert(age0.map(_.getAs[Long]("n_users")).sum ==
+      Tables.events(spark, sf).where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id")).distinct().count())
+    byCohort.foreach { case (c, rs) =>
+      val size = rs.find(_.getAs[Long]("age_days") == 0L)
+        .map(_.getAs[Long]("n_users")).getOrElse(0L)
+      assert(size > 0, s"cohort $c missing its age-0 row")
+      assert(rs.forall(_.getAs[Long]("n_users") <= size),
+        s"cohort $c has an age with more actives than members")
+      assert(rs.forall(_.getAs[Long]("age_days") >= 0L))
+    }
+  }
+
   test("session transitions match a local recompute and count every within-session step") {
     import org.apache.spark.sql.functions.col
     val gapUs = GraftConf.DefaultSessionGap.toLong * 60L * 1000000L

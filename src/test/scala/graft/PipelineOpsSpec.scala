@@ -432,6 +432,27 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup report: counts consistent with dedup_exact and the cluster frame") {
+    import org.apache.spark.sql.functions.col
+    val rows = ClusterOps.dedupReport(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // corpus-wide exact-dup total = docs - distinct content hashes
+    val distinctHashes = DedupOps.dedupExact(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_exact_dups")).sum == docs.count() - distinctHashes)
+    // corpus-wide near-dup total = non-canonical cluster members
+    val nonCanonical = ClusterOps.dedupClusters(spark, sf)
+      .where(!col("is_canonical")).count()
+    assert(rows.map(_.getAs[Long]("n_near_dups")).sum == nonCanonical)
+    rows.foreach { r =>
+      val (e, n, d) = (r.getAs[Long]("n_exact_dups"), r.getAs[Long]("n_near_dups"),
+        r.getAs[Long]("n_dropped"))
+      assert(d >= math.max(e, n) && d <= e + n, "union bounds")
+      assert(r.getAs[Double]("dup_frac") == d.toDouble / r.getAs[Long]("n_docs"))
+    }
+    assert(rows.exists(_.getAs[Long]("n_dropped") > 0))
+  }
+
   test("vocab size and knn k are runtime knobs; invalid values fail fast") {
     import graft.operators.{Similarity, TextAnalysis}
     spark.conf.set(GraftConf.VocabSizeKey, "5")

@@ -419,6 +419,49 @@ class SinksStreamingSpec extends SparkSpec {
     }, s"expected user 1's first 2-event session to close; got ${sessions.mkString(", ")}")
   }
 
+  test("streaming funnel matches batch counts; stages emit once, in order, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // equivalence on the fixture feed (in-order, one micro-batch)
+    val dir = Files.createTempDirectory("graft_funnelstream").toString
+    Files.copy(java.nio.file.Path.of(s"$sf/events.parquet"),
+      java.nio.file.Path.of(dir, "events.parquet"))
+    val src = EventStream.readEventsStream(spark, dir)
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStream.Event]
+    val q = EventStream.funnel(src)
+      .writeStream.format("memory").queryName("funnel_stream_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val hits = spark.table("funnel_stream_test").collect()
+    // each (user, stage) at most once
+    assert(hits.map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"))).distinct.length == hits.length)
+    val perStage = hits.groupBy(_.getAs[Int]("stage")).view.mapValues(_.length.toLong).toMap
+    graft.operators.EventOps.funnelStages(spark, sf).collect().foreach { r =>
+      assert(perStage.getOrElse(r.getAs[Long]("stage").toInt, 0L) == r.getAs[Long]("n_users"),
+        s"stage ${r.getAs[Long]("stage")}")
+    }
+    // cross-batch progression: click before view must NOT qualify; the
+    // chain completes only once stages arrive in order
+    val input = MemoryStream[EventStream.Event]
+    def ev(id: Long, t: String, tpe: String) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(t), 99L, tpe, 1.0)
+    input.addData(Seq(ev(1, "2024-01-01 00:00:00", "click"), ev(2, "2024-01-01 00:01:00", "view")))
+    val q2 = EventStream.funnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_stream_test2").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val afterB1 = spark.table("funnel_stream_test2").collect()
+      assert(afterB1.map(_.getAs[Int]("stage")).toSeq == Seq(1),
+        "only the view qualifies in batch 1 (the click preceded any view)")
+      input.addData(Seq(ev(3, "2024-01-01 00:02:00", "click"), ev(4, "2024-01-01 00:03:00", "purchase")))
+      q2.processAllAvailable()
+      val afterB2 = spark.table("funnel_stream_test2").orderBy("stage").collect()
+      assert(afterB2.map(_.getAs[Int]("stage")).toSeq == Seq(1, 2, 3),
+        "in-order arrivals complete the chain across micro-batches")
+    } finally q2.stop()
+  }
+
   test("streaming OOV monitor matches the batch projection and the oov_rate aggregates") {
     import graft.streaming.DocStream
     import graft.operators.TextAnalysis
