@@ -239,7 +239,9 @@ object SparkEntry {
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
     "except_suppliers"    -> ((s, dir) => AnalyticsExt.exceptSuppliers(s, dir)),
     "median_quantity"     -> ((s, dir) => AnalyticsExt.medianQuantity(s, dir)),
-    "revenue_by_month"    -> ((s, dir) => AnalyticsExt.revenueByMonth(s, dir))
+    "revenue_by_month"    -> ((s, dir) => AnalyticsExt.revenueByMonth(s, dir)),
+    "q3_shipping_priority" -> ((s, dir) => AnalyticsExt.q3ShippingPriority(s, dir)),
+    "revenue_cumulative"  -> ((s, dir) => AnalyticsExt.cumulativeRevenue(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -356,6 +358,8 @@ object SparkEntry {
     "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,
     "except_suppliers"    -> AnalyticsExt.exceptSuppliersSql,
     "median_quantity"     -> AnalyticsExt.medianQuantitySql,
-    "revenue_by_month"    -> AnalyticsExt.revenueByMonthSql
+    "revenue_by_month"    -> AnalyticsExt.revenueByMonthSql,
+    "q3_shipping_priority" -> AnalyticsExt.q3ShippingPrioritySql(),
+    "revenue_cumulative"  -> AnalyticsExt.cumulativeRevenueSql
   )
 }

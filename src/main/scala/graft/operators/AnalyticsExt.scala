@@ -89,4 +89,84 @@ object AnalyticsExt {
        |WHERE l_shipdate IS NOT NULL
        |GROUP BY month
        |ORDER BY month ASC""".stripMargin
+
+  /** Parameters for the TPC-H Q3-style shipping-priority query. */
+  val Q3Segment = "BUILDING"
+  val Q3Date = "1997-06-01"
+
+  /** TPC-H Q3 analog — the canonical THREE-way join the reference never
+    * had: revenue of not-yet-shipped lineitems for orders placed before
+    * [[Q3Date]] by [[Q3Segment]] customers, top-K orders by revenue.
+    * Shape at scale: all three scans filter BEFORE their joins (segment
+    * on customer, date on orders, date on lineitem — each pushed to the
+    * parquet scan), the joins are 8-byte-key equi-joins (AQE broadcasts
+    * the filtered customer side when it fits), and the top-K is a
+    * TakeOrderedAndProject — never a global sort. */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = graft.GraftConf.topK(spark)
+    val cust = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment") === Q3Segment)
+      .select(col("c_custkey"))
+    val ords = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") < lit(Q3Date).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") > lit(Q3Date).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(RefQueries.revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(k)
+  }
+
+  def q3ShippingPrioritySql(k: Int = graft.GraftConf.DefaultTopK): String =
+    s"""SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       |       ${RefQueries.revenueExactSql("l.l_extendedprice", "l.l_discount")} AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |WHERE c.c_mktsegment = '$Q3Segment'
+       |  AND o.o_orderdate < TIMESTAMP '$Q3Date'
+       |  AND l.l_shipdate > TIMESTAMP '$Q3Date'
+       |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+       |ORDER BY revenue DESC, l.l_orderkey ASC
+       |LIMIT $k""".stripMargin
+
+  /** Month-over-month revenue with a running cumulative total. The
+    * cumulative sum runs over EXACT unscaled decimal cents
+    * ([[RefQueries.revenueCentsExact]]) and scales back to dollars only
+    * at the end — a double-typed running sum would depend on the
+    * window aggregator's internal tree shape and flake the oracle hash.
+    * The single-partition window is calendar-bounded (one row per
+    * month), so its shape is irrelevant at any corpus size. */
+  def cumulativeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("month").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate").isNotNull)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(RefQueries.revenueCentsExact(col("l_extendedprice"), col("l_discount")).as("rc"))
+      .withColumn("cum", sum(col("rc")).over(w))
+      .select(col("month"),
+        (col("rc").cast("double") / 10000.0).as("revenue"),
+        (col("cum").cast("double") / 10000.0).as("cum_revenue"))
+      .orderBy(col("month").asc)
+  }
+
+  val cumulativeRevenueSql: String =
+    s"""WITH m AS (SELECT date_trunc('month', l_shipdate) AS month,
+       |                  ${RefQueries.revenueCentsExactSql("l_extendedprice", "l_discount")} AS rc
+       |           FROM lineitem
+       |           WHERE l_shipdate IS NOT NULL
+       |           GROUP BY month)
+       |SELECT month,
+       |       CAST(rc AS DOUBLE) / 10000.0 AS revenue,
+       |       CAST(SUM(rc) OVER (ORDER BY month ASC
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |         / 10000.0 AS cum_revenue
+       |FROM m
+       |ORDER BY month ASC""".stripMargin
 }

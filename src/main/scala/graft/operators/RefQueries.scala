@@ -44,6 +44,19 @@ object RefQueries {
   def sumMoneyExact(c: Column): Column =
     sum(cents(c).cast(DecimalType(38, 0))).cast(DoubleType) / 100.0
 
+  /** The exact UNSCALED revenue sum (integer 10⁻⁴-dollar units, as
+    * DECIMAL(38,0)) — for consumers that keep aggregating exactly
+    * (cumulative windows) before the one scale-back division. A double
+    * at this stage would make downstream window sums depend on the
+    * engine's aggregation-tree shape. */
+  def revenueCentsExact(price: Column, discount: Column): Column =
+    sum((cents(price) * (lit(100L) - cents(discount))).cast(DecimalType(38, 0)))
+
+  /** SQL twin of [[revenueCentsExact]]. */
+  def revenueCentsExactSql(price: String, discount: String): String =
+    s"SUM(CAST(CAST(ROUND($price * 100) AS BIGINT) * " +
+      s"(100 - CAST(ROUND($discount * 100) AS BIGINT)) AS DECIMAL(38,0)))"
+
   /** SQL twin of [[revenueExact]] — identical integer arithmetic. */
   def revenueExactSql(price: String, discount: String): String =
     s"CAST(SUM(CAST(CAST(ROUND($price * 100) AS BIGINT) * " +

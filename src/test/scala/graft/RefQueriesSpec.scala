@@ -89,4 +89,38 @@ class RefQueriesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(base.sameElements(again))
   }
+
+  test("q3 shipping priority: filters hold on every surviving order; ordered top-K") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AnalyticsExt
+    val rows = AnalyticsExt.q3ShippingPriority(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= GraftConf.DefaultTopK)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    // o_orderdate is TIMESTAMP_NTZ in the fixture → LocalDateTime externally
+    val cutoff = java.time.LocalDateTime.parse(s"${AnalyticsExt.Q3Date}T00:00")
+    rows.foreach(r =>
+      assert(r.getAs[java.time.LocalDateTime]("o_orderdate").isBefore(cutoff)))
+    // every reported order really belongs to a segment customer
+    val segOrders = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf)
+        .where(col("c_mktsegment") === AnalyticsExt.Q3Segment),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(segOrders(r.getAs[Long]("l_orderkey"))))
+  }
+
+  test("cumulative revenue is the running total of the monthly revenues") {
+    import graft.operators.AnalyticsExt
+    val rows = AnalyticsExt.cumulativeRevenue(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var run = 0.0
+    rows.foreach { r =>
+      run += r.getAs[Double]("revenue")
+      assert(math.abs(r.getAs[Double]("cum_revenue") - run) < 1e-6 * math.max(1.0, run))
+    }
+    // months are strictly increasing
+    val ms = rows.map(_.getAs[java.sql.Timestamp]("month"))
+    assert(ms.zip(ms.tail).forall { case (a, b) => a.before(b) })
+  }
 }
