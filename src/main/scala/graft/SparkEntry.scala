@@ -110,6 +110,17 @@ object SparkEntry {
     "sql_pricing"         -> ((s, dir) => {
       graft.sources.Tables.ensureViews(s, dir); s.sql(RefQueries.aggPricingSql)
     }),
+    // dialect-portable ANSI twins: spark.sql executes the IDENTICAL
+    // text the DuckDB oracle runs (the Hive-CLI parity path)
+    "sql_q3"              -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(AnalyticsExt.q3ShippingPrioritySql())
+    }),
+    "sql_cum_revenue"     -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(AnalyticsExt.cumulativeRevenueSql)
+    }),
+    "sql_funnel"          -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(EventOps.funnelStagesSql)
+    }),
     // The SAME declarative surface over the pipeline operators: plain
     // SQL against registered graft_* views (a SQL-only deployment's
     // path to near-dedup / sessionization), verified against the same
@@ -323,6 +334,9 @@ object SparkEntry {
     "sql_q1c"             -> RefQueries.q1cSql,
     "sql_eda"             -> RefQueries.edaSql,
     "sql_pricing"         -> RefQueries.aggPricingSql,
+    "sql_q3"              -> AnalyticsExt.q3ShippingPrioritySql(),
+    "sql_cum_revenue"     -> AnalyticsExt.cumulativeRevenueSql,
+    "sql_funnel"          -> EventOps.funnelStagesSql,
     "sql_dedup_exact"     -> DedupOps.dedupExactSql,
     "sql_near_dups"       -> DedupOps.nearDupJaccardSql,
     "sql_sessions"        -> EventOps.sessionizeSql(),

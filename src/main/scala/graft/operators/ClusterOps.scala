@@ -295,11 +295,7 @@ object ClusterOps {
     * memoized cluster frame; one 8-byte doc_id join aligns them and a
     * sources-sized aggregate ends the plan. Text never shuffles. */
   def dedupReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val norm = graft.functions.TextOps.normText(col("text"))
-    val hashed = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        graft.functions.TextOps.hash60(norm).as("h1"),
-        graft.functions.TextOps.hash60b(norm).as("h2"))
+    val hashed = DedupOps.hashedDocs(spark, sfDir)
     val keep = hashed.groupBy(col("h1"), col("h2"))
       .agg(min(col("doc_id")).as("keep_doc_id"))
     val exact = hashed.join(keep, Seq("h1", "h2"))
@@ -355,23 +351,19 @@ object ClusterOps {
     * other cluster consumer via the label memo. */
   def leakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val sk = graft.functions.TextOps.hash60(
-      concat(lit("lsplit|"), col("cluster_id").cast("string"))) % 100
+      concat(lit("lsplit|"), col("cluster_id").cast("string")))
     dedupClusters(spark, sfDir)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        when(sk < Sharding.TrainPct, lit("train"))
-          .when(sk < Sharding.TrainPct + Sharding.ValPct, lit("val"))
-          .otherwise(lit("test")).as("split"))
+        Sharding.splitOf(sk).as("split"))
       .orderBy(col("doc_id").asc)
   }
 
   val leakageSplitSql: String = {
     val sk = graft.functions.TextOps.hash60Sql(
-      "concat('lsplit|', CAST(cluster_id AS VARCHAR))") + " % 100"
+      "concat('lsplit|', CAST(cluster_id AS VARCHAR))")
     s"""$clusterCtes
        |SELECT doc_id, cluster_id, cluster_size,
-       |       CASE WHEN $sk < ${Sharding.TrainPct} THEN 'train'
-       |            WHEN $sk < ${Sharding.TrainPct + Sharding.ValPct} THEN 'val'
-       |            ELSE 'test' END AS split
+       |       ${Sharding.splitCaseSql(sk)} AS split
        |FROM clus
        |ORDER BY doc_id ASC""".stripMargin
   }

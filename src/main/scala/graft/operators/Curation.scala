@@ -127,9 +127,12 @@ object Curation {
     * on the diff's removed ∪ changed ids), and only added/changed
     * documents run the quality gate. At 100 TB this is the difference
     * between re-scoring the corpus and re-scoring a day's crawl; it is
-    * sound because the gate is a pure per-document function, so a
-    * document's verdict cannot change unless its text did (which the
-    * 120-bit diff detects).
+    * sound because the gate is a pure per-document function of the RAW
+    * text, so a document's verdict cannot change unless its raw text
+    * did — which is why the diff here hashes RAW text
+    * (`diffOf(..., normalizeText = false)`): the normalized diff that
+    * serves dedup would wave a case-or-punctuation-only revision
+    * through as "unchanged" while punct_n and the token split moved.
     *
     * In production the v1 manifest is READ BACK from storage (slim
     * gated rows, no text); the fixture recomputes it from the simulated
@@ -138,7 +141,8 @@ object Curation {
     * (a changed doc served from the stale manifest, a removed doc
     * surviving, a delta doc double-counted) hash-mismatches. */
   def incrementalManifest(spark: SparkSession, sfDir: String): DataFrame = {
-    val diff = Versioning.versionDiff(spark, sfDir)
+    val diff = Versioning.diffOf(Versioning.v1Of(spark, sfDir),
+      Versioning.v2Of(spark, sfDir), normalizeText = false)
     val touched = diff.where(col("status").isin("added", "changed"))
       .select(col("doc_id"))
     val gone = diff.where(col("status").isin("removed", "changed"))

@@ -43,15 +43,22 @@ object DedupOps {
     * certain false merges on a 1e11-doc corpus — while 120 bits push
     * the bound past 2^60. Shuffle keys stay 16 fixed bytes per doc,
     * never the text. */
-  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, source, two 60-bit normalized-content-hash halves) — the
+    * ONE projection every exact-content consumer ([[dedupExact]],
+    * [[priorityDedup]], `ClusterOps.dedupReport`) builds on, so the
+    * normalization and hash scheme cannot drift between them. */
+  private[operators] def hashedDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val norm = TextOps.normText(col("text"))
     Tables.documents(spark, sfDir)
-      .select(TextOps.hash60(norm).as("content_hash"),
-        TextOps.hash60b(norm).as("content_hash_b"), col("doc_id"))
-      .groupBy(col("content_hash"), col("content_hash_b"))
+      .select(col("doc_id"), col("source"),
+        TextOps.hash60(norm).as("h1"), TextOps.hash60b(norm).as("h2"))
+  }
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    hashedDocs(spark, sfDir)
+      .groupBy(col("h1").as("content_hash"), col("h2").as("content_hash_b"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_doc_id").asc)
-  }
 
   val dedupExactSql: String = {
     val norm = TextOps.normTextSql("text")
@@ -604,11 +611,8 @@ object DedupOps {
     * the canonical source is corpus-scale too; AQE picks broadcast when
     * it is small. */
   def priorityDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val src = docs.select(col("doc_id"), col("source"))
-    val norm = TextOps.normText(col("text"))
-    val hashed = docs.select(col("doc_id"), col("source"),
-      TextOps.hash60(norm).as("h1"), TextOps.hash60b(norm).as("h2"))
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val hashed = hashedDocs(spark, sfDir)
     val prio = hashed.where(col("source") === PrioritySource)
       .groupBy(col("h1"), col("h2")).agg(min(col("doc_id")).as("dup_of"))
     val exactHits = hashed.where(col("source") =!= PrioritySource)

@@ -254,7 +254,10 @@ object EventOps {
     val t1 = min(when(col("event_type") === FunnelStages(0), us)).over(w)
     val q2 = when(col("event_type") === FunnelStages(1) && us > col("t1r"), us)
     val q3 = when(col("event_type") === FunnelStages(2) && us > col("t2r"), us)
-    val perUser = Tables.events(spark, sfDir)
+    // ONE aggregation over the window output (a per-stage filter+count
+    // union would re-instantiate the corpus window subtree three times),
+    // then the counts pivot to the 3-row stage shape via explode
+    val counts = Tables.events(spark, sfDir)
       .where(col("ts").isNotNull && col("user_id").isNotNull)
       .withColumn("t1r", t1)
       .withColumn("t2r", min(q2).over(w))
@@ -263,12 +266,15 @@ object EventOps {
       .agg(max(col("t1r").isNotNull).as("s1"),
         max(col("t2r").isNotNull).as("s2"),
         max(col("t3r").isNotNull).as("s3"))
-    val stages = FunnelStages.zipWithIndex.map { case (name, i) =>
-      perUser.where(col(s"s${i + 1}"))
-        .agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1L).as("stage"), lit(name).as("event_type"), col("n_users"))
-    }
-    stages.reduce(_.unionByName(_)).orderBy(col("stage").asc)
+      .agg(sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n3"))
+    counts.select(explode(array(FunnelStages.zipWithIndex.map { case (name, i) =>
+        struct(lit(i + 1L).as("stage"), lit(name).as("event_type"),
+          col(s"n${i + 1}").as("n_users"))
+      }: _*)).as("r"))
+      .select(col("r.stage"), col("r.event_type"), col("r.n_users"))
+      .orderBy(col("stage").asc)
   }
 
   val funnelStagesSql: String = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 import graft.sources.Tables
@@ -29,6 +29,20 @@ object Sharding {
   val TrainPct = 90
   val ValPct = 5
 
+  /** Train/val/test label for a salted split hash — the SINGLE source
+    * of the split-boundary rule, shared by the per-document shuffle
+    * export and the cluster-atomic leakage split (which differ only in
+    * what they hash). */
+  def splitOf(sk: Column): Column =
+    when(sk % 100 < TrainPct, lit("train"))
+      .when(sk % 100 < TrainPct + ValPct, lit("val"))
+      .otherwise(lit("test"))
+
+  /** SQL twin of [[splitOf]]. */
+  def splitCaseSql(sk: String): String =
+    s"CASE WHEN $sk % 100 < $TrainPct THEN 'train' " +
+      s"WHEN $sk % 100 < ${TrainPct + ValPct} THEN 'val' ELSE 'test' END"
+
   private def shufKey = TextOps.hash60(concat(lit("shuf|"), col("doc_id").cast("string")))
   private def splitKey = TextOps.hash60(concat(lit("split|"), col("doc_id").cast("string")))
 
@@ -39,9 +53,7 @@ object Sharding {
       .select(col("doc_id"), shufKey.as("k"), splitKey.as("sk"))
       .select(col("doc_id"), col("k"),
         (col("k") % shards).as("shard"),
-        when(col("sk") % 100 < TrainPct, lit("train"))
-          .when(col("sk") % 100 < TrainPct + ValPct, lit("val"))
-          .otherwise(lit("test")).as("split"))
+        splitOf(col("sk")).as("split"))
       .withColumn("pos",
         row_number().over(Window.partitionBy(col("shard")).orderBy(col("k").asc, col("doc_id").asc))
           .cast("long"))
@@ -55,9 +67,7 @@ object Sharding {
     s"""WITH keyed AS (SELECT doc_id, $k AS k, $sk AS sk FROM documents),
        |assigned AS (SELECT doc_id, k,
        |                    k % ${graft.GraftConf.DefaultExportShards} AS shard,
-       |                    CASE WHEN sk % 100 < $TrainPct THEN 'train'
-       |                         WHEN sk % 100 < ${TrainPct + ValPct} THEN 'val'
-       |                         ELSE 'test' END AS split
+       |                    ${splitCaseSql("sk")} AS split
        |             FROM keyed)
        |SELECT doc_id, shard,
        |       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k ASC, doc_id ASC) AS BIGINT) AS pos,

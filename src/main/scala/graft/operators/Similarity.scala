@@ -649,9 +649,12 @@ object Similarity {
     * same vote tail, probed-cell candidate generation. */
   def knnLabel(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = corpus(spark, sfDir)
-    val queries = emb.where(col("vec_id") % KnnQueryMod === 0)
+    // zero-norm vectors have no defined cosine: 0/0 = NaN ranks WORST in
+    // the Scala aggregator's ordering but BEST under DuckDB's ORDER BY
+    // DESC (the semanticDedup hazard) — exclude them from both engines
+    val queries = emb.where(col("vec_id") % KnnQueryMod === 0 && col("n2") > 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
-    val scored = emb.where(col("vec_id") % KnnQueryMod =!= 0)
+    val scored = emb.where(col("vec_id") % KnnQueryMod =!= 0 && col("n2") > 0)
       .join(broadcast(queries))
       .select(col("query_id"),
         cosineFrom(dotQ(col("q"), col("qq")), col("n2"), col("qn2")).as("cos_sim"),
@@ -700,11 +703,12 @@ object Similarity {
   def knnLabelIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = corpus(spark, sfDir)
     val centArr = centroidArray(trainedCentroids(spark, sfDir))
-    val refs = emb.where(col("vec_id") % KnnQueryMod =!= 0)
+    // zero-norm exclusion: same undefined-cosine hazard as [[knnLabel]]
+    val refs = emb.where(col("vec_id") % KnnQueryMod =!= 0 && col("n2") > 0)
       .join(broadcast(centArr))
       .select(col("vec_id"), col("label"), col("q"), col("n2"),
         nearestCid(col("cents"), col("q"), col("n2")).as("cid"))
-    val queries = emb.where(col("vec_id") % KnnQueryMod === 0)
+    val queries = emb.where(col("vec_id") % KnnQueryMod === 0 && col("n2") > 0)
       .join(broadcast(centArr))
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"),
         explode(probeCids(col("cents"), col("q"), col("n2"), NumProbes)).as("cid"))
@@ -719,15 +723,15 @@ object Similarity {
     s"""WITH $corpusSql,
        |$trainedCellsSql,
        |qprobes AS (SELECT vec_id AS query_id, cid FROM assigned
-       |            WHERE vec_id % $KnnQueryMod = 0 AND rn <= $NumProbes),
+       |            WHERE vec_id % $KnnQueryMod = 0 AND n2 > 0 AND rn <= $NumProbes),
        |qv AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM e
-       |       WHERE vec_id % $KnnQueryMod = 0),
+       |       WHERE vec_id % $KnnQueryMod = 0 AND n2 > 0),
        |scored AS (SELECT qp.query_id, cells.label, cells.vec_id,
        |                  ${cosineFromSql(dotQSql("cells.q", "qv.qq"), "cells.n2", "qv.qn2")} AS cos_sim
        |           FROM cells
        |           JOIN qprobes qp ON cells.cid = qp.cid
        |           JOIN qv ON qv.query_id = qp.query_id
-       |           WHERE cells.vec_id % $KnnQueryMod <> 0),
+       |           WHERE cells.vec_id % $KnnQueryMod <> 0 AND cells.n2 > 0),
        |topk AS (SELECT query_id, label,
        |                ROW_NUMBER() OVER (PARTITION BY query_id
        |                                   ORDER BY cos_sim DESC, vec_id ASC) AS rn
@@ -746,11 +750,11 @@ object Similarity {
   val knnLabelSql: String =
     s"""WITH $corpusSql,
        |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM e
-       |       WHERE vec_id % $KnnQueryMod = 0),
+       |       WHERE vec_id % $KnnQueryMod = 0 AND n2 > 0),
        |scored AS (SELECT qs.query_id, e.label, e.vec_id,
        |                  ${cosineFromSql(dotQSql("e.q", "qs.qq"), "e.n2", "qs.qn2")} AS cos_sim
        |           FROM e, qs
-       |           WHERE e.vec_id % $KnnQueryMod <> 0),
+       |           WHERE e.vec_id % $KnnQueryMod <> 0 AND e.n2 > 0),
        |topk AS (SELECT query_id, label,
        |                ROW_NUMBER() OVER (PARTITION BY query_id
        |                                   ORDER BY cos_sim DESC, vec_id ASC) AS rn

@@ -29,12 +29,20 @@ import graft.sources.Tables
   */
 object Versioning {
 
-  /** Diff two explicit snapshot frames (each with doc_id + text). */
-  def diffOf(v1: DataFrame, v2: DataFrame): DataFrame = {
+  /** Diff two explicit snapshot frames (each with doc_id + text).
+    *
+    * `normalizeText = true` (the default) treats normalization-invariant
+    * edits (case, punctuation, whitespace runs) as "unchanged" — the
+    * content-identity notion exact dedup uses. Pass `false` when the
+    * diff gates a downstream recompute whose inputs read the RAW text
+    * (the incremental manifest's quality formula): there, a
+    * case-or-punctuation-only revision MUST register as changed or the
+    * stale verdict would be carried forward. */
+  def diffOf(v1: DataFrame, v2: DataFrame, normalizeText: Boolean = true): DataFrame = {
     def slim(df: DataFrame, h1: String, h2: String) = {
-      val norm = TextOps.normText(col("text"))
+      val key = if (normalizeText) TextOps.normText(col("text")) else col("text")
       df.select(col("doc_id"),
-        TextOps.hash60(norm).as(h1), TextOps.hash60b(norm).as(h2))
+        TextOps.hash60(key).as(h1), TextOps.hash60b(key).as(h2))
     }
     val status = when(col("old_hash").isNull, lit("added"))
       .when(col("new_hash").isNull, lit("removed"))
