@@ -72,6 +72,7 @@ object SparkEntry {
     "events_funnel"       -> ((s, dir) => EventOps.funnelStages(s, dir)),
     "events_retention"    -> ((s, dir) => EventOps.cohortRetention(s, dir)),
     "dedup_report"        -> ((s, dir) => ClusterOps.dedupReport(s, dir)),
+    "cluster_size_hist"   -> ((s, dir) => ClusterOps.clusterSizeHistogram(s, dir)),
     "events_transitions"  -> ((s, dir) => EventOps.sessionTransitions(s, dir)),
     "topk_per_group"      -> ((s, dir) => EventOps.topPartsPerFlag(s, dir)),
     "multimodal_stats"    -> ((s, dir) => Multimodal.multimodalStats(s, dir)),
@@ -312,6 +313,7 @@ object SparkEntry {
     "events_funnel"       -> EventOps.funnelStagesSql,
     "events_retention"    -> EventOps.cohortRetentionSql,
     "dedup_report"        -> ClusterOps.dedupReportSql,
+    "cluster_size_hist"   -> ClusterOps.clusterSizeHistogramSql,
     "events_transitions"  -> EventOps.sessionTransitionsSql(),
     "topk_per_group"      -> EventOps.topPartsPerFlagSql(),
     "multimodal_stats"    -> Multimodal.multimodalStatsSql,

@@ -334,6 +334,30 @@ object ClusterOps {
        |ORDER BY ex.source ASC""".stripMargin
   }
 
+  /** Near-dup cluster-size histogram — the one-glance duplication shape
+    * of a corpus (how many singletons, pairs, boilerplate families):
+    * for each cluster size, how many clusters have it and how many
+    * documents they hold. A projection + two tiny aggregations over the
+    * memoized label frame; output is bounded by the largest family, not
+    * the corpus. */
+  def clusterSizeHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClusters(spark, sfDir)
+      .groupBy(col("cluster_id")).agg(max(col("cluster_size")).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy(col("cluster_size").asc)
+
+  val clusterSizeHistogramSql: String =
+    s"""$clusterCtes,
+       |sizes AS (SELECT cluster_id, MAX(cluster_size) AS cluster_size
+       |          FROM clus GROUP BY cluster_id)
+       |SELECT cluster_size, COUNT(*) AS n_clusters,
+       |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+       |FROM sizes
+       |GROUP BY cluster_size
+       |ORDER BY cluster_size ASC""".stripMargin
+
   /** Leakage-safe train/val/test split — the holdout assignment a plain
     * per-document hash split gets WRONG on near-duplicate data: when two
     * near-identical documents land on opposite sides of the train/test

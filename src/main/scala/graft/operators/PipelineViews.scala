@@ -61,7 +61,10 @@ object PipelineViews {
     "graft_knn_label"          -> ((s, d) => Similarity.knnLabel(s, d)),
     "graft_knn_label_ivf"      -> ((s, d) => Similarity.knnLabelIvf(s, d)),
     "graft_funnel"             -> ((s, d) => EventOps.funnelStages(s, d)),
-    "graft_transitions"        -> ((s, d) => EventOps.sessionTransitions(s, d)))
+    "graft_transitions"        -> ((s, d) => EventOps.sessionTransitions(s, d)),
+    "graft_retention"          -> ((s, d) => EventOps.cohortRetention(s, d)),
+    "graft_dedup_report"       -> ((s, d) => ClusterOps.dedupReport(s, d)),
+    "graft_cluster_sizes"      -> ((s, d) => ClusterOps.clusterSizeHistogram(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 

@@ -453,6 +453,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_dropped") > 0))
   }
 
+  test("cluster-size histogram partitions the corpus") {
+    val rows = ClusterOps.clusterSizeHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Σ size·n_clusters (= n_docs per bucket) covers every document
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+    // real near-dup families exist beyond the singletons
+    assert(rows.exists(_.getAs[Long]("cluster_size") > 1))
+  }
+
   test("vocab size and knn k are runtime knobs; invalid values fail fast") {
     import graft.operators.{Similarity, TextAnalysis}
     spark.conf.set(GraftConf.VocabSizeKey, "5")
