@@ -126,6 +126,46 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** One within-session consecutive-event step for one user. */
+  case class Step(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming within-session transition steps — the online half of
+    * `EventOps.sessionTransitions`: per-user state is ONE (last-event
+    * time, last type) pair (state size = users × ~24 bytes), and each
+    * arriving event within the session gap of its predecessor emits a
+    * (from → to) step row; a periodic batch aggregation turns the step
+    * stream into the transition matrix. Steps bridge micro-batches
+    * (the state carries the previous event across triggers), so an
+    * in-order feed reproduces the batch operator's counts exactly —
+    * spec-pinned. Gap rule is the sessionizer's exact-µs arithmetic.
+    * No timeout: one row per user is negligible state; production adds
+    * a TTL to expire dormant users. */
+  def transitions(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Step] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    def toUs(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[(Long, String)]): Iterator[Step] = {
+      var last = state.getOption
+      val out = List.newBuilder[Step]
+      rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
+        val us = toUs(e.ts)
+        last match {
+          case Some((lastUs, lastType)) if us - lastUs <= gapUs =>
+            out += Step(userId, lastType, e.event_type)
+          case _ =>
+        }
+        last = Some((us, e.event_type))
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** One newly-reached funnel stage for one user. */
   case class FunnelHit(user_id: Long, stage: Int, event_type: String, ts: Timestamp)
 

@@ -462,6 +462,46 @@ class SinksStreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming transitions match batch counts and bridge micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_transstream").toString
+    Files.copy(java.nio.file.Path.of(s"$sf/events.parquet"),
+      java.nio.file.Path.of(dir, "events.parquet"))
+    val src = EventStream.readEventsStream(spark, dir)
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStream.Event]
+    val q = EventStream.transitions(src)
+      .writeStream.format("memory").queryName("trans_stream_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("trans_stream_test").collect()
+      .groupBy(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+      .view.mapValues(_.length.toLong).toMap
+    val batch = graft.operators.EventOps.sessionTransitions(spark, sf).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n_steps")).toMap
+    assert(streamed == batch)
+    // a step bridges micro-batches within the gap; a gap-crossing one doesn't
+    val input = MemoryStream[EventStream.Event]
+    def ev(id: Long, t: String, tpe: String) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(t), 7L, tpe, 1.0)
+    input.addData(Seq(ev(1, "2024-01-01 00:00:00", "view")))
+    val q2 = EventStream.transitions(input.toDS())
+      .writeStream.format("memory").queryName("trans_stream_test2").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      input.addData(Seq(ev(2, "2024-01-01 00:10:00", "click")))
+      q2.processAllAvailable()
+      input.addData(Seq(ev(3, "2024-01-01 05:00:00", "purchase")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val steps = spark.table("trans_stream_test2").collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"))).toSeq
+    assert(steps == Seq(("view", "click")),
+      s"expected exactly the in-gap bridge step, got $steps")
+  }
+
   test("streaming OOV monitor matches the batch projection and the oov_rate aggregates") {
     import graft.streaming.DocStream
     import graft.operators.TextAnalysis
