@@ -63,6 +63,7 @@ object SparkEntry {
     "semantic_dedup"      -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "knn_label"           -> ((s, dir) => Similarity.knnLabel(s, dir)),
     "knn_label_ivf"       -> ((s, dir) => Similarity.knnLabelIvf(s, dir)),
+    "cell_quality"        -> ((s, dir) => Similarity.cellQualityReport(s, dir)),
     "events_hourly"       -> ((s, dir) => EventOps.hourlyEventCounts(s, dir)),
     "events_sliding"      -> ((s, dir) => EventOps.slidingEventCounts(s, dir)),
     "events_sessions"     -> ((s, dir) => EventOps.sessionize(s, dir)),
@@ -304,6 +305,7 @@ object SparkEntry {
     "semantic_dedup"      -> Similarity.semanticDedupSql,
     "knn_label"           -> Similarity.knnLabelSql,
     "knn_label_ivf"       -> Similarity.knnLabelIvfSql,
+    "cell_quality"        -> Similarity.cellQualityReportSql,
     "events_hourly"       -> EventOps.hourlyEventCountsSql,
     "events_sliding"      -> EventOps.slidingEventCountsSql,
     "events_sessions"     -> EventOps.sessionizeSql(),

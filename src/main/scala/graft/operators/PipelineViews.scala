@@ -64,7 +64,8 @@ object PipelineViews {
     "graft_transitions"        -> ((s, d) => EventOps.sessionTransitions(s, d)),
     "graft_retention"          -> ((s, d) => EventOps.cohortRetention(s, d)),
     "graft_dedup_report"       -> ((s, d) => ClusterOps.dedupReport(s, d)),
-    "graft_cluster_sizes"      -> ((s, d) => ClusterOps.clusterSizeHistogram(s, d)))
+    "graft_cluster_sizes"      -> ((s, d) => ClusterOps.clusterSizeHistogram(s, d)),
+    "graft_cell_quality"       -> ((s, d) => Similarity.cellQualityReport(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 

@@ -619,6 +619,57 @@ object Similarity {
        |ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
        |LIMIT $NearDupPairs""".stripMargin
 
+  /** Trained-clustering quality report — the evaluation surface for the
+    * k-means cells that [[ivfTrainedTopK]], [[semanticDedup]] and
+    * [[knnLabelIvf]] all build on: per cell, its member count and the
+    * weakest/strongest member-to-centroid cosine. A cell whose min_cos
+    * is low is a catch-all the probe count cannot fix (retrain with
+    * larger k); empty member counts never appear because every vector
+    * assigns somewhere. Deliberately ONLY order-free aggregates (count,
+    * min, max) — a mean would sum per-member doubles in
+    * engine-dependent order and flake the oracle hash, the same reason
+    * the temperature mixture avoids float normalization.
+    *
+    * Scale: assignment is the zero-exchange broadcast fold; what
+    * shuffles is (cid, cos) pairs into a k-cell aggregation. */
+  def cellQualityReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = corpus(spark, sfDir)
+    val centArr = centroidArray(trainedCentroids(spark, sfDir))
+    emb.where(col("n2") > 0)
+      .join(broadcast(centArr))
+      .select(col("q"), col("n2"),
+        nearestCid(col("cents"), col("q"), col("n2")).as("cid"), col("cents"))
+      // pick the assigned centroid's struct by cid — collect_list's
+      // array order is nondeterministic, so positional indexing is out
+      .select(col("q"), col("n2"), col("cid"),
+        element_at(filter(col("cents"),
+          c => c.getField("cid") === col("cid")), 1).as("cent"))
+      .select(col("cid"),
+        when(col("cent.cn2") > 0,
+          cosineFrom(dotQ(col("q"), col("cent.cq")), col("n2"), col("cent.cn2")))
+          .as("cos_c"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("cos_c")).as("min_cos"), max(col("cos_c")).as("max_cos"))
+      .orderBy(col("cid").asc)
+  }
+
+  val cellQualityReportSql: String =
+    s"""WITH $corpusSql,
+       |$trainedCellsSql,
+       |cent AS (SELECT cid AS ccid, cq, cn2 FROM c$TrainedIters),
+       |scored AS (SELECT cells.cid,
+       |                  CASE WHEN cent.cn2 > 0 THEN
+       |                    ${cosineFromSql(dotQSql("cells.q", "cent.cq"), "cells.n2", "cent.cn2")}
+       |                  END AS cos_c
+       |           FROM cells JOIN cent ON cells.cid = cent.ccid
+       |           WHERE cells.n2 > 0)
+       |SELECT cid, COUNT(*) AS n_members,
+       |       MIN(cos_c) AS min_cos, MAX(cos_c) AS max_cos
+       |FROM scored
+       |GROUP BY cid
+       |ORDER BY cid ASC""".stripMargin
+
   /** Every [[KnnQueryMod]]-th vector is held out as an unlabeled query
     * for [[knnLabel]]; the rest are the labeled reference corpus. */
   val KnnQueryMod = 25L

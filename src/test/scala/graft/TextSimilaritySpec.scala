@@ -350,6 +350,19 @@ class TextSimilaritySpec extends SparkSpec {
     assert(agree * 2 >= ivf.length, s"only $agree/${ivf.length} IVF labels agree with brute force")
   }
 
+  test("cell quality report partitions the corpus over the trained cells") {
+    import graft.operators.Similarity
+    val rows = Similarity.cellQualityReport(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Similarity.TrainedK)
+    assert(rows.map(_.getAs[Long]("n_members")).sum ==
+      graft.sources.Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("min_cos"), r.getAs[Double]("max_cos"))
+      assert(lo <= hi && lo >= -1.0 - 1e-9 && hi <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_members") >= 1)
+    }
+  }
+
   test("BestKByScore is partitioning-invariant") {
     import org.apache.spark.sql.functions.{col, udaf}
     import spark.implicits._
