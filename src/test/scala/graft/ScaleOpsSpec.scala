@@ -201,4 +201,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.where(col("w").isNull).count() == 2)
   }
+
+  test("knn top-K is cut by a partial aggregate BEFORE the exchange, not a window") {
+    import graft.operators.Similarity
+    val plan = Similarity.knnLabel(spark, sf).queryExecution.executedPlan.toString
+    // partial + final ObjectHashAggregate around the query_id exchange:
+    // a regression to ROW_NUMBER-per-query would ship every scored
+    // corpus×query row through the shuffle (the review finding this pins)
+    val aggs = "ObjectHashAggregate".r.findAllIn(plan).length
+    assert(aggs >= 2, s"expected partial+final bounded-buffer aggregates, got $aggs:\n$plan")
+    // the only window left is the |Q|-row vote argmax, never over cos_sim rows
+    assert(!plan.contains("row_number() windowspecdefinition(query_id#") ||
+      plan.contains("n_votes"), "per-query scoring must not rank via a window")
+  }
+
+  test("curriculum order exchanges by band — no corpus-wide single-partition window") {
+    import graft.operators.Sharding
+    val plan = Sharding.curriculumOrder(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(band"),
+      s"per-band ranking windows must partition by band:\n$plan")
+  }
 }
