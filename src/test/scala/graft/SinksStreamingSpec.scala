@@ -419,6 +419,22 @@ class SinksStreamingSpec extends SparkSpec {
     }, s"expected user 1's first 2-event session to close; got ${sessions.mkString(", ")}")
   }
 
+  test("orc and zstd-parquet sinks round-trip the documents table exactly") {
+    val docs = Tables.documents(spark, sf)
+    val expected = docs.orderBy("doc_id").collect().map(_.toString).toSeq
+    val orcDir = Files.createTempDirectory("graft_orc").toString
+    Tables.writeOrc(docs, orcDir)
+    assert(Tables.readOrc(spark, orcDir).orderBy("doc_id")
+      .collect().map(_.toString).toSeq == expected)
+    val zDir = Files.createTempDirectory("graft_zstd").toString
+    Tables.writeParquetZstd(docs, zDir)
+    assert(spark.read.parquet(zDir).orderBy("doc_id")
+      .collect().map(_.toString).toSeq == expected)
+    // the compression actually happened (file names carry the codec)
+    val files = new java.io.File(zDir).listFiles.map(_.getName)
+    assert(files.exists(_.contains("zstd")), files.mkString(", "))
+  }
+
   test("streaming funnel matches batch counts; stages emit once, in order, across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
