@@ -453,6 +453,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_dropped") > 0))
   }
 
+  test("end-to-end curation run writes consistent artifacts") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Curation, Pipeline, Sharding}
+    val out = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+    val summary = Pipeline.runCuration(spark, sf, out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary.keySet == Set("manifest", "splits", "sequences", "shards"))
+    // artifact counts equal the operators they wrap
+    assert(summary("manifest") == Curation.corpusManifest(spark, sf).count())
+    assert(summary("splits") == Tables.documents(spark, sf).count())
+    assert(summary("shards") == summary("manifest"),
+      "every manifest doc lands in exactly one shard file")
+    // the shard JSONL really is split-partitioned and readable
+    val shards = spark.read.json(s"$out/shards")
+    assert(shards.columns.contains("split"))
+    assert(shards.select("split").distinct().count() >= 1)
+    // a manifest doc's shard row carries the same split the split
+    // artifact would give ONLY when keys coincide — they are
+    // deliberately different keys (doc vs cluster), so just check
+    // referential integrity: every shard doc is a manifest doc
+    val manifestIds = spark.read.parquet(s"$out/manifest")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(shards.select("doc_id").collect().map(_.getLong(0)).forall(manifestIds))
+  }
+
   test("cluster-size histogram partitions the corpus") {
     val rows = ClusterOps.clusterSizeHistogram(spark, sf).collect()
     assert(rows.nonEmpty)
