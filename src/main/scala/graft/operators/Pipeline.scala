@@ -15,20 +15,27 @@ import graft.sources.Tables
   *   outDir/sequences/  — fixed-token-budget packed sequences
   *                        ([[Packing.packSequences]]), zstd parquet
   *   outDir/shards/     — the manifest's documents with their shard /
-  *                        position / split, gzip JSONL partitioned by
-  *                        split ([[Sharding.shuffleExport]] ∩ manifest)
+  *                        position and the LEAKAGE-SAFE split, gzip
+  *                        JSONL partitioned by split
+  *
+  * The shard layout deliberately takes its split from
+  * [[ClusterOps.leakageSplit]], NOT [[Sharding.shuffleExport]]'s
+  * per-document split: the whole point of writing a leakage-safe
+  * assignment is that the directory a trainer reads uses it — two
+  * artifacts in one output disagreeing on train/test would leak
+  * near-duplicates across the eval line.
   *
   * Returns a summary frame (artifact, n_rows, path) — the receipt a
-  * pipeline run logs. Counts ride the writes' own results where
-  * possible; the heavy lifting (signature memos, cluster labels,
-  * quality scores) is shared across stages through the session memos,
-  * so the four artifacts cost little more than their union.
+  * pipeline run logs. The heavy lifting (signature memos, cluster
+  * labels, quality scores) is shared across stages through the session
+  * memos, so the four artifacts cost little more than their union.
   *
   * Scale: each stage is an already-audited operator plan; the runner
-  * adds only sinks. The JSONL shard export joins the export's slim
-  * (doc_id, shard, pos, split) rows to the manifest's doc ids — an
-  * 8-byte-key join — so undersampled documents never reach a shard
-  * file.
+  * adds only sinks. The JSONL shard export joins slim 8-byte-key rows
+  * (shard/pos ⋈ manifest ids ⋈ cluster split), so undersampled
+  * documents never reach a shard file, and the receipt counts read the
+  * JSONL back with a PINNED schema (inference would decompress the
+  * non-splittable gzip output twice).
   */
 object Pipeline {
 
@@ -40,15 +47,16 @@ object Pipeline {
     val sequences = Packing.packSequences(spark, sfDir)
     Tables.writeParquetZstd(sequences, s"$outDir/sequences")
     val shardRows = Sharding.shuffleExport(spark, sfDir)
+      .drop("split")
       .join(spark.read.parquet(s"$outDir/manifest").select(col("doc_id")), "doc_id")
-    shardRows.write.mode("overwrite")
-      .partitionBy("split").option("compression", "gzip")
-      .json(s"$outDir/shards")
+      .join(spark.read.parquet(s"$outDir/splits").select(col("doc_id"), col("split")), "doc_id")
+    Tables.writeJsonl(shardRows, s"$outDir/shards", partitionCols = Seq("split"))
     val counts = Seq(
       ("manifest", spark.read.parquet(s"$outDir/manifest").count(), s"$outDir/manifest"),
       ("splits", spark.read.parquet(s"$outDir/splits").count(), s"$outDir/splits"),
       ("sequences", spark.read.parquet(s"$outDir/sequences").count(), s"$outDir/sequences"),
-      ("shards", spark.read.json(s"$outDir/shards").count(), s"$outDir/shards"))
+      ("shards", Tables.readJsonl(spark, s"$outDir/shards", shardRows.schema).count(),
+        s"$outDir/shards"))
     import spark.implicits._
     counts.toDF("artifact", "n_rows", "path").orderBy(col("artifact").asc)
   }

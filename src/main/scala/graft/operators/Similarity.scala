@@ -635,8 +635,10 @@ object Similarity {
   def cellQualityReport(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = corpus(spark, sfDir)
     val centArr = centroidArray(trainedCentroids(spark, sfDir))
-    emb.where(col("n2") > 0)
-      .join(broadcast(centArr))
+    // every vector assigns (matching semanticDedup's occupancy — no
+    // n2 filter here); only the COSINE nulls out when either norm is
+    // zero, and min/max ignore nulls
+    emb.join(broadcast(centArr))
       .select(col("q"), col("n2"),
         nearestCid(col("cents"), col("q"), col("n2")).as("cid"), col("cents"))
       // pick the assigned centroid's struct by cid — collect_list's
@@ -645,7 +647,7 @@ object Similarity {
         element_at(filter(col("cents"),
           c => c.getField("cid") === col("cid")), 1).as("cent"))
       .select(col("cid"),
-        when(col("cent.cn2") > 0,
+        when(col("n2") > 0 && col("cent.cn2") > 0,
           cosineFrom(dotQ(col("q"), col("cent.cq")), col("n2"), col("cent.cn2")))
           .as("cos_c"))
       .groupBy(col("cid"))
@@ -659,11 +661,10 @@ object Similarity {
        |$trainedCellsSql,
        |cent AS (SELECT cid AS ccid, cq, cn2 FROM c$TrainedIters),
        |scored AS (SELECT cells.cid,
-       |                  CASE WHEN cent.cn2 > 0 THEN
+       |                  CASE WHEN cells.n2 > 0 AND cent.cn2 > 0 THEN
        |                    ${cosineFromSql(dotQSql("cells.q", "cent.cq"), "cells.n2", "cent.cn2")}
        |                  END AS cos_c
-       |           FROM cells JOIN cent ON cells.cid = cent.ccid
-       |           WHERE cells.n2 > 0)
+       |           FROM cells JOIN cent ON cells.cid = cent.ccid)
        |SELECT cid, COUNT(*) AS n_members,
        |       MIN(cos_c) AS min_cos, MAX(cos_c) AS max_cos
        |FROM scored

@@ -121,8 +121,11 @@ object Tables {
     * JSON object per line, gzip-compressed, one file per partition).
     * Pair with `Sharding.shuffleExport`'s shard/split columns via
     * `partitionBy` for a ready-to-train directory layout. */
-  def writeJsonl(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("compression", "gzip").json(path)
+  def writeJsonl(df: DataFrame, path: String,
+                 partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").option("compression", "gzip")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).json(path)
+  }
 
   /** Schema-pinned JSONL reader (inferring would scan twice and can
     * widen types a round-trip must preserve). */

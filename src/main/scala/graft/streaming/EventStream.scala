@@ -23,6 +23,15 @@ object EventStream {
   case class SessionState(startUs: Long, lastUs: Long, n: Long)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 
+  /** Exact microseconds from a Timestamp — the batch twins' unix_micros
+    * rule. Timestamp.getTime only carries millis; the sub-ms component
+    * lives in getNanos, so both must be spliced or session/funnel/step
+    * boundaries drift from the batch operators at micro precision.
+    * ONE definition serves sessionize, funnel, and transitions — a
+    * precision fix here cannot leave one operator on old arithmetic. */
+  private def toUs(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   /** File-source stream over a directory of events parquet: the
     * production shape (files land in a directory, Spark discovers and
     * processes them incrementally, `maxFilesPerTrigger` bounds batch
@@ -81,8 +90,6 @@ object EventStream {
     // in getNanos, so both directions must splice it explicitly or
     // session boundaries drift from EventOps.sessionize at micro
     // precision.
-    def toUs(ts: Timestamp): Long =
-      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
     def toTs(us: Long): Timestamp = {
       val t = new Timestamp(us / 1000L)
       t.setNanos(((us % 1000000L) * 1000L).toInt)
@@ -143,8 +150,6 @@ object EventStream {
   def transitions(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Step] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
-    def toUs(ts: Timestamp): Long =
-      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[(Long, String)]): Iterator[Step] = {
       var last = state.getOption
@@ -188,8 +193,6 @@ object EventStream {
   def funnel(events: Dataset[Event],
              stages: Seq[String] = graft.operators.EventOps.FunnelStages): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
-    def toUs(ts: Timestamp): Long =
-      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[(Option[Long], Option[Long], Option[Long])]): Iterator[FunnelHit] = {
       var t = state.getOption.map(s => Array(s._1, s._2, s._3))

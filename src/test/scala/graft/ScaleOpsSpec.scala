@@ -210,9 +210,11 @@ class ScaleOpsSpec extends SparkSpec {
     // corpus×query row through the shuffle (the review finding this pins)
     val aggs = "ObjectHashAggregate".r.findAllIn(plan).length
     assert(aggs >= 2, s"expected partial+final bounded-buffer aggregates, got $aggs:\n$plan")
-    // the only window left is the |Q|-row vote argmax, never over cos_sim rows
-    assert(!plan.contains("row_number() windowspecdefinition(query_id#") ||
-      plan.contains("n_votes"), "per-query scoring must not rank via a window")
+    // the only window left is the |Q|-row vote argmax (ordered by
+    // n_votes); a window SPECIFIED OVER cos_sim would mean scoring
+    // regressed to ROW_NUMBER-per-query over all corpus×query rows
+    assert("windowspecdefinition\\([^)]*cos_sim".r.findFirstIn(plan).isEmpty,
+      s"per-query scoring must not rank via a cos_sim window:\n$plan")
   }
 
   test("curriculum order exchanges by band — no corpus-wide single-partition window") {
