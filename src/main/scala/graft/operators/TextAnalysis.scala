@@ -338,21 +338,32 @@ object TextAnalysis {
     * source-level df saturates at N for every term and selects
     * nothing.)
     *
-    * Scale: explode → (source, term) partial-aggregated counts (the
-    * shuffle is vocabulary-sized, not token-sized), per-doc-distinct
-    * document frequency, N as a broadcast 1-row aggregate, and a
-    * WindowGroupLimit-pruned top-k per source. */
+    * Scale: ONE explode, ONE pass — no self-join and no countDistinct
+    * Expand. The chain is: per-(source, doc_id, term) pre-aggregation
+    * (the only token-scale shuffle, the distinct (doc, term) pairs the
+    * old Expand plan also paid — but here the corpus is scanned and
+    * exploded ONCE instead of twice), then a per-(source, term)
+    * aggregation carrying BOTH tf (Σ occurrence counts) and the
+    * per-source containing-doc count, then df as a window sum of those
+    * doc counts partitioned by term — valid because every document
+    * belongs to exactly one source, so Σ over sources of per-source doc
+    * counts IS the corpus-wide document frequency. The window shuffle
+    * is vocabulary×sources-sized. N is a broadcast 1-row aggregate;
+    * top-k per source is WindowGroupLimit-pruned. */
   def keywordsPerSource(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs(spark, sfDir)
+    val perDoc = docs(spark, sfDir)
       .select(col("source"), col("doc_id"),
         explode(TextOps.tokens(TextOps.normText(col("text")))).as("term"))
-    val tf = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      .groupBy(col("source"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val st = perDoc.groupBy(col("source"), col("term"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("docs_in_source"))
     val n = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val byScore = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(dfreq, "term").crossJoin(broadcast(n))
+    st.withColumn("df", sum(col("docs_in_source")).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(n))
       // each factor cast to double BEFORE multiplying: a long product
       // tf*n_docs overflows (an ANSI runtime error) at corpus scale;
       // the IEEE double product is the same correctly-rounded value the
