@@ -34,6 +34,28 @@ object AnalyticsExt {
        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** CUBE over the pricing flags: every grouping set — per-(flag,status),
+    * per-flag, per-status, grand total — in one pass. Like ROLLUP this
+    * is one Expand + one shuffle with partial aggregation per grouping
+    * set; the extra per-status stratum costs one more Expand projection,
+    * not another scan. */
+  def cubePricing(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        RefQueries.revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val cubePricingSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       COUNT(*) AS n_rows,
+       |       ${RefQueries.revenueExactSql("l_extendedprice", "l_discount")} AS revenue
+       |FROM lineitem
+       |GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Set operation: suppliers with 1996 shipments EXCEPT those with 1997
     * shipments (left-anti semantics via EXCEPT). */
   def exceptSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
@@ -52,14 +74,40 @@ object AnalyticsExt {
       |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31 23:59:59'
       |ORDER BY l_suppkey ASC""".stripMargin
 
+  /** Set operation: suppliers shipping in BOTH 1996 and 1997 (INTERSECT
+    * distinct semantics — the dual of [[exceptSuppliers]]). Catalyst
+    * plans this as a left-semi join over the two filtered scans, each
+    * with its date predicate pushed to parquet. */
+  def intersectSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    def active(year: Int) = li
+      .where(col("l_shipdate").between(lit(s"$year-01-01"), lit(s"$year-12-31 23:59:59")))
+      .select(col("l_suppkey"))
+    active(1996).intersect(active(1997)).orderBy(col("l_suppkey").asc)
+  }
+
+  val intersectSuppliersSql: String =
+    """SELECT l_suppkey FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31 23:59:59'
+      |INTERSECT
+      |SELECT l_suppkey FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31 23:59:59'
+      |ORDER BY l_suppkey ASC""".stripMargin
+
   /** Exact median quantity per return flag. Quantities are integral, so
     * the even-count midpoint average is exact (x.0 / x.5) and identical
-    * across engines. */
+    * across engines. Computed from a (flag, quantity)-count histogram
+    * ([[ExactQuantiles]]) rather than the buffering `median` aggregate:
+    * per-group state is O(distinct quantities) — ~50 for TPC-H — not
+    * O(rows), so a hot return flag cannot OOM an executor. */
   def medianQuantity(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.lineitem(spark, sfDir)
+    val hist = Tables.lineitem(spark, sfDir)
       .where(col("l_quantity").isNotNull)
-      .groupBy(col("l_returnflag"))
-      .agg(median(col("l_quantity")).as("median_qty"), count(lit(1)).as("n"))
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    ExactQuantiles.fromHistogram(hist, Seq("l_returnflag"), "l_quantity", "cnt",
+        Seq("median_qty" -> 0.5), extraAggs = Seq(sum(col("cnt")).as("n")))
+      .select(col("l_returnflag"), col("median_qty"), col("n"))
       .orderBy(col("l_returnflag").asc)
   }
 

@@ -44,21 +44,27 @@ object TextAnalysis {
     * and DuckDB's `quantile_cont` share the type-7 linear-interpolation
     * definition, and on exact integer lengths the interpolation
     * arithmetic is the same two IEEE ops), and language spread. One
-    * hash aggregation keyed by source; the exact percentile buffers
-    * per-group values, which is safe here because groups are SOURCES
-    * (thousands at most), not documents — the same cardinality argument
-    * as `median_quantity`. */
+    * hash aggregation to a (source, lang, token-length)-count histogram
+    * — slim rows, map-side combined, state bounded by the length domain
+    * — then [[ExactQuantiles]] reads the quantiles off the histogram
+    * with a window pass. The buffering `percentile`/`median` aggregates
+    * never appear in the plan (ScaleOpsSpec pins this), so a single hot
+    * source — one feed contributing most of a 100 TB corpus — costs
+    * O(distinct lengths) aggregation state, not an executor OOM. */
   def sourceProfile(spark: SparkSession, sfDir: String): DataFrame = {
-    docs(spark, sfDir)
+    val hist = docs(spark, sfDir)
       .select(col("source"), col("lang"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("total_tokens"),
-        median(col("n_tok")).as("median_tokens"),
-        percentile(col("n_tok"), lit(0.9)).as("p90_tokens"),
-        countDistinct(col("lang")).as("n_langs"))
+      .groupBy(col("source"), col("lang"), col("n_tok"))
+      .agg(count(lit(1)).as("cnt"))
+    ExactQuantiles.fromHistogram(hist, Seq("source"), "n_tok", "cnt",
+        Seq("median_tokens" -> 0.5, "p90_tokens" -> 0.9),
+        extraAggs = Seq(
+          sum(col("cnt")).as("n_docs"),
+          sum(col("n_tok") * col("cnt")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs")))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("median_tokens"), col("p90_tokens"), col("n_langs"))
       .orderBy(col("source").asc)
   }
 

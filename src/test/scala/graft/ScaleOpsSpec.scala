@@ -223,4 +223,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(band"),
       s"per-band ranking windows must partition by band:\n$plan")
   }
+
+  test("exact quantiles come from histograms — no buffering percentile/median aggregate") {
+    import graft.operators.{AnalyticsExt, TextAnalysis}
+    // the buffering aggregates hold every group value in one buffer —
+    // an executor OOM on a hot source at corpus scale; the histogram
+    // formulation (ExactQuantiles) must keep them out of these plans
+    for ((name, plan) <- Seq(
+        "source_profile" -> TextAnalysis.sourceProfile(spark, sf),
+        "median_quantity" -> AnalyticsExt.medianQuantity(spark, sf))
+          .map { case (n, df) => n -> df.queryExecution.optimizedPlan.toString }) {
+      assert(!plan.contains("percentile("),
+        s"$name regressed to the buffering percentile aggregate:\n$plan")
+      assert(!plan.contains("median("),
+        s"$name regressed to the buffering median aggregate:\n$plan")
+    }
+  }
 }
