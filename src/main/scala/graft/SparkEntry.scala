@@ -251,6 +251,14 @@ object SparkEntry {
     "sample_per_source_agg" -> ((s, dir) => TextAnalysis.samplePerSourceAgg(s, dir)),
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
     "except_suppliers"    -> ((s, dir) => AnalyticsExt.exceptSuppliers(s, dir)),
+    "cube_pricing"        -> ((s, dir) => AnalyticsExt.cubePricing(s, dir)),
+    "intersect_suppliers" -> ((s, dir) => AnalyticsExt.intersectSuppliers(s, dir)),
+    "sql_cube_pricing"    -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(AnalyticsExt.cubePricingSql)
+    }),
+    "sql_intersect_suppliers" -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(AnalyticsExt.intersectSuppliersSql)
+    }),
     "median_quantity"     -> ((s, dir) => AnalyticsExt.medianQuantity(s, dir)),
     "revenue_by_month"    -> ((s, dir) => AnalyticsExt.revenueByMonth(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => AnalyticsExt.q3ShippingPriority(s, dir)),
@@ -375,6 +383,10 @@ object SparkEntry {
     "sample_per_source_agg" -> TextAnalysis.samplePerSourceSql,
     "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,
     "except_suppliers"    -> AnalyticsExt.exceptSuppliersSql,
+    "cube_pricing"        -> AnalyticsExt.cubePricingSql,
+    "intersect_suppliers" -> AnalyticsExt.intersectSuppliersSql,
+    "sql_cube_pricing"    -> AnalyticsExt.cubePricingSql,
+    "sql_intersect_suppliers" -> AnalyticsExt.intersectSuppliersSql,
     "median_quantity"     -> AnalyticsExt.medianQuantitySql,
     "revenue_by_month"    -> AnalyticsExt.revenueByMonthSql,
     "q3_shipping_priority" -> AnalyticsExt.q3ShippingPrioritySql(),

@@ -82,11 +82,13 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         TextOps.hash60(col("doc_id").cast("string")).as("hm"))
     val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("available"))
+    // conditional count, not filter-then-count: a zero-target (or
+    // zero-selected) language still reports a row — see
+    // [[temperatureMixture]]'s completeness note
     d.join(broadcast(counts), "lang")
       .withColumn("target_docs", targetCol)
-      .where(col("hm") % col("available") < col("target_docs"))
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_selected"),
+      .agg(count(when(col("hm") % col("available") < col("target_docs"), 1)).as("n_selected"),
         max(col("available")).as("available"),
         max(col("target_docs")).as("target_docs"))
       .orderBy(col("lang").asc)
@@ -100,11 +102,11 @@ object Curation {
        |                  ${TextOps.hash60Sql("CAST(doc_id AS VARCHAR)")} AS hm
        |           FROM documents),
        |c AS (SELECT lang, COUNT(*) AS available FROM d GROUP BY lang)
-       |SELECT d.lang, COUNT(*) AS n_selected,
+       |SELECT d.lang,
+       |       COUNT(CASE WHEN d.hm % c.available < $caseSql THEN 1 END) AS n_selected,
        |       MAX(c.available) AS available,
        |       MAX($caseSql) AS target_docs
        |FROM d JOIN c ON d.lang = c.lang
-       |WHERE d.hm % c.available < $caseSql
        |GROUP BY d.lang
        |ORDER BY d.lang ASC""".stripMargin
   }
@@ -198,10 +200,14 @@ object Curation {
     val targets = counts.crossJoin(broadcast(stot))
       .withColumn("target_docs", expr(s"($MixtureTotal * s) DIV s_tot"))
       .select(col("lang"), col("available"), col("target_docs"))
+    // conditional count instead of filter-then-count: a language whose
+    // truncated target selects zero documents still gets its report row
+    // (n_selected = 0) — consumers read the mixture report as complete
+    // over every available language, and a silent absence reads as
+    // "language missing from the corpus", a different fact
     d.join(broadcast(targets), "lang")
-      .where(col("hm") % col("available") < col("target_docs"))
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_selected"),
+      .agg(count(when(col("hm") % col("available") < col("target_docs"), 1)).as("n_selected"),
         max(col("available")).as("available"),
         max(col("target_docs")).as("target_docs"))
       .orderBy(col("lang").asc)
@@ -218,11 +224,11 @@ object Curation {
        |t AS (SELECT lang, available,
        |             CAST(($MixtureTotal * s) // (SELECT SUM(s) FROM s) AS BIGINT) AS target_docs
        |      FROM s)
-       |SELECT d.lang, COUNT(*) AS n_selected,
+       |SELECT d.lang,
+       |       COUNT(CASE WHEN d.hm % t.available < t.target_docs THEN 1 END) AS n_selected,
        |       MAX(t.available) AS available,
        |       MAX(t.target_docs) AS target_docs
        |FROM d JOIN t ON d.lang = t.lang
-       |WHERE d.hm % t.available < t.target_docs
        |GROUP BY d.lang
        |ORDER BY d.lang ASC""".stripMargin
 

@@ -28,13 +28,21 @@ object Packing {
   /** Tokens per packed training sequence. */
   val SeqBudget = 2048L
 
-  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Pack the corpus (or, with `onlyDocs`, a curated subset — the
+    * pipeline runner passes the manifest's ids so the sequences
+    * artifact never trains on documents curation dropped; the join is a
+    * slim 8-byte-key semi-join before any token work). */
+  def packSequences(spark: SparkSession, sfDir: String,
+      onlyDocs: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Shard count is runtime-settable (spark.graft.packing.shards) so a
     // deployment can size window partitions to its executor count; the
     // oracle pins the default, and Verify refuses an override.
     val numShards = graft.GraftConf.packingShards(spark).toLong
-    val docs = Tables.documents(spark, sfDir)
+    val base = onlyDocs.foldLeft(Tables.documents(spark, sfDir)) {
+      (d, ids) => d.join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    }
+    val docs = base
       .select(col("doc_id"), col("lang"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
         (TextOps.hash60(col("doc_id").cast("string")) % numShards).as("shard"))

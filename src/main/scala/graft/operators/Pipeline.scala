@@ -12,7 +12,8 @@ import graft.sources.Tables
   *                        ([[Curation.corpusManifest]]), zstd parquet
   *   outDir/splits/     — leakage-safe train/val/test assignment
   *                        ([[ClusterOps.leakageSplit]]), zstd parquet
-  *   outDir/sequences/  — fixed-token-budget packed sequences
+  *   outDir/sequences/  — fixed-token-budget packed sequences over the
+  *                        MANIFEST's documents only
   *                        ([[Packing.packSequences]]), zstd parquet
   *   outDir/shards/     — the manifest's documents with their shard /
   *                        position and the LEAKAGE-SAFE split, gzip
@@ -44,7 +45,11 @@ object Pipeline {
     Tables.writeParquetZstd(manifest, s"$outDir/manifest")
     val splits = ClusterOps.leakageSplit(spark, sfDir)
     Tables.writeParquetZstd(splits, s"$outDir/splits")
-    val sequences = Packing.packSequences(spark, sfDir)
+    // pack ONLY the manifest's documents: every artifact in the output
+    // directory describes the same curated corpus (a trainer reading
+    // sequences/ must not train on gated-out or non-canonical docs)
+    val sequences = Packing.packSequences(spark, sfDir,
+      onlyDocs = Some(spark.read.parquet(s"$outDir/manifest")))
     Tables.writeParquetZstd(sequences, s"$outDir/sequences")
     val shardRows = Sharding.shuffleExport(spark, sfDir)
       .drop("split")

@@ -78,12 +78,17 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
 
   /** Gap-based sessionization with explicit per-user state: emits a
-    * session when the gap since the last event exceeds `gapMinutes` (or
-    * on event-time timeout past the watermark). Batch twin:
-    * `EventOps.sessionize` — same gap rule. */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    * session when the gap since the last event exceeds the gap (or on
+    * event-time timeout past the watermark). Batch twin:
+    * `EventOps.sessionize` — same gap rule, and the same KNOB: when no
+    * explicit gap is passed, the session conf
+    * (`spark.graft.session.gapMinutes`) is read exactly like the batch
+    * operator, so a conf-driven gap change can never silently diverge
+    * the streaming twin from the batch operator it reproduces. */
+  def sessionize(events: Dataset[Event], gapMinutes: Option[Int] = None): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val gapMin = gapMinutes.getOrElse(graft.GraftConf.sessionGapMinutes(events.sparkSession))
+    val gapUs = gapMin.toLong * 60L * 1000000L
 
     // exact microseconds, matching the batch twin's unix_micros rule:
     // Timestamp.getTime only carries millis — the sub-ms component lives
@@ -121,7 +126,7 @@ object EventStream {
         cur.foreach { s =>
           state.update(s)
           if (state.getCurrentWatermarkMs() > 0)
-            state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes.toLong * 60000L)
+            state.setTimeoutTimestamp(s.lastUs / 1000L + gapMin.toLong * 60000L)
         }
         closed.result().iterator
       }
@@ -144,12 +149,15 @@ object EventStream {
     * stream into the transition matrix. Steps bridge micro-batches
     * (the state carries the previous event across triggers), so an
     * in-order feed reproduces the batch operator's counts exactly —
-    * spec-pinned. Gap rule is the sessionizer's exact-µs arithmetic.
-    * No timeout: one row per user is negligible state; production adds
-    * a TTL to expire dormant users. */
-  def transitions(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Step] = {
+    * spec-pinned. Gap rule is the sessionizer's exact-µs arithmetic AND
+    * its knob: with no explicit gap, `spark.graft.session.gapMinutes`
+    * is read like the batch operator, so the twins cannot diverge under
+    * a conf-driven gap change. No timeout: one row per user is
+    * negligible state; production adds a TTL to expire dormant users. */
+  def transitions(events: Dataset[Event], gapMinutes: Option[Int] = None): Dataset[Step] = {
     import events.sparkSession.implicits._
-    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val gapMin = gapMinutes.getOrElse(graft.GraftConf.sessionGapMinutes(events.sparkSession))
+    val gapUs = gapMin.toLong * 60L * 1000000L
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[(Long, String)]): Iterator[Step] = {
       var last = state.getOption
@@ -176,8 +184,9 @@ object EventStream {
 
   /** Streaming funnel tracking — the real-time twin of
     * `EventOps.funnelStages`: per-user state is just the earliest
-    * qualifying time of each stage (three optional longs — state size
-    * is users × 24 bytes, independent of stream length), and a
+    * qualifying time of each stage (stages.length optional longs —
+    * state size is users × 8·|stages| bytes, independent of stream
+    * length), and a
     * [[FunnelHit]] row is emitted the moment a user first reaches a
     * stage, each stage at most once per user. Stage i qualifies only
     * STRICTLY after stage i-1's recorded time — the batch operator's
@@ -193,10 +202,14 @@ object EventStream {
   def funnel(events: Dataset[Event],
              stages: Seq[String] = graft.operators.EventOps.FunnelStages): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // state is sized to the stage list (stages.length optional longs),
+    // not a hardcoded arity — a 5-stage funnel must not ArrayIndexOOB
+    val nStages = stages.length
     def update(userId: Long, rows: Iterator[Event],
-               state: GroupState[(Option[Long], Option[Long], Option[Long])]): Iterator[FunnelHit] = {
-      var t = state.getOption.map(s => Array(s._1, s._2, s._3))
-        .getOrElse(Array[Option[Long]](None, None, None))
+               state: GroupState[Seq[Option[Long]]]): Iterator[FunnelHit] = {
+      val t = state.getOption.getOrElse(Seq.fill[Option[Long]](nStages)(None))
+        .padTo(nStages, None).toArray
       val out = List.newBuilder[FunnelHit]
       rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
         val i = stages.indexOf(e.event_type)
@@ -211,7 +224,7 @@ object EventStream {
           }
         }
       }
-      state.update((t(0), t(1), t(2)))
+      state.update(t.toSeq)
       out.result().iterator
     }
     events

@@ -465,6 +465,12 @@ class PipelineOpsSpec extends SparkSpec {
     assert(summary("splits") == Tables.documents(spark, sf).count())
     assert(summary("shards") == summary("manifest"),
       "every manifest doc lands in exactly one shard file")
+    // the sequences artifact packs the CURATED corpus, not the raw one:
+    // its per-sequence doc counts must sum to exactly the manifest size
+    val seqDocs = spark.read.parquet(s"$out/sequences")
+      .agg(org.apache.spark.sql.functions.sum(col("n_docs"))).collect()(0).getLong(0)
+    assert(seqDocs == summary("manifest"),
+      s"sequences pack $seqDocs docs but the manifest has ${summary("manifest")}")
     // the shard JSONL really is split-partitioned and readable
     val shards = spark.read.json(s"$out/shards")
     assert(shards.columns.contains("split"))

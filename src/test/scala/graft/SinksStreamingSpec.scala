@@ -478,6 +478,28 @@ class SinksStreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming funnel state sizes to the stage list — 4 stages complete in order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.Event]
+    def ev(id: Long, t: String, tpe: String) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(t), 5L, tpe, 1.0)
+    input.addData(Seq(
+      ev(1, "2024-01-01 00:00:00", "a"), ev(2, "2024-01-01 00:01:00", "b"),
+      ev(3, "2024-01-01 00:02:00", "c"), ev(4, "2024-01-01 00:03:00", "d")))
+    val q = EventStream.funnel(input.toDS(), stages = Seq("a", "b", "c", "d"))
+      .writeStream.format("memory").queryName("funnel_stream_test4").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // stage 4 reached — the hardcoded-3-tuple state would have thrown
+      input.addData(Seq(ev(5, "2024-01-01 00:04:00", "d")))
+      q.processAllAvailable() // restored 4-slot state round-trips, no re-emit
+    } finally q.stop()
+    val stages = spark.table("funnel_stream_test4").orderBy("stage").collect()
+      .map(_.getAs[Int]("stage")).toSeq
+    assert(stages == Seq(1, 2, 3, 4), s"expected the full 4-stage chain, got $stages")
+  }
+
   test("streaming transitions match batch counts and bridge micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
