@@ -79,6 +79,7 @@ object SparkEntry {
     "multimodal_stats"    -> ((s, dir) => Multimodal.multimodalStats(s, dir)),
     "multimodal_frames"   -> ((s, dir) => Multimodal.multimodalFrames(s, dir)),
     "multimodal_decode"   -> ((s, dir) => Multimodal.multimodalDecode(s, dir)),
+    "multimodal_audio"    -> ((s, dir) => Multimodal.multimodalAudio(s, dir)),
     "corpus_manifest"     -> ((s, dir) => Curation.corpusManifest(s, dir)),
     "bloom_semi_join"     -> ((s, dir) => BloomJoin.bloomSemiJoinVolume(s, dir)),
     "pack_sequences"      -> ((s, dir) => Packing.packSequences(s, dir)),
@@ -329,6 +330,7 @@ object SparkEntry {
     "multimodal_stats"    -> Multimodal.multimodalStatsSql,
     "multimodal_frames"   -> Multimodal.multimodalFramesSql,
     "multimodal_decode"   -> Multimodal.multimodalDecodeSql,
+    "multimodal_audio"    -> Multimodal.multimodalAudioSql,
     "corpus_manifest"     -> Curation.corpusManifestSql,
     "bloom_semi_join"     -> BloomJoin.bloomSemiJoinVolumeSql,
     "pack_sequences"      -> Packing.packSequencesSql,

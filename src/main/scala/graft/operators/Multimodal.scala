@@ -248,6 +248,132 @@ object Multimodal {
        |FROM r JOIN op USING (doc_id) JOIN rp USING (doc_id)
        |ORDER BY doc_id ASC""".stripMargin
 
+  // ——————————————————————— audio (WAV) ———————————————————————
+  // The second modality a training pipeline carries, built exactly like
+  // the PNG path: payloads synthesized from a deterministic sample
+  // function of (doc_id, sample index), encoded/decoded through the
+  // JDK's javax.sound.sampled (no external libraries), with every
+  // reported column recomputable by the oracle in pure integer
+  // arithmetic — so a codec defect (wrong header parse, byte-order
+  // slip, dropped frames) hash-mismatches rather than hiding.
+
+  /** One decoded-audio row: real WAV decode of a generated payload. */
+  case class AudioMeta(doc_id: Long, source: String, n_bytes: Long,
+                       sample_rate: Long, n_samples: Long, duration_us: Long,
+                       peak_abs: Long, sum_abs: Long, sum_sq: Long)
+
+  /** Generated clips have 8 + (textBytes % AudioSampleMod) samples. */
+  val AudioSampleMod = 64
+
+  /** The deterministic 16-bit PCM sample both engines compute: sample
+    * `i` of document `docId`, in [-32768, 32767]. */
+  def sampleValue(docId: Long, i: Int): Int =
+    (((docId * 13 + i * 7) % 65536L) - 32768L).toInt
+
+  /** Generator (sample count, sample rate) for a payload of `n` text
+    * bytes — rate varies across documents so the header parse is
+    * actually exercised. */
+  def audioDims(n: Long): (Int, Int) =
+    ((8 + n % AudioSampleMod).toInt, (8000 + (n % 4) * 4000).toInt)
+
+  /** Render the deterministic PCM clip for `docId` and encode it as a
+    * real RIFF/WAVE payload via the JDK encoder (16-bit signed mono,
+    * little-endian). */
+  def renderWav(docId: Long, nSamples: Int, rate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = sampleValue(docId, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real decode. `None` for malformed payloads — garbage, truncated
+    * headers, or containers no installed reader claims (P4 reject
+    * semantics, like [[decodePng]]). Returns the parsed format and the
+    * raw PCM frame bytes. */
+  def decodeWav(payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try Some((ais.getFormat, ais.readAllBytes())) finally ais.close()
+    } catch { case NonFatal(_) => None }
+
+  /** `documents` with a REAL generated WAV payload per row — the audio
+    * twin of [[pngPayloads]]. */
+  def wavPayloads(spark: SparkSession, sfDir: String): Dataset[Media] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+        val (ns, rate) = audioDims(n)
+        Media(id, src, renderWav(id, ns, rate))
+      })
+  }
+
+  /** The audio codec query: render → WAV-encode → decode, reporting the
+    * parsed rate, frame count, exact integer duration, and the decoded
+    * signal's peak/abs-sum/square-sum — all recomputed by the oracle
+    * from [[sampleValue]]/[[audioDims]] arithmetic alone. RMS and dBFS
+    * are one IEEE sqrt/log away from (sum_sq, n_samples); the report
+    * keeps the exact integers so the hash compare stays bit-stable. */
+  def multimodalAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    wavPayloads(spark, sfDir).mapPartitions(_.flatMap { m =>
+      decodeWav(m.payload).map { case (fmt, pcm) =>
+        val nSamples = pcm.length / fmt.getFrameSize
+        var (peak, sumAbs, sumSq) = (0L, 0L, 0L)
+        var i = 0
+        while (i < nSamples) {
+          // little-endian 16-bit signed, as the header declares
+          val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong
+          val a = math.abs(s)
+          peak = math.max(peak, a); sumAbs += a; sumSq += s * s
+          i += 1
+        }
+        val rate = fmt.getSampleRate.toLong
+        AudioMeta(m.doc_id, m.source, m.payload.length.toLong,
+          rate, nSamples.toLong, nSamples.toLong * 1000000L / rate,
+          peak, sumAbs, sumSq)
+      }
+    }).toDF().drop("n_bytes").orderBy(col("doc_id").asc)
+  }
+
+  /** DuckDB twin of [[multimodalAudio]]: sample count and rate from
+    * [[audioDims]], signal stats by summing [[sampleValue]] over a
+    * bounded range() grid — mirrors the PNG oracle's shape. */
+  val multimodalAudioSql: String =
+    s"""WITH d AS (SELECT doc_id, source, octet_length(encode(text)) AS n FROM documents),
+       |p AS (SELECT doc_id, source,
+       |             CAST(8 + n % $AudioSampleMod AS BIGINT) AS n_samples,
+       |             CAST(8000 + (n % 4) * 4000 AS BIGINT) AS sample_rate
+       |      FROM d),
+       |s AS (SELECT doc_id,
+       |        CAST(MAX(abs((doc_id*13 + i.range*7) % 65536 - 32768)) AS BIGINT) AS peak_abs,
+       |        CAST(SUM(abs((doc_id*13 + i.range*7) % 65536 - 32768)) AS BIGINT) AS sum_abs,
+       |        CAST(SUM(((doc_id*13 + i.range*7) % 65536 - 32768)
+       |               * ((doc_id*13 + i.range*7) % 65536 - 32768)) AS BIGINT) AS sum_sq
+       |      FROM p, range(${8 + AudioSampleMod}) i
+       |      WHERE i.range < n_samples
+       |      GROUP BY doc_id)
+       |SELECT p.doc_id, p.source, p.sample_rate, p.n_samples,
+       |       CAST(p.n_samples * 1000000 // p.sample_rate AS BIGINT) AS duration_us,
+       |       s.peak_abs, s.sum_abs, s.sum_sq
+       |FROM p JOIN s USING (doc_id)
+       |ORDER BY p.doc_id ASC""".stripMargin
+
   /** Frame sampling: pick `frames` evenly spaced byte offsets from each
     * payload and emit (doc_id, frame_no, offset, byte) — the plumbing a
     * video pipeline uses to fan one blob out to per-frame rows, done

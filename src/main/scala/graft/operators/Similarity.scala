@@ -75,17 +75,17 @@ object Similarity {
     }
 
   /** Exact integer quantization of a float vector. */
-  private def quantize(v: Column): Column =
+  private[graft] def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1000000.0).cast("long"))
 
   /** Exact integer dot product of two quantized vectors — the native
     * codegen'd [[DotLong]] kernel ([[corpus]] registers it). */
-  private def dotQ(a: Column, b: Column): Column =
+  private[graft] def dotQ(a: Column, b: Column): Column =
     call_function("dot_long", a, b)
 
   /** Cosine from a precomputed integer dot and two precomputed integer
     * squared norms: a fixed IEEE sqrt/multiply/divide tree. */
-  private def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
+  private[graft] def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
   /** Corpus projection: quantized vector + its squared norm, computed
@@ -171,10 +171,10 @@ object Similarity {
   private val quantizeSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
 
-  private def dotQSql(a: String, b: String): String =
+  private[graft] def dotQSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, ${Dims + 1}), i -> $a[i] * $b[i]))"
 
-  private def cosineFromSql(dot: String, n2a: String, n2b: String): String =
+  private[graft] def cosineFromSql(dot: String, n2a: String, n2b: String): String =
     s"CAST($dot AS DOUBLE) / (sqrt(CAST($n2a AS DOUBLE)) * sqrt(CAST($n2b AS DOUBLE)))"
 
   private val corpusSql =
@@ -271,7 +271,7 @@ object Similarity {
     * (cid, cq, cn2) structs — the broadcastable form. Cell assignment
     * against it is a per-row array fold, so the build side of IVF needs
     * ZERO exchanges: no window, no shuffle of n×k assignment rows. */
-  private def centroidArray(cent: DataFrame): DataFrame =
+  private[graft] def centroidArray(cent: DataFrame): DataFrame =
     cent.agg(collect_list(struct(col("cid"), col("cq"), col("cn2"))).as("cents"))
 
   /** Exact integer squared distance ||x-c||² = n2 - 2·dot + cn2 for one
@@ -284,7 +284,7 @@ object Similarity {
     * cid asc and keeping rank 1, but computed as a fold so it is
     * order-independent (collect_list's nondeterministic array order
     * cannot leak into the result). */
-  private def nearestCid(cents: Column, q: Column, n2: Column): Column =
+  private[graft] def nearestCid(cents: Column, q: Column, n2: Column): Column =
     aggregate(cents,
       struct(lit(Long.MaxValue).as("d2"), lit(Long.MaxValue).as("cid")),
       (acc, c) => {
@@ -297,7 +297,7 @@ object Similarity {
 
   /** The query's nProbes nearest cell ids, nearest first — array_sort on
     * (dist2, cid) structs is exactly the dist2-asc, cid-asc rank. */
-  private def probeCids(cents: Column, q: Column, n2: Column, nProbes: Int): Column =
+  private[graft] def probeCids(cents: Column, q: Column, n2: Column, nProbes: Int): Column =
     transform(
       slice(array_sort(transform(cents, c =>
         struct(cellDist2(c, q, n2).as("d2"), c.getField("cid").as("cid")))), 1, nProbes),
@@ -431,7 +431,7 @@ object Similarity {
     * runs ONCE however many consumers build on it, and the training
     * loop's final internal checkpoint is freed as soon as the memo's
     * own (k-row) checkpoint has materialized. */
-  private def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
     var inner: DataFrame = null
     val out = Materialize.memoized(spark,
         s"kmeans_cent_${TrainedK}_${TrainedIters}_${Materialize.dirTag(sfDir)}") {
@@ -444,6 +444,43 @@ object Similarity {
 
   def ivfTrainedTopK(spark: SparkSession, sfDir: String): DataFrame =
     ivfSearchWith(spark, sfDir, trainedCentroids(spark, sfDir))
+
+  /** The trained coarse quantizer inlined as a PLAN LITERAL — the form
+    * a streaming serving job wants: k = [[TrainedK]] rows collected
+    * once per session (driver-side, bounded by k like the vocabTerms
+    * artifact — never corpus-scale) and baked into the probe
+    * expression, so cell assignment on a stream is a pure per-row fold
+    * with no join at all. Sorted by cid for a deterministic literal. */
+  private[graft] def trainedCentroidLiteral(spark: SparkSession, sfDir: String): Column = {
+    val rows = trainedCentroids(spark, sfDir)
+      .select(col("cid"), col("cq"), col("cn2")).collect()
+    array(rows.sortBy(_.getLong(0)).map { r =>
+      struct(lit(r.getLong(0)).as("cid"),
+        lit(r.getSeq[Long](1).toArray).as("cq"),
+        lit(r.getLong(2)).as("cn2"))
+    }.toIndexedSeq: _*)
+  }
+
+  /** The cell-keyed reference index [[graft.streaming.EmbedStream]]
+    * serves kNN labels from: every labeled reference vector grouped
+    * into its trained cell as one (cid, members) row — the IVF posting
+    * list. Memoized/checkpointed per (session, dir): this IS the
+    * serving index, built once and read by every micro-batch (the
+    * streaming twin of [[knnLabelIvf]]'s refs frame). Cell sizes are
+    * corpus/k with the trained quantizer; at 100 TB the members arrays
+    * shard by cid across executors like any other keyed frame. */
+  private[graft] def knnCellIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Materialize.memoized(spark, s"knn_cell_index_${Materialize.dirTag(sfDir)}") {
+      val emb = corpus(spark, sfDir)
+      val centArr = centroidArray(trainedCentroids(spark, sfDir))
+      emb.where(col("vec_id") % KnnQueryMod =!= 0 && col("n2") > 0)
+        .join(broadcast(centArr))
+        .select(col("vec_id"), col("label"), col("q"), col("n2"),
+          nearestCid(col("cents"), col("q"), col("n2")).as("cid"))
+        .groupBy(col("cid"))
+        .agg(collect_list(struct(col("vec_id"), col("label"), col("q"), col("n2")))
+          .as("members"))
+    }
 
   /** Cosine above this marks a vector as a semantic duplicate of an
     * earlier same-cell vector. */

@@ -145,6 +145,38 @@ class EventMultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeAll(ds, 2).collect().map(_.doc_id).toSet == Set(1L))
   }
 
+  test("wav codec: every generated payload decodes to its generator signal") {
+    val decoded = Multimodal.multimodalAudio(spark, sf).collect()
+    assert(decoded.length == Tables.documents(spark, sf).count())
+    decoded.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = r.getAs[Long]("n_samples").toInt
+      assert(n >= 8 && n < 8 + Multimodal.AudioSampleMod)
+      assert(Set(8000L, 12000L, 16000L, 20000L)(r.getAs[Long]("sample_rate")))
+      // the decoded signal must equal the sample function summed
+      // directly — proves the WAV roundtrip is exact, not just "reads"
+      var (sumAbs, sumSq) = (0L, 0L)
+      for (i <- 0 until n) {
+        val s = Multimodal.sampleValue(id, i).toLong
+        sumAbs += math.abs(s); sumSq += s * s
+      }
+      assert(r.getAs[Long]("sum_abs") == sumAbs, s"doc $id: signal diverged")
+      assert(r.getAs[Long]("sum_sq") == sumSq, s"doc $id: squared sum diverged")
+      assert(r.getAs[Long]("duration_us") ==
+        n.toLong * 1000000L / r.getAs[Long]("sample_rate"))
+    }
+  }
+
+  test("malformed wav payloads are rejected; valid ones survive the same batch") {
+    val goodWav = Multimodal.renderWav(1L, 16, 8000)
+    assert(Multimodal.decodeWav(goodWav).isDefined)
+    assert(Multimodal.decodeWav(Array[Byte](1, 2, 3, 4)).isEmpty, "garbage")
+    assert(Multimodal.decodeWav(goodWav.take(10)).isEmpty, "truncated header")
+    assert(Multimodal.decodeWav(Array.empty[Byte]).isEmpty, "empty")
+    // a PNG is not audio: the reader must refuse it, not misparse it
+    assert(Multimodal.decodeWav(Multimodal.renderPng(1L, 4, 4)).isEmpty)
+  }
+
   test("resize: bounded dims, exact nearest-neighbor mapping, identity under bound") {
     // raster-level exactness, no Spark: resized(x,y) == source(x*w/rw, y*h/rh)
     val img = Multimodal.decodePng(Multimodal.renderPng(7L, 16, 8)).get

@@ -419,6 +419,27 @@ class SinksStreamingSpec extends SparkSpec {
     }, s"expected user 1's first 2-event session to close; got ${sessions.mkString(", ")}")
   }
 
+  test("streaming kNN labeling matches the oracle-verified batch knn_label_ivf") {
+    import graft.streaming.EmbedStream
+    // file-source replay of the embeddings fixture -> served predictions
+    val dir = Files.createTempDirectory("graft_knnstream").toString
+    Files.copy(java.nio.file.Path.of(s"$sf/embeddings.parquet"),
+      java.nio.file.Path.of(dir, "embeddings.parquet"))
+    val q = EmbedStream.labelStream(
+        EmbedStream.readEmbeddingsStream(spark, dir), spark, sf)
+      .writeStream.format("memory").queryName("knn_stream_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("knn_stream_test").collect()
+      .map(r => (r.getAs[Long]("query_id"),
+        (r.getAs[Int]("pred_label"), r.getAs[Long]("n_votes")))).toMap
+    val batch = graft.operators.Similarity.knnLabelIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"),
+        (r.getAs[Int]("pred_label"), r.getAs[Long]("n_votes")))).toMap
+    assert(streamed == batch,
+      s"streamed ${streamed.size} predictions != batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("orc and zstd-parquet sinks round-trip the documents table exactly") {
     val docs = Tables.documents(spark, sf)
     val expected = docs.orderBy("doc_id").collect().map(_.toString).toSeq
