@@ -253,6 +253,17 @@ object SparkEntry {
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
     "except_suppliers"    -> ((s, dir) => AnalyticsExt.exceptSuppliers(s, dir)),
     "cube_pricing"        -> ((s, dir) => AnalyticsExt.cubePricing(s, dir)),
+    "grouping_sets_pricing" -> ((s, dir) => AnalyticsExt.groupingSetsPricing(s, dir)),
+    "q5_local_supplier"   -> ((s, dir) => AnalyticsExt.q5LocalSupplierVolume(s, dir)),
+    "revenue_mom_growth"  -> ((s, dir) => AnalyticsExt.revenueMomGrowth(s, dir)),
+    "quality_quartiles"   -> ((s, dir) => TextAnalysis.qualityQuartiles(s, dir)),
+    "text_redact"         -> ((s, dir) => TextAnalysis.textRedact(s, dir)),
+    "sql_grouping_sets"   -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(AnalyticsExt.groupingSetsPricingSql)
+    }),
+    "sql_q5"              -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(AnalyticsExt.q5LocalSupplierVolumeSql)
+    }),
     "intersect_suppliers" -> ((s, dir) => AnalyticsExt.intersectSuppliers(s, dir)),
     "sql_cube_pricing"    -> ((s, dir) => {
       graft.sources.Tables.ensureViews(s, dir); s.sql(AnalyticsExt.cubePricingSql)
@@ -386,6 +397,13 @@ object SparkEntry {
     "rollup_pricing"      -> AnalyticsExt.rollupPricingSql,
     "except_suppliers"    -> AnalyticsExt.exceptSuppliersSql,
     "cube_pricing"        -> AnalyticsExt.cubePricingSql,
+    "grouping_sets_pricing" -> AnalyticsExt.groupingSetsPricingSql,
+    "q5_local_supplier"   -> AnalyticsExt.q5LocalSupplierVolumeSql,
+    "revenue_mom_growth"  -> AnalyticsExt.revenueMomGrowthSql,
+    "quality_quartiles"   -> TextAnalysis.qualityQuartilesSql,
+    "text_redact"         -> TextAnalysis.textRedactSql,
+    "sql_grouping_sets"   -> AnalyticsExt.groupingSetsPricingSql,
+    "sql_q5"              -> AnalyticsExt.q5LocalSupplierVolumeSql,
     "intersect_suppliers" -> AnalyticsExt.intersectSuppliersSql,
     "sql_cube_pricing"    -> AnalyticsExt.cubePricingSql,
     "sql_intersect_suppliers" -> AnalyticsExt.intersectSuppliersSql,

@@ -56,6 +56,29 @@ object AnalyticsExt {
        |GROUP BY CUBE(l_returnflag, l_linestatus)
        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS — the strata CUBE and ROLLUP cannot express
+    * alone: per-flag and per-status subtotals WITHOUT the combined or
+    * grand-total rows. Same one-Expand-one-shuffle plan family as
+    * [[rollupPricing]]/[[cubePricing]], two projections instead of
+    * three/four. */
+  def groupingSetsPricing(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        RefQueries.revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val groupingSetsPricingSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       COUNT(*) AS n_rows,
+       |       ${RefQueries.revenueExactSql("l_extendedprice", "l_discount")} AS revenue
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Set operation: suppliers with 1996 shipments EXCEPT those with 1997
     * shipments (left-anti semantics via EXCEPT). */
   def exceptSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
@@ -181,6 +204,99 @@ object AnalyticsExt {
        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
        |ORDER BY revenue DESC, l.l_orderkey ASC
        |LIMIT $k""".stripMargin
+
+  /** Parameters for the TPC-H Q5-style local-supplier-volume query. */
+  val Q5Region = "EUROPE"
+  val Q5Year = 1996
+
+  /** TPC-H Q5 analog — the six-table join: revenue per nation from
+    * lineitems whose CUSTOMER and SUPPLIER share that nation, for
+    * orders placed in [[Q5Year]], nations restricted to [[Q5Region]].
+    * The widest join chain in the registry (region ⋈ nation ⋈ customer
+    * ⋈ orders ⋈ lineitem ⋈ supplier) and the classic star-schema
+    * shape: every filter reaches its own scan first (region name, the
+    * order-date year), the dimension chain region→nation→customer
+    * collapses to broadcastable row sets before touching a fact table,
+    * and the co-nationality predicate (c_nationkey = s_nationkey) rides
+    * the join keys instead of a post-join filter. Exact fixed-point
+    * revenue; output ordered by revenue desc (Q5's own order) with the
+    * nation tiebreak. */
+  def q5LocalSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).where(col("r_name") === Q5Region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(nations, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ords = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit(s"$Q5Year-01-01").cast("timestamp") &&
+             col("o_orderdate") < lit(s"${Q5Year + 1}-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(RefQueries.revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val q5LocalSupplierVolumeSql: String =
+    s"""SELECT n_name,
+       |       ${RefQueries.revenueExactSql("l_extendedprice", "l_discount")} AS revenue
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey
+       |  AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey
+       |  AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey
+       |  AND n_regionkey = r_regionkey
+       |  AND r_name = '$Q5Region'
+       |  AND o_orderdate >= TIMESTAMP '$Q5Year-01-01'
+       |  AND o_orderdate < TIMESTAMP '${Q5Year + 1}-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  /** Month-over-month revenue deltas via LAG — the window-navigation
+    * surface ([[cumulativeRevenue]] covers running sums): both the
+    * revenue and its previous-month twin stay exact integer cents until
+    * the final scale-back, so the delta is an exact integer difference,
+    * not a float subtraction. The single-partition window is
+    * calendar-bounded (one row per month), as in [[cumulativeRevenue]].
+    */
+  def revenueMomGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("month").asc)
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate").isNotNull)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(RefQueries.revenueCentsExact(col("l_extendedprice"), col("l_discount")).as("rc"))
+      .withColumn("prev_rc", lag(col("rc"), 1).over(w))
+      .select(col("month"),
+        (col("rc").cast("double") / 10000.0).as("revenue"),
+        (col("prev_rc").cast("double") / 10000.0).as("prev_revenue"),
+        ((col("rc") - col("prev_rc")).cast("double") / 10000.0).as("mom_delta"))
+      .orderBy(col("month").asc)
+  }
+
+  val revenueMomGrowthSql: String =
+    s"""WITH m AS (SELECT date_trunc('month', l_shipdate) AS month,
+       |                  ${RefQueries.revenueCentsExactSql("l_extendedprice", "l_discount")} AS rc
+       |           FROM lineitem
+       |           WHERE l_shipdate IS NOT NULL
+       |           GROUP BY month)
+       |SELECT month,
+       |       CAST(rc AS DOUBLE) / 10000.0 AS revenue,
+       |       CAST(LAG(rc, 1) OVER (ORDER BY month ASC) AS DOUBLE) / 10000.0 AS prev_revenue,
+       |       CAST(rc - LAG(rc, 1) OVER (ORDER BY month ASC) AS DOUBLE) / 10000.0 AS mom_delta
+       |FROM m
+       |ORDER BY month ASC""".stripMargin
 
   /** Month-over-month revenue with a running cumulative total. The
     * cumulative sum runs over EXACT unscaled decimal cents

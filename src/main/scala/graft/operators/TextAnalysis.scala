@@ -201,6 +201,80 @@ object TextAnalysis {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Per-source quality quartiles via NTILE — the bucketed-rank window
+    * surface (curriculum_order covers exact global rank; this is the
+    * standard SQL quartile a mixture designer filters on, e.g. "train
+    * on the top quartile of each source"). The window's total order is
+    * fully deterministic (quality desc, doc_id asc), so the bucket
+    * boundaries — standard NTILE: earlier buckets take the remainder
+    * rows — are identical on both engines. Scale: one window pass
+    * partitioned by source; for a pathologically hot source the banded
+    * two-phase trick behind curriculum_order applies unchanged. */
+  def qualityQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    qualityScore(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("quality"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val qualityQuartilesSql: String =
+    s"""WITH q AS (${qualityScoreSqlFrom("documents")})
+       |SELECT q.doc_id, d.source, q.quality,
+       |       NTILE(4) OVER (PARTITION BY d.source
+       |                      ORDER BY q.quality DESC, q.doc_id ASC) AS quartile
+       |FROM q JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
+       |ORDER BY q.doc_id ASC""".stripMargin
+
+  /** Email pattern shared by both engines — plain character classes and
+    * a bounded quantifier, semantics identical under Java regex and
+    * RE2. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Long digit runs (account/phone/reference-number shaped). */
+  val LongNumRe = "[0-9]{6,}"
+
+  /** PII scrubbing — the redaction pass a training pipeline runs before
+    * anything else sees the text: strip emails, then long digit runs.
+    * The fixture corpus contains neither, so (multimodal-payload
+    * precedent) each doc gets deterministic doc_id-derived PII APPENDED
+    * on BOTH engines — the redaction genuinely fires on every row, and
+    * the oracle recomputes match counts and the 60-bit hash of the
+    * redacted text, so a regex-dialect divergence or a missed
+    * replacement hash-mismatches. Order matters and is pinned: emails
+    * first (their digits must not pre-match as numbers), numbers
+    * counted AFTER email redaction. Scale: pure per-row projection, no
+    * shuffle but the output sort. */
+  def textRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com ref "),
+      (col("doc_id") * 1000003L + 7654321L).cast("string"))
+    val deEmailed = regexp_replace(aug, EmailRe, "<EMAIL>")
+    val red = regexp_replace(deEmailed, LongNumRe, "<NUM>")
+    docs(spark, sfDir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(regexp_extract_all(aug, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(deEmailed, lit(LongNumRe), lit(0))).cast("long").as("n_longnums"),
+        TextOps.hash60(red).as("redacted_hash"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val textRedactSql: String = {
+    val aug = s"concat(text, ' contact user', doc_id, '@example.com ref ', CAST(doc_id * 1000003 + 7654321 AS VARCHAR))"
+    val deEmailed = s"regexp_replace($aug, '$EmailRe', '<EMAIL>', 'g')"
+    val red = s"regexp_replace($deEmailed, '$LongNumRe', '<NUM>', 'g')"
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all($aug, '$EmailRe')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all($deEmailed, '$LongNumRe')) AS BIGINT) AS n_longnums,
+       |       ${TextOps.hash60Sql(red)} AS redacted_hash
+       |FROM documents
+       |WHERE text IS NOT NULL
+       |ORDER BY doc_id ASC""".stripMargin
+  }
+
   /** The quality-score oracle over any relation exposing (doc_id, text)
     * — parameterized so snapshot-sliced twins (the incremental manifest)
     * reuse the IDENTICAL formula text instead of a drift-prone copy. */

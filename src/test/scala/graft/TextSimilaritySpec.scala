@@ -14,6 +14,17 @@ class TextSimilaritySpec extends SparkSpec {
     })
   }
 
+  test("PII redaction fires on every row and leaves no match behind") {
+    val rows = graft.operators.TextAnalysis.textRedact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the synthesized PII guarantees at least one email and one long
+    // number per doc — a zero count means the regex silently missed
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") >= 1, s"doc ${r.getLong(0)}: no email matched")
+      assert(r.getAs[Long]("n_longnums") >= 1, s"doc ${r.getLong(0)}: no number matched")
+    }
+  }
+
   test("language-ID confusion matrix covers every document") {
     val n = TextAnalysis.langIdConfusion(spark, sf).collect().map(_.getAs[Long]("n")).sum
     assert(n == Tables.documents(spark, sf).count())
