@@ -75,6 +75,7 @@ object SparkEntry {
     "dedup_report"        -> ((s, dir) => ClusterOps.dedupReport(s, dir)),
     "cluster_size_hist"   -> ((s, dir) => ClusterOps.clusterSizeHistogram(s, dir)),
     "events_transitions"  -> ((s, dir) => EventOps.sessionTransitions(s, dir)),
+    "events_trailing"     -> ((s, dir) => EventOps.trailingEventRatio(s, dir)),
     "topk_per_group"      -> ((s, dir) => EventOps.topPartsPerFlag(s, dir)),
     "multimodal_stats"    -> ((s, dir) => Multimodal.multimodalStats(s, dir)),
     "multimodal_frames"   -> ((s, dir) => Multimodal.multimodalFrames(s, dir)),
@@ -248,6 +249,14 @@ object SparkEntry {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_knn_label")
       s.sql("SELECT query_id, pred_label, n_votes FROM graft_knn_label ORDER BY query_id ASC")
     }),
+    "sql_quartiles"       -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_quartiles")
+      s.sql("SELECT doc_id, source, quality, quartile FROM graft_quartiles ORDER BY doc_id ASC")
+    }),
+    "sql_redact"          -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_redact")
+      s.sql("SELECT doc_id, n_emails, n_longnums, redacted_hash FROM graft_redact ORDER BY doc_id ASC")
+    }),
     "sample_per_source"   -> ((s, dir) => TextAnalysis.samplePerSource(s, dir)),
     "sample_per_source_agg" -> ((s, dir) => TextAnalysis.samplePerSourceAgg(s, dir)),
     "rollup_pricing"      -> ((s, dir) => AnalyticsExt.rollupPricing(s, dir)),
@@ -402,6 +411,9 @@ object SparkEntry {
     "revenue_mom_growth"  -> AnalyticsExt.revenueMomGrowthSql,
     "quality_quartiles"   -> TextAnalysis.qualityQuartilesSql,
     "text_redact"         -> TextAnalysis.textRedactSql,
+    "events_trailing"     -> EventOps.trailingEventRatioSql,
+    "sql_quartiles"       -> TextAnalysis.qualityQuartilesSql,
+    "sql_redact"          -> TextAnalysis.textRedactSql,
     "sql_grouping_sets"   -> AnalyticsExt.groupingSetsPricingSql,
     "sql_q5"              -> AnalyticsExt.q5LocalSupplierVolumeSql,
     "intersect_suppliers" -> AnalyticsExt.intersectSuppliersSql,

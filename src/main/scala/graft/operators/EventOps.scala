@@ -42,6 +42,55 @@ object EventOps {
        |GROUP BY window_start, event_type
        |ORDER BY window_start ASC, event_type ASC""".stripMargin
 
+  /** Trailing-window anomaly ratio — the monitor a pipeline points at
+    * its event feed: each (hour, event_type) count against the mean of
+    * the previous 24 OBSERVED hours of that type (bounded frame `ROWS
+    * BETWEEN 24 PRECEDING AND 1 PRECEDING` — the window-frame surface
+    * the unbounded cumulative queries don't exercise). All-integer
+    * until one final IEEE division (n·window_rows / window_sum), so the
+    * ratio is bit-identical across engines; the first hour of a type
+    * has an empty frame → null ratio, NULLS FIRST pinned. Scale: the
+    * hourly pre-aggregation does the corpus-size work; the window runs
+    * over one row per (hour, type) — calendar-bounded, like
+    * cumulative_revenue. */
+  def trailingEventRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frame = Window.partitionBy(col("event_type")).orderBy(col("window_start").asc)
+      .rowsBetween(-24, -1)
+    val hourly = Tables.events(spark, sfDir)
+      .where(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+    hourly
+      .withColumn("trail_sum", sum(col("n_events")).over(frame))
+      .withColumn("trail_n", count(col("n_events")).over(frame))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("trail_sum"), col("trail_n"),
+        when(col("trail_sum") > 0,
+          (col("n_events") * col("trail_n")).cast("double") / col("trail_sum"))
+          .as("ratio"))
+      .orderBy(col("window_start").asc, col("event_type").asc)
+  }
+
+  val trailingEventRatioSql: String =
+    s"""WITH h AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |                  COUNT(*) AS n_events
+       |           FROM events
+       |           WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |           GROUP BY window_start, event_type),
+       |t AS (SELECT window_start, event_type, n_events,
+       |             SUM(n_events) OVER w AS trail_sum,
+       |             COUNT(n_events) OVER w AS trail_n
+       |      FROM h
+       |      WINDOW w AS (PARTITION BY event_type ORDER BY window_start ASC
+       |                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       |SELECT window_start, event_type, n_events, trail_sum, trail_n,
+       |       CASE WHEN trail_sum > 0
+       |            THEN CAST(n_events * trail_n AS DOUBLE) / trail_sum END AS ratio
+       |FROM t
+       |ORDER BY window_start ASC, event_type ASC""".stripMargin
+
   /** Top-3 parts per return flag by revenue — ROW_NUMBER over a
     * partitioned window with a deterministic tiebreak. The window
     * partition key (l_returnflag) is the shuffle key; no global sort. */

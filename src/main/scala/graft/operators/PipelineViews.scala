@@ -65,7 +65,9 @@ object PipelineViews {
     "graft_retention"          -> ((s, d) => EventOps.cohortRetention(s, d)),
     "graft_dedup_report"       -> ((s, d) => ClusterOps.dedupReport(s, d)),
     "graft_cluster_sizes"      -> ((s, d) => ClusterOps.clusterSizeHistogram(s, d)),
-    "graft_cell_quality"       -> ((s, d) => Similarity.cellQualityReport(s, d)))
+    "graft_cell_quality"       -> ((s, d) => Similarity.cellQualityReport(s, d)),
+    "graft_quartiles"          -> ((s, d) => TextAnalysis.qualityQuartiles(s, d)),
+    "graft_redact"             -> ((s, d) => TextAnalysis.textRedact(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 

@@ -247,18 +247,27 @@ object TextAnalysis {
     * first (their digits must not pre-match as numbers), numbers
     * counted AFTER email redaction. Scale: pure per-row projection, no
     * shuffle but the output sort. */
-  def textRedact(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The per-row redaction projection over a frame exposing (doc_id,
+    * text) — shared by the batch query and the streaming ingest twin
+    * ([[graft.streaming.DocStream.redactStream]]), so the two cannot
+    * drift: (match counts, 60-bit hash of the redacted text). */
+  private[graft] def redactCols: (Column, Column, Column) = {
     val aug = concat(col("text"),
       lit(" contact user"), col("doc_id"), lit("@example.com ref "),
       (col("doc_id") * 1000003L + 7654321L).cast("string"))
     val deEmailed = regexp_replace(aug, EmailRe, "<EMAIL>")
     val red = regexp_replace(deEmailed, LongNumRe, "<NUM>")
+    (size(regexp_extract_all(aug, lit(EmailRe), lit(0))).cast("long"),
+      size(regexp_extract_all(deEmailed, lit(LongNumRe), lit(0))).cast("long"),
+      TextOps.hash60(red))
+  }
+
+  def textRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val (nEmails, nNums, redHash) = redactCols
     docs(spark, sfDir)
       .where(col("text").isNotNull)
-      .select(col("doc_id"),
-        size(regexp_extract_all(aug, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(deEmailed, lit(LongNumRe), lit(0))).cast("long").as("n_longnums"),
-        TextOps.hash60(red).as("redacted_hash"))
+      .select(col("doc_id"), nEmails.as("n_emails"), nNums.as("n_longnums"),
+        redHash.as("redacted_hash"))
       .orderBy(col("doc_id").asc)
   }
 

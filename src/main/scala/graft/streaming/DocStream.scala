@@ -73,6 +73,23 @@ object DocStream {
        |  AND q.quality >= ${Curation.QualityMin}
        |ORDER BY d.doc_id ASC""".stripMargin
 
+  /** Stateless PII redaction at ingest — the pass a crawl pipeline runs
+    * BEFORE any downstream operator sees the text: the identical Column
+    * expressions as the oracle-verified batch `text_redact`
+    * ([[TextAnalysis.redactCols]] is the single definition), one
+    * codegen'd pass per row, works on streaming and batch frames
+    * alike. Emits match counts and the redacted-text hash alongside the
+    * carried metadata; a production variant would carry the redacted
+    * text itself in place of the hash. */
+  def redactStream(docs: DataFrame): DataFrame = {
+    val (nEmails, nNums, redHash) = TextAnalysis.redactCols
+    docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("lang"),
+        nEmails.as("n_emails"), nNums.as("n_longnums"),
+        redHash.as("redacted_hash"))
+  }
+
   /** One near-dedup signature row per streamed document. */
   case class DocSignature(doc_id: Long, source: String, lang: String,
                           content_hash: Long, content_hash_b: Long,

@@ -186,6 +186,23 @@ class SinksStreamingSpec extends SparkSpec {
     assert(ids.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("streaming PII redaction matches the oracle-verified batch text_redact") {
+    import graft.streaming.DocStream
+    val dir = Files.createTempDirectory("graft_redactstream").toString
+    Files.copy(java.nio.file.Path.of(s"$sf/documents.parquet"),
+      java.nio.file.Path.of(dir, "documents.parquet"))
+    val q = DocStream.redactStream(DocStream.readDocsStream(spark, dir))
+      .writeStream.format("memory").queryName("doc_redact_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("doc_redact_test").orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_emails"),
+        r.getAs[Long]("n_longnums"), r.getAs[Long]("redacted_hash")))
+    val batch = graft.operators.TextAnalysis.textRedact(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_emails"),
+        r.getAs[Long]("n_longnums"), r.getAs[Long]("redacted_hash")))
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("streaming document curation matches the batch filter, and dedups redelivery") {
     import graft.streaming.DocStream
     val dir = Files.createTempDirectory("graft_docstream").toString
