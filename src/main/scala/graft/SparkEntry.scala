@@ -81,6 +81,7 @@ object SparkEntry {
     "multimodal_frames"   -> ((s, dir) => Multimodal.multimodalFrames(s, dir)),
     "multimodal_decode"   -> ((s, dir) => Multimodal.multimodalDecode(s, dir)),
     "multimodal_audio"    -> ((s, dir) => Multimodal.multimodalAudio(s, dir)),
+    "multimodal_video"    -> ((s, dir) => Multimodal.multimodalVideo(s, dir)),
     "corpus_manifest"     -> ((s, dir) => Curation.corpusManifest(s, dir)),
     "bloom_semi_join"     -> ((s, dir) => BloomJoin.bloomSemiJoinVolume(s, dir)),
     "pack_sequences"      -> ((s, dir) => Packing.packSequences(s, dir)),
@@ -264,6 +265,8 @@ object SparkEntry {
     "cube_pricing"        -> ((s, dir) => AnalyticsExt.cubePricing(s, dir)),
     "grouping_sets_pricing" -> ((s, dir) => AnalyticsExt.groupingSetsPricing(s, dir)),
     "q5_local_supplier"   -> ((s, dir) => AnalyticsExt.q5LocalSupplierVolume(s, dir)),
+    "q7_volume_shipping"  -> ((s, dir) => AnalyticsExt.q7VolumeShipping(s, dir)),
+    "q10_returned_items"  -> ((s, dir) => AnalyticsExt.q10ReturnedItems(s, dir)),
     "revenue_mom_growth"  -> ((s, dir) => AnalyticsExt.revenueMomGrowth(s, dir)),
     "quality_quartiles"   -> ((s, dir) => TextAnalysis.qualityQuartiles(s, dir)),
     "text_redact"         -> ((s, dir) => TextAnalysis.textRedact(s, dir)),
@@ -351,6 +354,7 @@ object SparkEntry {
     "multimodal_frames"   -> Multimodal.multimodalFramesSql,
     "multimodal_decode"   -> Multimodal.multimodalDecodeSql,
     "multimodal_audio"    -> Multimodal.multimodalAudioSql,
+    "multimodal_video"    -> Multimodal.multimodalVideoSql,
     "corpus_manifest"     -> Curation.corpusManifestSql,
     "bloom_semi_join"     -> BloomJoin.bloomSemiJoinVolumeSql,
     "pack_sequences"      -> Packing.packSequencesSql,
@@ -408,6 +412,8 @@ object SparkEntry {
     "cube_pricing"        -> AnalyticsExt.cubePricingSql,
     "grouping_sets_pricing" -> AnalyticsExt.groupingSetsPricingSql,
     "q5_local_supplier"   -> AnalyticsExt.q5LocalSupplierVolumeSql,
+    "q7_volume_shipping"  -> AnalyticsExt.q7VolumeShippingSql,
+    "q10_returned_items"  -> AnalyticsExt.q10ReturnedItemsSql(),
     "revenue_mom_growth"  -> AnalyticsExt.revenueMomGrowthSql,
     "quality_quartiles"   -> TextAnalysis.qualityQuartilesSql,
     "text_redact"         -> TextAnalysis.textRedactSql,

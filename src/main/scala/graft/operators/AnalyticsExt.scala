@@ -263,6 +263,104 @@ object AnalyticsExt {
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name ASC""".stripMargin
 
+  /** Parameters for the TPC-H Q7-style volume-shipping query. */
+  val Q7NationA = "NATION_3"
+  val Q7NationB = "NATION_7"
+
+  /** TPC-H Q7 analog — volume shipping between two nations: revenue of
+    * lineitems shipped 1996–1997 where the supplier sits in one of the
+    * two nations and the ordering customer in the other, grouped by
+    * (supplier nation, customer nation, ship year). Exercises the
+    * SELF-ALIASED dimension (nation joined twice under different
+    * roles), a disjunctive cross-nation predicate, and year extraction.
+    * Shape: both nation lookups broadcast; the nation filter reaches
+    * the supplier/customer joins as IN-list pushdown (each side can
+    * only be one of the two nations), the date range is pushed to the
+    * lineitem scan, and the disjunction runs on broadcast-joined name
+    * columns — never a cartesian. */
+  def q7VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = Tables.nation(spark, sfDir)
+      .where(col("n_name").isin(Q7NationA, Q7NationB))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(nations, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(nations, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ords = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate").between(
+        lit("1996-01-01"), lit("1997-12-31 23:59:59")))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .where((col("supp_nation") === Q7NationA && col("cust_nation") === Q7NationB) ||
+             (col("supp_nation") === Q7NationB && col("cust_nation") === Q7NationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(RefQueries.revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("supp_nation").asc, col("cust_nation").asc, col("l_year").asc)
+  }
+
+  val q7VolumeShippingSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |       ${RefQueries.revenueExactSql("l_extendedprice", "l_discount")} AS revenue
+       |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+       |WHERE s_suppkey = l_suppkey
+       |  AND o_orderkey = l_orderkey
+       |  AND c_custkey = o_custkey
+       |  AND s_nationkey = n1.n_nationkey
+       |  AND c_nationkey = n2.n_nationkey
+       |  AND ((n1.n_name = '$Q7NationA' AND n2.n_name = '$Q7NationB')
+       |    OR (n1.n_name = '$Q7NationB' AND n2.n_name = '$Q7NationA'))
+       |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31 23:59:59'
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin
+
+  /** TPC-H Q10 analog — returned-item reporting: the top-K customers by
+    * revenue lost to returns (l_returnflag = 'R') for orders placed in
+    * one quarter. Filters pushed to both fact scans, nation broadcast,
+    * TakeOrderedAndProject for the top-K. */
+  val Q10Date = "1996-10-01"
+
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = graft.GraftConf.topK(spark)
+    val ords = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit(Q10Date).cast("timestamp") &&
+             col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(RefQueries.revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+  }
+
+  def q10ReturnedItemsSql(k: Int = graft.GraftConf.DefaultTopK): String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |       ${RefQueries.revenueExactSql("l_extendedprice", "l_discount")} AS revenue
+       |FROM customer, orders, lineitem, nation
+       |WHERE c_custkey = o_custkey
+       |  AND l_orderkey = o_orderkey
+       |  AND o_orderdate >= TIMESTAMP '$Q10Date'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |  AND l_returnflag = 'R'
+       |  AND c_nationkey = n_nationkey
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey ASC
+       |LIMIT $k""".stripMargin
+
   /** Month-over-month revenue deltas via LAG — the window-navigation
     * surface ([[cumulativeRevenue]] covers running sums): both the
     * revenue and its previous-month twin stay exact integer cents until

@@ -54,14 +54,25 @@ object EventOps {
     * over one row per (hour, type) — calendar-bounded, like
     * cumulative_revenue. */
   def trailingEventRatio(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val frame = Window.partitionBy(col("event_type")).orderBy(col("window_start").asc)
-      .rowsBetween(-24, -1)
     val hourly = Tables.events(spark, sfDir)
       .where(col("ts").isNotNull && col("event_type").isNotNull)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+    trailingRatioFromHourly(hourly)
+  }
+
+  /** The trailing-ratio window tail over ANY (window_start, event_type,
+    * n_events) frame — shared by the batch query and the streaming
+    * architecture's periodic tail (a stream lands hourly counts
+    * continuously, e.g. `EventStream.hourlyCounts`; this batch pass
+    * over the accumulated table computes the monitor — the same
+    * continuous-land / periodic-aggregate split as the signature and
+    * decontamination pipelines). */
+  def trailingRatioFromHourly(hourly: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frame = Window.partitionBy(col("event_type")).orderBy(col("window_start").asc)
+      .rowsBetween(-24, -1)
     hourly
       .withColumn("trail_sum", sum(col("n_events")).over(frame))
       .withColumn("trail_n", count(col("n_events")).over(frame))

@@ -248,6 +248,127 @@ object Multimodal {
        |FROM r JOIN op USING (doc_id) JOIN rp USING (doc_id)
        |ORDER BY doc_id ASC""".stripMargin
 
+  // ——————————————————————— video (frame container) ———————————————————————
+  // The third modality. The JDK ships no video codec, so the CONTAINER
+  // is this pipeline's own deterministic format — magic + frame count +
+  // length-prefixed frames — but each frame is a REAL PNG through the
+  // same javax.imageio chain as the image path: the parse → seek →
+  // per-frame decode work is genuine codec plumbing, and every decoded
+  // raster is oracle-recomputed arithmetically like multimodal_decode.
+
+  /** One decoded frame row of [[multimodalVideo]]. */
+  case class FrameMeta(doc_id: Long, frame_no: Long,
+                       width: Long, height: Long, pixel_sum: Long)
+
+  /** Container magic ("GVID") + per-doc frame count in [1, VideoMaxFrames]. */
+  val VideoMagic: Array[Byte] = "GVID".getBytes("US-ASCII")
+  val VideoMaxFrames = 3
+
+  /** Frame f of document d renders the raster of pseudo-document
+    * d·131 + f — same [[pixelValue]] arithmetic, shifted per frame so
+    * consecutive frames differ deterministically. */
+  def videoFrameId(docId: Long, frame: Int): Long = docId * 131 + frame
+
+  /** Generator frame count for a payload of `n` text bytes. */
+  def videoFrameCount(n: Long): Int = (1 + n % VideoMaxFrames).toInt
+
+  /** Encode the container: magic, int32 frame count, then each frame as
+    * int32 length + PNG bytes (big-endian, via DataOutputStream). */
+  def renderVideo(docId: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(VideoMagic)
+    out.writeInt(nFrames)
+    (0 until nFrames).foreach { f =>
+      val png = renderPng(videoFrameId(docId, f), w, h)
+      out.writeInt(png.length)
+      out.write(png)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Real container parse + per-frame PNG decode. `None` for malformed
+    * payloads: wrong magic, truncated header, frame length running past
+    * the payload, or any frame failing PNG decode (P4 semantics — one
+    * bad frame rejects the document, it cannot half-decode). */
+  def decodeVideo(payload: Array[Byte]): Option[Seq[BufferedImage]] =
+    try {
+      val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      if (!java.util.Arrays.equals(magic, VideoMagic)) None
+      else {
+        val n = in.readInt()
+        if (n < 1 || n > 1024) None
+        else {
+          val frames = (0 until n).map { _ =>
+            val len = in.readInt()
+            if (len < 0 || len > payload.length) throw new java.io.EOFException
+            val buf = new Array[Byte](len)
+            in.readFully(buf)
+            decodePng(buf).getOrElse(throw new java.io.IOException("bad frame"))
+          }
+          Some(frames)
+        }
+      }
+    } catch { case NonFatal(_) => None }
+
+  /** `documents` with a generated multi-frame video payload per row. */
+  def videoPayloads(spark: SparkSession, sfDir: String): Dataset[Media] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+        val (w, h) = genDims(n)
+        Media(id, src, renderVideo(id, videoFrameCount(n), w, h))
+      })
+  }
+
+  /** The video decode query: render → container-encode → parse →
+    * per-frame PNG decode, one row per frame with the decoded raster
+    * checksum — all recomputed by the oracle from
+    * [[pixelValue]]/[[genDims]]/[[videoFrameCount]] arithmetic. */
+  def multimodalVideo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    videoPayloads(spark, sfDir).mapPartitions(_.flatMap { m =>
+      decodeVideo(m.payload).toSeq.flatMap { frames =>
+        frames.zipWithIndex.map { case (img, f) =>
+          FrameMeta(m.doc_id, f.toLong,
+            img.getWidth.toLong, img.getHeight.toLong, rgbSum(img))
+        }
+      }
+    }).toDF().orderBy(col("doc_id").asc, col("frame_no").asc)
+  }
+
+  /** DuckDB twin of [[multimodalVideo]]: one row per (doc, frame) from
+    * a bounded range() grid, checksum = Σ [[pixelValue]] with the
+    * frame-shifted pseudo-document id. */
+  val multimodalVideoSql: String =
+    s"""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+       |dims AS (SELECT doc_id,
+       |                CAST(1 + n % $DimMod AS BIGINT) AS w,
+       |                CAST(1 + (n // 7) % $DimMod AS BIGINT) AS h,
+       |                CAST(1 + n % $VideoMaxFrames AS BIGINT) AS nf
+       |         FROM d),
+       |fr AS (SELECT doc_id, w, h, CAST(f.range AS BIGINT) AS frame_no,
+       |              doc_id * 131 + f.range AS fid
+       |       FROM dims, range($VideoMaxFrames) f
+       |       WHERE f.range < nf),
+       |px AS (SELECT doc_id, frame_no,
+       |         CAST(SUM((fid*7 + x.range*3 + y.range*5) % 256
+       |                + (fid*7 + x.range*3 + y.range*5 + 11) % 256
+       |                + (fid*7 + x.range*3 + y.range*5 + 22) % 256) AS BIGINT) AS pixel_sum
+       |       FROM fr, range($DimMod) x, range($DimMod) y
+       |       WHERE x.range < w AND y.range < h
+       |       GROUP BY doc_id, frame_no)
+       |SELECT fr.doc_id, fr.frame_no, fr.w AS width, fr.h AS height, px.pixel_sum
+       |FROM fr JOIN px USING (doc_id, frame_no)
+       |ORDER BY fr.doc_id ASC, fr.frame_no ASC""".stripMargin
+
   // ——————————————————————— audio (WAV) ———————————————————————
   // The second modality a training pipeline carries, built exactly like
   // the PNG path: payloads synthesized from a deterministic sample

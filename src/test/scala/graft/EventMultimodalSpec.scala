@@ -167,6 +167,30 @@ class EventMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video container: real per-frame PNG roundtrip; malformed containers rejected") {
+    val good = Multimodal.renderVideo(5L, 3, 6, 4)
+    val frames = Multimodal.decodeVideo(good).get
+    assert(frames.length == 3)
+    frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.getWidth == 6 && img.getHeight == 4)
+      var expect = 0L
+      val fid = Multimodal.videoFrameId(5L, f)
+      for (y <- 0 until 4; x <- 0 until 6; c <- 0 until 3)
+        expect += Multimodal.pixelValue(fid, x, y, c)
+      assert(Multimodal.rgbSum(img) == expect, s"frame $f raster diverged")
+    }
+    // malformed: wrong magic, truncated mid-frame, one corrupt frame
+    assert(Multimodal.decodeVideo("XVID1234".getBytes).isEmpty)
+    assert(Multimodal.decodeVideo(good.take(10)).isEmpty)
+    // offset 12 = first byte of frame 0's PNG signature (magic 4 +
+    // frame count 4 + length 4); breaking it makes that frame
+    // unreadable while the container header stays valid
+    val corrupt = good.clone(); corrupt(12) = 99
+    assert(Multimodal.decodeVideo(corrupt).isEmpty,
+      "a bad frame must reject the whole document, not half-decode")
+    assert(Multimodal.decodeVideo(Array.empty[Byte]).isEmpty)
+  }
+
   test("malformed wav payloads are rejected; valid ones survive the same batch") {
     val goodWav = Multimodal.renderWav(1L, 16, 8000)
     assert(Multimodal.decodeWav(goodWav).isDefined)

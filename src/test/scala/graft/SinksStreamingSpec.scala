@@ -166,6 +166,21 @@ class SinksStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("trailing anomaly ratio over STREAM-landed hourly counts equals the batch query") {
+    val dir = Files.createTempDirectory("graft_trailstream").toString
+    Files.copy(java.nio.file.Path.of(s"$sf/events.parquet"),
+      java.nio.file.Path.of(dir, "events.parquet"))
+    val q = EventStream.hourlyCounts(EventStream.readEventsStream(spark, dir))
+      .writeStream.format("memory").queryName("trail_stream_test").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    // continuous-land / periodic-tail: the same window tail the batch
+    // query uses, run over the stream-accumulated hourly table
+    val streamed = graft.operators.EventOps
+      .trailingRatioFromHourly(spark.table("trail_stream_test")).collect()
+    val batch = graft.operators.EventOps.trailingEventRatio(spark, sf).collect()
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("streaming ingest-dedup drops redelivered events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
