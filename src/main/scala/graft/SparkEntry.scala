@@ -270,11 +270,18 @@ object SparkEntry {
     "revenue_mom_growth"  -> ((s, dir) => AnalyticsExt.revenueMomGrowth(s, dir)),
     "quality_quartiles"   -> ((s, dir) => TextAnalysis.qualityQuartiles(s, dir)),
     "text_redact"         -> ((s, dir) => TextAnalysis.textRedact(s, dir)),
+    "quality_quantiles_grid" -> ((s, dir) => TextAnalysis.qualityQuantilesGrid(s, dir)),
     "sql_grouping_sets"   -> ((s, dir) => {
       graft.sources.Tables.ensureViews(s, dir); s.sql(AnalyticsExt.groupingSetsPricingSql)
     }),
     "sql_q5"              -> ((s, dir) => {
       graft.sources.Tables.ensureViews(s, dir); s.sql(AnalyticsExt.q5LocalSupplierVolumeSql)
+    }),
+    "sql_q7"              -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(AnalyticsExt.q7VolumeShippingSql)
+    }),
+    "sql_q10"             -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(AnalyticsExt.q10ReturnedItemsSql())
     }),
     "intersect_suppliers" -> ((s, dir) => AnalyticsExt.intersectSuppliers(s, dir)),
     "sql_cube_pricing"    -> ((s, dir) => {
@@ -417,11 +424,14 @@ object SparkEntry {
     "revenue_mom_growth"  -> AnalyticsExt.revenueMomGrowthSql,
     "quality_quartiles"   -> TextAnalysis.qualityQuartilesSql,
     "text_redact"         -> TextAnalysis.textRedactSql,
+    "quality_quantiles_grid" -> TextAnalysis.qualityQuantilesGridSql,
     "events_trailing"     -> EventOps.trailingEventRatioSql,
     "sql_quartiles"       -> TextAnalysis.qualityQuartilesSql,
     "sql_redact"          -> TextAnalysis.textRedactSql,
     "sql_grouping_sets"   -> AnalyticsExt.groupingSetsPricingSql,
     "sql_q5"              -> AnalyticsExt.q5LocalSupplierVolumeSql,
+    "sql_q7"              -> AnalyticsExt.q7VolumeShippingSql,
+    "sql_q10"             -> AnalyticsExt.q10ReturnedItemsSql(),
     "intersect_suppliers" -> AnalyticsExt.intersectSuppliersSql,
     "sql_cube_pricing"    -> AnalyticsExt.cubePricingSql,
     "sql_intersect_suppliers" -> AnalyticsExt.intersectSuppliersSql,

@@ -134,14 +134,25 @@ object AnalyticsExt {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** Oracle: explicit [[ExactQuantiles]] replay rather than DuckDB's
+    * `median` — same rationale as `sourceProfileSql`. */
   val medianQuantitySql: String =
-    """SELECT l_returnflag,
-      |       median(l_quantity) AS median_qty,
-      |       COUNT(*) AS n
-      |FROM lineitem
-      |WHERE l_quantity IS NOT NULL
-      |GROUP BY l_returnflag
-      |ORDER BY l_returnflag ASC""".stripMargin
+    s"""WITH r AS (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+       |           FROM lineitem WHERE l_quantity IS NOT NULL
+       |           GROUP BY l_returnflag, l_quantity),
+       |w AS (SELECT l_returnflag, l_quantity, cnt,
+       |             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC
+       |                            ROWS UNBOUNDED PRECEDING) AS cum,
+       |             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+       |      FROM r),
+       |agg AS (SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+       |               ${ExactQuantiles.replaySelectSql("0.5", "med", "l_quantity")}
+       |        FROM w GROUP BY l_returnflag)
+       |SELECT l_returnflag,
+       |       ${ExactQuantiles.replayInterpSql("med")} AS median_qty,
+       |       n
+       |FROM agg
+       |ORDER BY l_returnflag ASC""".stripMargin
 
   /** Calendar aggregation: exact monthly revenue — date_trunc on both
     * engines, month boundaries identical in UTC. */

@@ -35,6 +35,26 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantiles {
 
+  /** SQL (DuckDB-oracle) replay of the same selection: the three
+    * aggregates — bracketing values by rank containment plus the
+    * fractional position — over a `w` relation exposing (groupCols,
+    * `valueCol`, cnt, cum, n). Oracles use this instead of DuckDB's
+    * `quantile_cont`, whose internal interpolation order differs from
+    * the lo + frac·(hi−lo) tree in the last ulp on some inputs. */
+  def replaySelectSql(q: String, tag: String, valueCol: String): String =
+    s"""MAX(CASE WHEN cum - cnt < CAST(floor($q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+       |           AND CAST(floor($q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 <= cum
+       |         THEN $valueCol END) AS lo_$tag,
+       |MAX(CASE WHEN cum - cnt < least(CAST(floor($q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 2, n)
+       |           AND least(CAST(floor($q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 2, n) <= cum
+       |         THEN $valueCol END) AS hi_$tag,
+       |MAX($q * CAST(n - 1 AS DOUBLE) - floor($q * CAST(n - 1 AS DOUBLE))) AS frac_$tag""".stripMargin
+
+  /** The matching interpolation expression over [[replaySelectSql]]'s
+    * output columns — the identical IEEE tree [[fromHistogram]] emits. */
+  def replayInterpSql(tag: String): String =
+    s"(CAST(lo_$tag AS DOUBLE) + frac_$tag * (CAST(hi_$tag AS DOUBLE) - CAST(lo_$tag AS DOUBLE)))"
+
   /** Append one exact-quantile column per `(name, q)` to a per-group
     * aggregate of `hist`, a (groupCols ⊎ other, valueCol, cntCol)
     * histogram. `extraAggs` are ordinary aggregate columns evaluated in

@@ -445,6 +445,25 @@ object Similarity {
   def ivfTrainedTopK(spark: SparkSession, sfDir: String): DataFrame =
     ivfSearchWith(spark, sfDir, trainedCentroids(spark, sfDir))
 
+  /** Persist the trained coarse quantizer — the model-store half of a
+    * serving deployment: train once, write the k-row centroid frame as
+    * zstd parquet, and any later session serves from the artifact
+    * without retraining (or even seeing the training corpus). The
+    * k-means is deterministic, so the artifact is reproducible and a
+    * retrain writes bit-identical centroids. */
+  def saveTrainedIndex(spark: SparkSession, sfDir: String, outDir: String): Unit =
+    Tables.writeParquetZstd(
+      trainedCentroids(spark, sfDir).select(col("cid"), col("cq"), col("cn2")), outDir)
+
+  /** Load a persisted quantizer for serving. */
+  def loadTrainedIndex(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(indexDir).select(col("cid"), col("cq"), col("cn2"))
+
+  /** IVF search against a PERSISTED index — [[ivfTrainedTopK]] with the
+    * training replaced by an artifact load; identical plan otherwise. */
+  def ivfTopKFromIndex(spark: SparkSession, sfDir: String, indexDir: String): DataFrame =
+    ivfSearchWith(spark, sfDir, loadTrainedIndex(spark, indexDir))
+
   /** The trained coarse quantizer inlined as a PLAN LITERAL — the form
     * a streaming serving job wants: k = [[TrainedK]] rows collected
     * once per session (driver-side, bounded by k like the vocabTerms

@@ -68,19 +68,34 @@ object TextAnalysis {
       .orderBy(col("source").asc)
   }
 
+  /** Oracle: replays the [[ExactQuantiles]] selection + interpolation
+    * explicitly (see [[ExactQuantiles.replaySelectSql]]) — DuckDB's
+    * median/quantile_cont agree on this fixture but their interpolation
+    * tree is not guaranteed ulp-identical in general. */
   val sourceProfileSql: String =
-    """WITH t AS (SELECT source, lang,
-      |                  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
-      |           FROM documents)
-      |SELECT source,
-      |       COUNT(*) AS n_docs,
-      |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-      |       median(n_tok) AS median_tokens,
-      |       quantile_cont(n_tok, 0.9) AS p90_tokens,
-      |       COUNT(DISTINCT lang) AS n_langs
-      |FROM t
-      |GROUP BY source
-      |ORDER BY source ASC""".stripMargin
+    s"""WITH t AS (SELECT source, lang,
+       |                  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+       |           FROM documents),
+       |r AS (SELECT source, n_tok, COUNT(*) AS cnt FROM t GROUP BY source, n_tok),
+       |w AS (SELECT source, n_tok, cnt,
+       |             SUM(cnt) OVER (PARTITION BY source ORDER BY n_tok ASC
+       |                            ROWS UNBOUNDED PRECEDING) AS cum,
+       |             SUM(cnt) OVER (PARTITION BY source) AS n
+       |      FROM r),
+       |agg AS (SELECT source,
+       |               ${ExactQuantiles.replaySelectSql("0.5", "med", "n_tok")},
+       |               ${ExactQuantiles.replaySelectSql("0.9", "p90", "n_tok")}
+       |        FROM w GROUP BY source),
+       |s AS (SELECT source, COUNT(*) AS n_docs,
+       |             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |             COUNT(DISTINCT lang) AS n_langs
+       |      FROM t GROUP BY source)
+       |SELECT s.source, s.n_docs, s.total_tokens,
+       |       ${ExactQuantiles.replayInterpSql("med")} AS median_tokens,
+       |       ${ExactQuantiles.replayInterpSql("p90")} AS p90_tokens,
+       |       s.n_langs
+       |FROM s JOIN agg USING (source)
+       |ORDER BY s.source ASC""".stripMargin
 
   val textStatsSql: String =
     """SELECT lang,
@@ -228,6 +243,65 @@ object TextAnalysis {
        |                      ORDER BY q.quality DESC, q.doc_id ASC) AS quartile
        |FROM q JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
        |ORDER BY q.doc_id ASC""".stripMargin
+
+  /** Grid resolution for continuous-domain quantiles: quality scores
+    * bin to 1/10000ths. */
+  val QualityGridScale = 10000.0
+
+  /** Quantiles over a CONTINUOUS domain (double quality scores) at
+    * scale: the value is binned to a fixed integer grid
+    * (floor(q·10000)) and the exact histogram machinery
+    * ([[ExactQuantiles]]) runs on the bins — per-group state is
+    * O(grid) regardless of corpus size, the deterministic analogue of
+    * a KLL/t-digest sketch (those trade determinism for adaptivity;
+    * a fixed grid keeps the DuckDB oracle exact). Reported quantiles
+    * are grid-resolution approximations of the true ones, off by at
+    * most one bin width — documented, bounded, and hash-verified. */
+  def qualityQuantilesGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, quality) = qualityCols(col("text"))
+    val hist = docs(spark, sfDir)
+      .where(col("text").isNotNull)
+      .select(col("source"),
+        floor(quality * QualityGridScale).cast("long").as("qbin"))
+      .groupBy(col("source"), col("qbin"))
+      .agg(count(lit(1)).as("cnt"))
+    ExactQuantiles.fromHistogram(hist, Seq("source"), "qbin", "cnt",
+        Seq("p50_bin" -> 0.5, "p90_bin" -> 0.9),
+        extraAggs = Seq(sum(col("cnt")).as("n_docs")))
+      .select(col("source"), col("n_docs"),
+        (col("p50_bin") / QualityGridScale).as("p50_quality"),
+        (col("p90_bin") / QualityGridScale).as("p90_quality"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Oracle: replays the [[ExactQuantiles]] type-7 arithmetic
+    * EXPLICITLY (rank containment + pos = q·(n−1) + the same
+    * lo + frac·(hi−lo) IEEE tree) rather than DuckDB's quantile_cont,
+    * whose internal interpolation order differs in the last ulp on
+    * some inputs — the KMV-oracle replay precedent. */
+  val qualityQuantilesGridSql: String = {
+    def at(q: String, tag: String) = ExactQuantiles.replaySelectSql(q, tag, "qbin")
+    def interp(tag: String) = ExactQuantiles.replayInterpSql(tag)
+    s"""WITH q AS (${qualityScoreSqlFrom("documents")}),
+       |b AS (SELECT d.source, CAST(floor(q.quality * $QualityGridScale) AS BIGINT) AS qbin
+       |      FROM q JOIN documents d USING (doc_id)
+       |      WHERE d.text IS NOT NULL),
+       |r AS (SELECT source, qbin, COUNT(*) AS cnt FROM b GROUP BY source, qbin),
+       |w AS (SELECT source, qbin, cnt,
+       |             SUM(cnt) OVER (PARTITION BY source ORDER BY qbin ASC
+       |                            ROWS UNBOUNDED PRECEDING) AS cum,
+       |             SUM(cnt) OVER (PARTITION BY source) AS n
+       |      FROM r),
+       |agg AS (SELECT source, MAX(n) AS n_docs,
+       |               ${at("0.5", "p50")},
+       |               ${at("0.9", "p90")}
+       |        FROM w GROUP BY source)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |       ${interp("p50")} / $QualityGridScale AS p50_quality,
+       |       ${interp("p90")} / $QualityGridScale AS p90_quality
+       |FROM agg
+       |ORDER BY source ASC""".stripMargin
+  }
 
   /** Email pattern shared by both engines — plain character classes and
     * a bounded quantifier, semantics identical under Java regex and

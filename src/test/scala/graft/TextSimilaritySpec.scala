@@ -241,6 +241,18 @@ class TextSimilaritySpec extends SparkSpec {
     assert(cent.queryExecution.analyzed.collectLeaves().size <= 2)
   }
 
+  test("persisted trained index serves identically to the in-session memo") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString + "/idx"
+    Similarity.saveTrainedIndex(spark, sf, dir)
+    // the artifact really is the quantizer: same k rows, and serving
+    // from the load is bit-identical to serving from the session memo
+    assert(Similarity.loadTrainedIndex(spark, dir).count() == Similarity.TrainedK)
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, sf, dir).collect()
+    val fromMemo = Similarity.ivfTrainedTopK(spark, sf).collect()
+    assert(fromIndex.sameElements(fromMemo))
+  }
+
   test("ANN top-K is a subset of the corpus ranked no better than brute force") {
     val brute = Similarity.cosineTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
     val ann = Similarity.annTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
