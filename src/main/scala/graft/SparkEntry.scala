@@ -64,6 +64,7 @@ object SparkEntry {
     "knn_label"           -> ((s, dir) => Similarity.knnLabel(s, dir)),
     "knn_label_ivf"       -> ((s, dir) => Similarity.knnLabelIvf(s, dir)),
     "cell_quality"        -> ((s, dir) => Similarity.cellQualityReport(s, dir)),
+    "ivf_index_incr"      -> ((s, dir) => Similarity.knnCellIndexIncremental(s, dir)),
     "events_hourly"       -> ((s, dir) => EventOps.hourlyEventCounts(s, dir)),
     "events_sliding"      -> ((s, dir) => EventOps.slidingEventCounts(s, dir)),
     "events_sessions"     -> ((s, dir) => EventOps.sessionize(s, dir)),
@@ -425,6 +426,7 @@ object SparkEntry {
     "quality_quartiles"   -> TextAnalysis.qualityQuartilesSql,
     "text_redact"         -> TextAnalysis.textRedactSql,
     "quality_quantiles_grid" -> TextAnalysis.qualityQuantilesGridSql,
+    "ivf_index_incr"      -> Similarity.knnCellIndexIncrementalSql,
     "events_trailing"     -> EventOps.trailingEventRatioSql,
     "sql_quartiles"       -> TextAnalysis.qualityQuartilesSql,
     "sql_redact"          -> TextAnalysis.textRedactSql,

@@ -501,6 +501,58 @@ object Similarity {
           .as("members"))
     }
 
+  /** Incremental posting-list maintenance — how the serving index of
+    * [[knnCellIndex]] grows with the corpus WITHOUT rebuilding: newly
+    * ingested reference vectors (the `vec_id % 10 = 0` delta, the same
+    * placeholder predicate as the incremental dedup family) are
+    * assigned to their trained cell by the zero-exchange broadcast fold
+    * and merged into the stored lists with one cells-keyed full-outer
+    * join — cost proportional to the DELTA plus a |cells|-sized merge,
+    * never a corpus re-assignment. Valid because cell assignment is a
+    * pure per-vector function of the (frozen) centroids: incremental
+    * and full builds MUST agree, and the oracle enforces exactly that —
+    * it replays the full training + assignment over the whole corpus
+    * and compares per-cell membership counts and id sums, so a merge
+    * bug (dropped delta, double-added vector, wrong cell) mismatches.
+    * Emits per-cell (n_members, sum of member ids) off the genuinely
+    * merged ARRAY index, not side-stats. */
+  def knnCellIndexIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = corpus(spark, sfDir)
+    val centArr = centroidArray(trainedCentroids(spark, sfDir))
+    def assignedLists(refs: DataFrame): DataFrame = refs
+      .join(broadcast(centArr))
+      .select(col("vec_id"), nearestCid(col("cents"), col("q"), col("n2")).as("cid"))
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("members"))
+    val refs = emb.where(col("vec_id") % KnnQueryMod =!= 0 && col("n2") > 0)
+    val base = assignedLists(refs.where(col("vec_id") % 10 =!= 0))
+    val delta = assignedLists(refs.where(col("vec_id") % 10 === 0))
+    base.select(col("cid"), col("members").as("base_m"))
+      .join(delta.select(col("cid"), col("members").as("delta_m")), Seq("cid"), "full_outer")
+      .select(col("cid"),
+        concat(coalesce(col("base_m"), array().cast("array<bigint>")),
+          coalesce(col("delta_m"), array().cast("array<bigint>"))).as("members"))
+      .select(col("cid"),
+        size(col("members")).cast("long").as("n_members"),
+        aggregate(col("members"), lit(0L), (acc, x) => acc + x).as("sum_vec_ids"))
+      .orderBy(col("cid").asc)
+  }
+
+  /** Oracle: the FULL assignment (replayed training + every reference
+    * assigned from scratch) aggregated per cell — the invariant the
+    * incremental merge must preserve. */
+  // lazy: KnnQueryMod is declared later in this object, and a strict
+  // val here would interpolate its pre-init 0 (the % 0 trap)
+  lazy val knnCellIndexIncrementalSql: String =
+    s"""WITH $corpusSql,
+       |$trainedCellsSql
+       |SELECT cid, COUNT(*) AS n_members,
+       |       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids
+       |FROM cells
+       |WHERE vec_id % $KnnQueryMod <> 0 AND n2 > 0
+       |GROUP BY cid
+       |ORDER BY cid ASC""".stripMargin
+
   /** Cosine above this marks a vector as a semantic duplicate of an
     * earlier same-cell vector. */
   val SemDedupTau = 0.8
