@@ -379,7 +379,7 @@ object Multimodal {
   // slip, dropped frames) hash-mismatches rather than hiding.
 
   /** One decoded-audio row: real WAV decode of a generated payload. */
-  case class AudioMeta(doc_id: Long, source: String, n_bytes: Long,
+  case class AudioMeta(doc_id: Long, source: String,
                        sample_rate: Long, n_samples: Long, duration_us: Long,
                        peak_abs: Long, sum_abs: Long, sum_sq: Long)
 
@@ -450,26 +450,42 @@ object Multimodal {
     * from [[sampleValue]]/[[audioDims]] arithmetic alone. RMS and dBFS
     * are one IEEE sqrt/log away from (sum_sq, n_samples); the report
     * keeps the exact integers so the hash compare stays bit-stable. */
+  /** Signal stats of a decoded clip. The sample loop reads 16-bit
+    * signed little-endian mono; [[decodeWav]] accepts anything an
+    * installed reader claims (AIFF is big-endian, WAV can be 8-bit or
+    * stereo), so any other parsed format is REJECTED like a malformed
+    * payload (P4) rather than silently misread or walked past the
+    * array bounds. Returns (rate, n_samples, peak, sum_abs, sum_sq). */
+  def pcmStats(fmt: javax.sound.sampled.AudioFormat,
+               pcm: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    val pcm16leMono =
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian
+    if (!pcm16leMono) None
+    else {
+      val nSamples = pcm.length / fmt.getFrameSize
+      var (peak, sumAbs, sumSq) = (0L, 0L, 0L)
+      var i = 0
+      while (i < nSamples) {
+        val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong
+        val a = math.abs(s)
+        peak = math.max(peak, a); sumAbs += a; sumSq += s * s
+        i += 1
+      }
+      Some((fmt.getSampleRate.toLong, nSamples.toLong, peak, sumAbs, sumSq))
+    }
+  }
+
   def multimodalAudio(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     wavPayloads(spark, sfDir).mapPartitions(_.flatMap { m =>
-      decodeWav(m.payload).map { case (fmt, pcm) =>
-        val nSamples = pcm.length / fmt.getFrameSize
-        var (peak, sumAbs, sumSq) = (0L, 0L, 0L)
-        var i = 0
-        while (i < nSamples) {
-          // little-endian 16-bit signed, as the header declares
-          val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong
-          val a = math.abs(s)
-          peak = math.max(peak, a); sumAbs += a; sumSq += s * s
-          i += 1
+      decodeWav(m.payload).flatMap { case (fmt, pcm) =>
+        pcmStats(fmt, pcm).map { case (rate, n, peak, sumAbs, sumSq) =>
+          AudioMeta(m.doc_id, m.source,
+            rate, n, n * 1000000L / rate, peak, sumAbs, sumSq)
         }
-        val rate = fmt.getSampleRate.toLong
-        AudioMeta(m.doc_id, m.source, m.payload.length.toLong,
-          rate, nSamples.toLong, nSamples.toLong * 1000000L / rate,
-          peak, sumAbs, sumSq)
       }
-    }).toDF().drop("n_bytes").orderBy(col("doc_id").asc)
+    }).toDF().orderBy(col("doc_id").asc)
   }
 
   /** DuckDB twin of [[multimodalAudio]]: sample count and rate from

@@ -53,6 +53,11 @@ object TextAnalysis {
     * O(distinct lengths) aggregation state, not an executor OOM. */
   def sourceProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val hist = docs(spark, sfDir)
+      // null-text docs produce a NULL length, which the replaced
+      // median/percentile aggregates silently SKIPPED but a histogram
+      // row would COUNT (and Spark/DuckDB order NULLs opposite ways in
+      // the cumulative window) — filter them on both engines instead
+      .where(col("text").isNotNull)
       .select(col("source"), col("lang"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy(col("source"), col("lang"), col("n_tok"))
@@ -75,7 +80,8 @@ object TextAnalysis {
   val sourceProfileSql: String =
     s"""WITH t AS (SELECT source, lang,
        |                  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
-       |           FROM documents),
+       |           FROM documents
+       |           WHERE text IS NOT NULL),
        |r AS (SELECT source, n_tok, COUNT(*) AS cnt FROM t GROUP BY source, n_tok),
        |w AS (SELECT source, n_tok, cnt,
        |             SUM(cnt) OVER (PARTITION BY source ORDER BY n_tok ASC

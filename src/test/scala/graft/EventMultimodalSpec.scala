@@ -199,6 +199,14 @@ class EventMultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(Array.empty[Byte]).isEmpty, "empty")
     // a PNG is not audio: the reader must refuse it, not misparse it
     assert(Multimodal.decodeWav(Multimodal.renderPng(1L, 4, 4)).isEmpty)
+    // a format the stats loop cannot read (8-bit, stereo, big-endian)
+    // is rejected, not misinterpreted or walked out of bounds
+    import javax.sound.sampled.AudioFormat
+    val pcm = Array[Byte](1, 2, 3, 4)
+    assert(Multimodal.pcmStats(new AudioFormat(8000f, 8, 1, true, false), pcm).isEmpty)
+    assert(Multimodal.pcmStats(new AudioFormat(8000f, 16, 2, true, false), pcm).isEmpty)
+    assert(Multimodal.pcmStats(new AudioFormat(8000f, 16, 1, true, true), pcm).isEmpty)
+    assert(Multimodal.pcmStats(new AudioFormat(8000f, 16, 1, true, false), pcm).isDefined)
   }
 
   test("resize: bounded dims, exact nearest-neighbor mapping, identity under bound") {
