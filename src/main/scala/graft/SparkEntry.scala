@@ -86,6 +86,7 @@ object SparkEntry {
     "corpus_manifest"     -> ((s, dir) => Curation.corpusManifest(s, dir)),
     "bloom_semi_join"     -> ((s, dir) => BloomJoin.bloomSemiJoinVolume(s, dir)),
     "pack_sequences"      -> ((s, dir) => Packing.packSequences(s, dir)),
+    "pack_length_buckets" -> ((s, dir) => Packing.lengthBuckets(s, dir)),
     "eval_overlap"        -> ((s, dir) => Decontamination.evalOverlap(s, dir)),
     "curate_filter"       -> ((s, dir) => graft.streaming.DocStream
       .curateStream(graft.sources.Tables.documents(s, dir)).orderBy("doc_id")),
@@ -427,6 +428,7 @@ object SparkEntry {
     "text_redact"         -> TextAnalysis.textRedactSql,
     "quality_quantiles_grid" -> TextAnalysis.qualityQuantilesGridSql,
     "ivf_index_incr"      -> Similarity.knnCellIndexIncrementalSql,
+    "pack_length_buckets" -> Packing.lengthBucketsSql,
     "events_trailing"     -> EventOps.trailingEventRatioSql,
     "sql_quartiles"       -> TextAnalysis.qualityQuartilesSql,
     "sql_redact"          -> TextAnalysis.textRedactSql,

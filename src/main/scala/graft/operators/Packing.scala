@@ -75,4 +75,51 @@ object Packing {
        |FROM c
        |GROUP BY lang, shard, seq_id
        |ORDER BY lang ASC, shard ASC, seq_id ASC""".stripMargin
+
+  /** Length bucket width for [[lengthBuckets]]. */
+  val BucketWidth = 64L
+
+  /** Length-bucketed batching report — the OTHER way training/inference
+    * jobs fight padding waste (packing concatenates; bucketing groups
+    * similar lengths and pads to the bucket ceiling): documents bucket
+    * to ⌈n_toks/64⌉·64 and each bucket reports its doc count, real
+    * tokens, padded tokens, and exact waste fraction (integer
+    * arithmetic, ONE IEEE division). Zero-token docs land in a
+    * zero-width bucket with zero padded tokens (0/0 guarded to 0).
+    * Scale: one projection + one aggregation keyed by the bucket id —
+    * the same single-shuffle shape as every stats query here. */
+  def lengthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val nToks = size(TextOps.tokens(col("text"))).cast("long")
+    Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull)
+      // Column./ is FLOAT division — floor + cast makes the ceiling
+      // arithmetic integer-exact (token counts are far below 2^53)
+      .select((floor((nToks + BucketWidth - 1) / BucketWidth).cast("long") * BucketWidth)
+          .as("bucket"),
+        nToks.as("n_toks"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("real_tokens"),
+        (count(lit(1)) * col("bucket")).as("padded_tokens"))
+      .select(col("bucket"), col("n_docs"), col("real_tokens"), col("padded_tokens"),
+        when(col("padded_tokens") > 0,
+          lit(1.0) - col("real_tokens").cast("double") / col("padded_tokens"))
+          .otherwise(lit(0.0)).as("waste_frac"))
+      .orderBy(col("bucket").asc)
+  }
+
+  val lengthBucketsSql: String =
+    s"""WITH d AS (SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks
+       |           FROM documents
+       |           WHERE text IS NOT NULL),
+       |b AS (SELECT ((n_toks + ${BucketWidth - 1}) // $BucketWidth) * $BucketWidth AS bucket, n_toks FROM d)
+       |SELECT bucket, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_toks) AS BIGINT) AS real_tokens,
+       |       CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+       |       CASE WHEN COUNT(*) * bucket > 0
+       |            THEN 1.0 - CAST(SUM(n_toks) AS DOUBLE) / (COUNT(*) * bucket)
+       |            ELSE 0.0 END AS waste_frac
+       |FROM b
+       |GROUP BY bucket
+       |ORDER BY bucket ASC""".stripMargin
 }

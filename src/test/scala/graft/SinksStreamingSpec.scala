@@ -451,6 +451,21 @@ class SinksStreamingSpec extends SparkSpec {
     }, s"expected user 1's first 2-event session to close; got ${sessions.mkString(", ")}")
   }
 
+  test("streaming audio decode matches the oracle-verified batch multimodal_audio") {
+    import graft.streaming.MediaStream
+    import graft.operators.Multimodal
+    // land the generated WAV payloads as a parquet file, replay as a stream
+    val dir = Files.createTempDirectory("graft_mediastream").toString
+    Multimodal.wavPayloads(spark, sf).toDF().write.parquet(s"$dir/in")
+    val q = MediaStream.audioStatsStream(MediaStream.readMediaStream(spark, s"$dir/in"))
+      .writeStream.format("memory").queryName("media_stream_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("media_stream_test").orderBy("doc_id").collect()
+      .map(_.toString).toSeq
+    val batch = Multimodal.multimodalAudio(spark, sf).collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming kNN labeling matches the oracle-verified batch knn_label_ivf") {
     import graft.streaming.EmbedStream
     // file-source replay of the embeddings fixture -> served predictions
