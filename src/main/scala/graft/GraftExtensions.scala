@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AnnBuckets, DotLong}
+import graft.functions.{AnnBuckets, DotLong, TokenCount}
 
 /** Session-extensions installer: makes the library's native expressions
   * available to ANY session (including pure-SQL users) via
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ann_buckets"),
       new ExpressionInfo(classOf[AnnBuckets].getName, "ann_buckets"),
       (exprs: Seq[Expression]) => AnnBuckets(exprs.head, exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction((
+      FunctionIdentifier("token_count"),
+      new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
+      (exprs: Seq[Expression]) => TokenCount(exprs.head)))
   }
 }

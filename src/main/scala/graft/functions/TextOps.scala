@@ -16,6 +16,12 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
+  /** Native zero-allocation count of [[tokens]] — the codegen'd
+    * [[TokenCount]] kernel (callers register it per session; every
+    * TextAnalysis/Packing operator does). Identical value to
+    * `size(tokens(text))`, spec-pinned. */
+  def tokenCount(text: Column): Column = call_function("token_count", text)
+
   /** Canonical text normalization for exact dedup: lowercase, collapse
     * every non-letter/non-digit run to a single space, trim. The classes
     * are Unicode (`\p{L}\p{N}` means the same Letter/Number categories

@@ -39,12 +39,13 @@ object Packing {
     // deployment can size window partitions to its executor count; the
     // oracle pins the default, and Verify refuses an override.
     val numShards = graft.GraftConf.packingShards(spark).toLong
+    graft.functions.TokenCount.register(spark)
     val base = onlyDocs.foldLeft(Tables.documents(spark, sfDir)) {
       (d, ids) => d.join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
     }
     val docs = base
       .select(col("doc_id"), col("lang"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
         (TextOps.hash60(col("doc_id").cast("string")) % numShards).as("shard"))
     val w = Window.partitionBy(col("lang"), col("shard"))
       .orderBy(col("doc_id").asc)
@@ -89,7 +90,8 @@ object Packing {
     * Scale: one projection + one aggregation keyed by the bucket id —
     * the same single-shuffle shape as every stats query here. */
   def lengthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val nToks = size(TextOps.tokens(col("text"))).cast("long")
+    graft.functions.TokenCount.register(spark)
+    val nToks = TextOps.tokenCount(col("text")).cast("long")
     Tables.documents(spark, sfDir)
       .where(col("text").isNotNull)
       // Column./ is FLOAT division — floor + cast makes the ceiling

@@ -19,7 +19,10 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  private def docs(spark: SparkSession, sfDir: String) = Tables.documents(spark, sfDir)
+  private def docs(spark: SparkSession, sfDir: String) = {
+    graft.functions.TokenCount.register(spark)
+    Tables.documents(spark, sfDir)
+  }
 
   /** Per-language corpus statistics: doc count, token totals, exact
     * integer sums with one final IEEE division for the averages (so both
@@ -27,7 +30,7 @@ object TextAnalysis {
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
     docs(spark, sfDir)
       .select(col("lang"), col("source"), col("n_chars"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+        TextOps.tokenCount(col("text")).cast("long").as("n_toks"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -59,7 +62,7 @@ object TextAnalysis {
       // the cumulative window) — filter them on both engines instead
       .where(col("text").isNotNull)
       .select(col("source"), col("lang"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
       .groupBy(col("source"), col("lang"), col("n_tok"))
       .agg(count(lit(1)).as("cnt"))
     ExactQuantiles.fromHistogram(hist, Seq("source"), "n_tok", "cnt",

@@ -100,6 +100,35 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("token_count kernel equals size(tokens) on the fixture, edge cases, and seeded random strings") {
+    import graft.functions.{TextOps, TokenCount}
+    import org.apache.spark.sql.functions.{col, size => asize}
+    TokenCount.register(spark)
+    // whole fixture: zero rows where the kernel and the split/filter form disagree
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(docs.where(col("text").isNotNull)
+      .where(TextOps.tokenCount(col("text")) =!= asize(TextOps.tokens(col("text"))))
+      .count() == 0)
+    // adversarial strings: empties, space runs, multi-byte UTF-8 (no
+    // 0x20 inside a multi-byte sequence), exotic whitespace that is NOT
+    // the separator (tab, NBSP) and must count as token bytes
+    val edge = Seq("", " ", "   ", "a", " a", "a ", " a ", "a b", "a  b",
+      "日本 語 テスト", "héllo wörld ", "a\tb", "a b", "🙂 🙃", "x 🙂x y")
+    import spark.implicits._
+    val df = edge.toDF("text")
+    val bad = df.where(TextOps.tokenCount(col("text")) =!= asize(TextOps.tokens(col("text"))))
+      .collect()
+    assert(bad.isEmpty, s"kernel diverges on: ${bad.map(_.getString(0)).mkString("|")}")
+    // seeded random strings over an alphabet heavy in spaces/multibyte
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab 語é🙂  \t"
+    val fuzz = (1 to 300).map(_ =>
+      (1 to rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val fdf = fuzz.toDF("text")
+    assert(fdf.where(TextOps.tokenCount(col("text")) =!= asize(TextOps.tokens(col("text"))))
+      .count() == 0)
+  }
+
   test("no CartesianProduct in any registered query's physical plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
