@@ -460,7 +460,11 @@ object Multimodal {
                pcm: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
     val pcm16leMono =
       fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian &&
+        // the JDK reader parses a declared rate of 0 (or garbage) without
+        // validation; rejecting it here keeps duration_us = n·10⁶/rate
+        // from dividing by zero and killing the task — P4, not a crash
+        fmt.getSampleRate >= 1f && !fmt.getSampleRate.isInfinite
     if (!pcm16leMono) None
     else {
       val nSamples = pcm.length / fmt.getFrameSize
@@ -476,17 +480,24 @@ object Multimodal {
     }
   }
 
-  def multimodalAudio(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    wavPayloads(spark, sfDir).mapPartitions(_.flatMap { m =>
+  /** The decode-to-stats transform shared by the batch query and the
+    * streaming ingest ([[graft.streaming.MediaStream]]): decode is
+    * per-row pure, so ONE function serves both frame kinds and the
+    * twins cannot drift. */
+  def audioStats(media: Dataset[Media]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
       decodeWav(m.payload).flatMap { case (fmt, pcm) =>
         pcmStats(fmt, pcm).map { case (rate, n, peak, sumAbs, sumSq) =>
           AudioMeta(m.doc_id, m.source,
             rate, n, n * 1000000L / rate, peak, sumAbs, sumSq)
         }
       }
-    }).toDF().orderBy(col("doc_id").asc)
+    })
   }
+
+  def multimodalAudio(spark: SparkSession, sfDir: String): DataFrame =
+    audioStats(wavPayloads(spark, sfDir)).toDF().orderBy(col("doc_id").asc)
 
   /** DuckDB twin of [[multimodalAudio]]: sample count and rate from
     * [[audioDims]], signal stats by summing [[sampleValue]] over a

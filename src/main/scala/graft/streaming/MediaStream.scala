@@ -9,18 +9,12 @@ import graft.operators.Multimodal
   * run continuously as payload files land: stateless iterator
   * `mapPartitions` per micro-batch, one codec call per record,
   * malformed payloads dropped (P4), exactly the batch operators'
-  * shape. Decode is per-row pure, so streamed == batch by
-  * construction; the spec pins it against the oracle-verified
-  * `multimodal_audio` stats anyway (the codec-format guard
-  * `Multimodal.pcmStats` is shared, not re-implemented).
+  * shape. The transform IS the batch one — [[Multimodal.audioStats]]
+  * works on streaming and batch frames alike because decode is
+  * per-row pure — so streamed == batch by construction, and the spec
+  * pins it against the oracle-verified `multimodal_audio` anyway.
   */
 object MediaStream {
-
-  /** One streamed decoded-audio row (the [[Multimodal.AudioMeta]]
-    * stats without the ordering a stream cannot provide). */
-  case class AudioRow(doc_id: Long, source: String,
-                      sample_rate: Long, n_samples: Long, duration_us: Long,
-                      peak_abs: Long, sum_abs: Long, sum_sq: Long)
 
   /** File-source stream over a payload parquet directory
     * (doc_id, source, payload). */
@@ -37,20 +31,14 @@ object MediaStream {
       .parquet(dir)
   }
 
-  /** Decode a WAV payload stream to signal stats — works identically
-    * on streaming and batch frames. */
-  def audioStatsStream(media: DataFrame): Dataset[AudioRow] = {
+  /** Decode a WAV payload stream to signal stats — the shared batch
+    * transform applied to the stream. */
+  def audioStatsStream(media: DataFrame): Dataset[Multimodal.AudioMeta] = {
     import media.sparkSession.implicits._
-    media
-      .where(col("payload").isNotNull)
-      .select(col("doc_id"), col("source"), col("payload"))
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, src, payload) =>
-        Multimodal.decodeWav(payload).flatMap { case (fmt, pcm) =>
-          Multimodal.pcmStats(fmt, pcm).map { case (rate, n, peak, sumAbs, sumSq) =>
-            AudioRow(id, src, rate, n, n * 1000000L / rate, peak, sumAbs, sumSq)
-          }
-        }
-      })
+    Multimodal.audioStats(
+      media
+        .where(col("payload").isNotNull)
+        .select(col("doc_id"), col("source"), col("payload"))
+        .as[Multimodal.Media])
   }
 }
