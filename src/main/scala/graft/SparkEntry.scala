@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, Decontamination, DedupOps, EventOps, Multimodal, Packing, QualityFilters, Quantization, RefQueries, Sharding, Similarity, TextAnalysis}
+import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, Decontamination, DedupOps, EventOps, Multimodal, Packing, QualityFilters, Quantization, RefQueries, Sharding, Similarity, TextAnalysis, TpchExt}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -295,7 +295,39 @@ object SparkEntry {
     "median_quantity"     -> ((s, dir) => AnalyticsExt.medianQuantity(s, dir)),
     "revenue_by_month"    -> ((s, dir) => AnalyticsExt.revenueByMonth(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => AnalyticsExt.q3ShippingPriority(s, dir)),
-    "revenue_cumulative"  -> ((s, dir) => AnalyticsExt.cumulativeRevenue(s, dir))
+    "revenue_cumulative"  -> ((s, dir) => AnalyticsExt.cumulativeRevenue(s, dir)),
+    "q4_order_priority"   -> ((s, dir) => TpchExt.q4OrderPriority(s, dir)),
+    "q6_forecast_revenue" -> ((s, dir) => TpchExt.q6ForecastRevenue(s, dir)),
+    "q12_priority_class"  -> ((s, dir) => TpchExt.q12PriorityClass(s, dir)),
+    "q14_promo_revenue"   -> ((s, dir) => TpchExt.q14PromoRevenue(s, dir)),
+    "q16_supplier_count"  -> ((s, dir) => TpchExt.q16SupplierCount(s, dir)),
+    "q18_large_orders"    -> ((s, dir) => TpchExt.q18LargeOrders(s, dir)),
+    "q19_disjunctive_revenue" -> ((s, dir) => TpchExt.q19DisjunctiveRevenue(s, dir)),
+    "q22_dormant_customers" -> ((s, dir) => TpchExt.q22DormantCustomers(s, dir)),
+    "sql_q4"              -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchExt.q4OrderPrioritySql)
+    }),
+    "sql_q6"              -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchExt.q6ForecastRevenueSql)
+    }),
+    "sql_q12"             -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchExt.q12PriorityClassSql)
+    }),
+    "sql_q14"             -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchExt.q14PromoRevenueSql)
+    }),
+    "sql_q16"             -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchExt.q16SupplierCountSql)
+    }),
+    "sql_q18"             -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchExt.q18LargeOrdersSql())
+    }),
+    "sql_q19"             -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchExt.q19DisjunctiveRevenueSql)
+    }),
+    "sql_q22"             -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchExt.q22DormantCustomersSql)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -442,6 +474,22 @@ object SparkEntry {
     "median_quantity"     -> AnalyticsExt.medianQuantitySql,
     "revenue_by_month"    -> AnalyticsExt.revenueByMonthSql,
     "q3_shipping_priority" -> AnalyticsExt.q3ShippingPrioritySql(),
-    "revenue_cumulative"  -> AnalyticsExt.cumulativeRevenueSql
+    "revenue_cumulative"  -> AnalyticsExt.cumulativeRevenueSql,
+    "q4_order_priority"   -> TpchExt.q4OrderPrioritySql,
+    "q6_forecast_revenue" -> TpchExt.q6ForecastRevenueSql,
+    "q12_priority_class"  -> TpchExt.q12PriorityClassSql,
+    "q14_promo_revenue"   -> TpchExt.q14PromoRevenueSql,
+    "q16_supplier_count"  -> TpchExt.q16SupplierCountSql,
+    "q18_large_orders"    -> TpchExt.q18LargeOrdersSql(),
+    "q19_disjunctive_revenue" -> TpchExt.q19DisjunctiveRevenueSql,
+    "q22_dormant_customers" -> TpchExt.q22DormantCustomersSql,
+    "sql_q4"              -> TpchExt.q4OrderPrioritySql,
+    "sql_q6"              -> TpchExt.q6ForecastRevenueSql,
+    "sql_q12"             -> TpchExt.q12PriorityClassSql,
+    "sql_q14"             -> TpchExt.q14PromoRevenueSql,
+    "sql_q16"             -> TpchExt.q16SupplierCountSql,
+    "sql_q18"             -> TpchExt.q18LargeOrdersSql(),
+    "sql_q19"             -> TpchExt.q19DisjunctiveRevenueSql,
+    "sql_q22"             -> TpchExt.q22DormantCustomersSql
   )
 }
