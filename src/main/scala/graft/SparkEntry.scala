@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, Decontamination, DedupOps, EventOps, Multimodal, Packing, QualityFilters, Quantization, RefQueries, Sharding, Similarity, TextAnalysis, TpchExt}
+import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, Decontamination, DedupOps, EventOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Sharding, Similarity, TextAnalysis, TpchExt}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -327,6 +327,22 @@ object SparkEntry {
     }),
     "sql_q22"             -> ((s, dir) => {
       graft.sources.Tables.ensureViews(s, dir); s.sql(TpchExt.q22DormantCustomersSql)
+    }),
+    "supplier_rank_pct"   -> ((s, dir) => RankSetOps.supplierRankPct(s, dir)),
+    "except_all_shipments" -> ((s, dir) => RankSetOps.exceptAllShipments(s, dir)),
+    "intersect_all_shipments" -> ((s, dir) => RankSetOps.intersectAllShipments(s, dir)),
+    "pivot_pricing"       -> ((s, dir) => RankSetOps.pivotPricing(s, dir)),
+    "sql_rank_pct"        -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(RankSetOps.supplierRankPctSql)
+    }),
+    "sql_except_all"      -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(RankSetOps.exceptAllShipmentsSql)
+    }),
+    "sql_intersect_all"   -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(RankSetOps.intersectAllShipmentsSql)
+    }),
+    "sql_pivot_pricing"   -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(RankSetOps.pivotPricingSql)
     })
   )
 
@@ -490,6 +506,14 @@ object SparkEntry {
     "sql_q16"             -> TpchExt.q16SupplierCountSql,
     "sql_q18"             -> TpchExt.q18LargeOrdersSql(),
     "sql_q19"             -> TpchExt.q19DisjunctiveRevenueSql,
-    "sql_q22"             -> TpchExt.q22DormantCustomersSql
+    "sql_q22"             -> TpchExt.q22DormantCustomersSql,
+    "supplier_rank_pct"   -> RankSetOps.supplierRankPctSql,
+    "except_all_shipments" -> RankSetOps.exceptAllShipmentsSql,
+    "intersect_all_shipments" -> RankSetOps.intersectAllShipmentsSql,
+    "pivot_pricing"       -> RankSetOps.pivotPricingSql,
+    "sql_rank_pct"        -> RankSetOps.supplierRankPctSql,
+    "sql_except_all"      -> RankSetOps.exceptAllShipmentsSql,
+    "sql_intersect_all"   -> RankSetOps.intersectAllShipmentsSql,
+    "sql_pivot_pricing"   -> RankSetOps.pivotPricingSql
   )
 }
