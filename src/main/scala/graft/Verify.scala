@@ -27,12 +27,18 @@ object Verify {
     // DefaultMinhashBucketCap) both have that property; the simhash hot
     // cap does NOT (retrieval is exact at any cap) and needs no guard.
     // (CurriculumBandsKey is band-invariant — spec-pinned — and needs
-    // no guard, like SimhashHotCapKey.)
+    // no guard, like SimhashHotCapKey.) The reference-parity query
+    // parameters (top-K, date ranges, session gap) are runtime knobs by
+    // design but their oracle SQL bakes the defaults, so they carry the
+    // same false-mismatch property here.
     for (key <- Seq(GraftConf.AnnPlanesKey, GraftConf.MinhashBucketCapKey,
                     GraftConf.PackingShardsKey, GraftConf.ChunkSizeKey,
                     GraftConf.ChunkStrideKey, GraftConf.ExportShardsKey,
                     GraftConf.SemdedupCellCapKey, GraftConf.VocabSizeKey,
-                    GraftConf.KnnKKey))
+                    GraftConf.KnnKKey, GraftConf.TopKKey,
+                    GraftConf.Q1StartKey, GraftConf.Q1EndKey,
+                    GraftConf.Q1cStartKey, GraftConf.Q1cEndKey,
+                    GraftConf.SessionGapKey, GraftConf.GroupTopKKey))
       require(spark.conf.getOption(key).isEmpty,
         s"$key is set; unset it before verifying " +
           "(the oracle SQL pins this knob's default)")

@@ -43,6 +43,13 @@ object RankSetOps {
         col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("s_suppkey"))
       .agg(RefQueries.revenueCentsExact(col("l_extendedprice"), col("l_discount")).as("rc"))
+    rankWindow(rev)
+  }
+
+  /** The window stage alone, over a (n_name, s_suppkey, rc) frame —
+    * split out so the peer/tie semantics are testable on a frame with
+    * KNOWN ties (the fixture's exact revenues rarely collide). */
+  private[graft] def rankWindow(rev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("n_name")).orderBy(col("rc").desc)
     rev.select(col("n_name"), col("s_suppkey"),
         (col("rc").cast("double") / 10000.0).as("revenue"),
@@ -127,8 +134,7 @@ object RankSetOps {
   val pivotPricingSql: String = {
     def arm(flag: String) =
       s"""CAST(SUM(CASE WHEN l_returnflag = '$flag'
-         |         THEN CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
-         |                   (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0))
+         |         THEN ${RefQueries.revenueTermExactSql("l_extendedprice", "l_discount")}
          |         END) AS DOUBLE) / 10000.0 AS $flag""".stripMargin
     s"""SELECT l_linestatus,
        |       ${arm("A")},

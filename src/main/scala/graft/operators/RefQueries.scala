@@ -30,15 +30,27 @@ object RefQueries {
 
   /** price dollars → exact integer cents (data has 2 decimal digits, so
     * the double product is within 1e-9 of an integer — rounding is
-    * unambiguous under any rounding rule). */
-  private def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
+    * unambiguous under any rounding rule). Shared with the other
+    * operator modules so the fixed-point discipline has ONE definition.
+    */
+  private[operators] def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
 
-  /** Exact revenue Σ priceᵢ·(1-discᵢ): integer cents × integer
-    * (100 - discount%), summed exactly in unscaled DECIMAL(38,0)
-    * (overflow-safe at any scale), scaled back by one IEEE division. */
+  /** The per-row exact revenue term priceᵢ·(1-discᵢ) in unscaled
+    * 10⁻⁴-dollar units: integer cents × integer (100 - discount%), cast
+    * to DECIMAL(38,0) so any downstream sum is overflow-safe and
+    * partition-order independent. */
+  def revenueTermExact(price: Column, discount: Column): Column =
+    (cents(price) * (lit(100L) - cents(discount))).cast(DecimalType(38, 0))
+
+  /** SQL twin of [[revenueTermExact]] — identical integer arithmetic. */
+  def revenueTermExactSql(price: String, discount: String): String =
+    s"CAST(CAST(ROUND($price * 100) AS BIGINT) * " +
+      s"(100 - CAST(ROUND($discount * 100) AS BIGINT)) AS DECIMAL(38,0))"
+
+  /** Exact revenue Σ priceᵢ·(1-discᵢ): [[revenueTermExact]] summed
+    * exactly, scaled back by one IEEE division. */
   def revenueExact(price: Column, discount: Column): Column =
-    sum((cents(price) * (lit(100L) - cents(discount))).cast(DecimalType(38, 0)))
-      .cast(DoubleType) / 10000.0
+    sum(revenueTermExact(price, discount)).cast(DoubleType) / 10000.0
 
   /** Exact Σ price with the same fixed-point scheme. */
   def sumMoneyExact(c: Column): Column =
@@ -50,17 +62,15 @@ object RefQueries {
     * at this stage would make downstream window sums depend on the
     * engine's aggregation-tree shape. */
   def revenueCentsExact(price: Column, discount: Column): Column =
-    sum((cents(price) * (lit(100L) - cents(discount))).cast(DecimalType(38, 0)))
+    sum(revenueTermExact(price, discount))
 
   /** SQL twin of [[revenueCentsExact]]. */
   def revenueCentsExactSql(price: String, discount: String): String =
-    s"SUM(CAST(CAST(ROUND($price * 100) AS BIGINT) * " +
-      s"(100 - CAST(ROUND($discount * 100) AS BIGINT)) AS DECIMAL(38,0)))"
+    s"SUM(${revenueTermExactSql(price, discount)})"
 
   /** SQL twin of [[revenueExact]] — identical integer arithmetic. */
   def revenueExactSql(price: String, discount: String): String =
-    s"CAST(SUM(CAST(CAST(ROUND($price * 100) AS BIGINT) * " +
-      s"(100 - CAST(ROUND($discount * 100) AS BIGINT)) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0"
+    s"CAST(${revenueCentsExactSql(price, discount)} AS DOUBLE) / 10000.0"
 
   def sumMoneyExactSql(c: String): String =
     s"CAST(SUM(CAST(CAST(ROUND($c * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0"

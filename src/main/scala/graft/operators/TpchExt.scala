@@ -43,13 +43,7 @@ import graft.sources.Tables
   */
 object TpchExt {
 
-  /** dollars → exact integer cents (fixture money carries exactly 2
-    * decimal digits; see [[RefQueries.revenueExact]]). */
-  private def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
-
-  /** Per-row exact revenue term in unscaled 10⁻⁴-dollar units. */
-  private def revTerm(price: Column, discount: Column): Column =
-    (cents(price) * (lit(100L) - cents(discount))).cast(DecimalType(38, 0))
+  import RefQueries.{cents, revenueTermExact}
 
   // ---------------------------------------------------------------- q4
 
@@ -165,7 +159,7 @@ object TpchExt {
     * the final (num·100)/den — identical expression order on both
     * engines, so correctly-rounded-identical output. */
   def q14PromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
-    val term = revTerm(col("l_extendedprice"), col("l_discount"))
+    val term = revenueTermExact(col("l_extendedprice"), col("l_discount"))
     Tables.lineitem(spark, sfDir)
       .where(col("l_shipdate") >= lit(Q14Month).cast("timestamp") &&
              col("l_shipdate") < lit(Q14MonthEnd).cast("timestamp"))
@@ -182,11 +176,9 @@ object TpchExt {
   val q14PromoRevenueSql: String =
     s"""WITH t AS (
        |  SELECT SUM(CASE WHEN p_type = 'PROMO'
-       |             THEN CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
-       |                       (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0))
+       |             THEN ${RefQueries.revenueTermExactSql("l_extendedprice", "l_discount")}
        |             ELSE CAST(0 AS DECIMAL(38,0)) END) AS num,
-       |         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
-       |                  (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0))) AS den
+       |         ${RefQueries.revenueCentsExactSql("l_extendedprice", "l_discount")} AS den
        |  FROM lineitem, part
        |  WHERE l_partkey = p_partkey
        |    AND l_shipdate >= TIMESTAMP '$Q14Month'
@@ -281,7 +273,7 @@ object TpchExt {
   /** (brand, max size, quantity band) arms of the q19 disjunction —
     * widened vs the official constants so every fixture SF matches. */
   val Q19Arms = Seq(("Brand#12", 15, 1, 15), ("Brand#23", 20, 10, 25),
-    ("Brand#34", 25, 20, 35))
+    ("Brand#24", 25, 20, 35))
 
   /** TPC-H Q19 analog — discounted revenue under a three-arm
     * disjunctive predicate spanning both join sides. Catalyst keeps the

@@ -11,8 +11,11 @@ import graft.sources.Tables
 class RankSetOpsSpec extends SparkSpec {
 
   test("rank_pct: ranking identities hold within every nation") {
-    val rows = RankSetOps.supplierRankPct(spark, sf).collect()
+    // sf0.01 — the sf0.001 fixture has one supplier per nation, which
+    // would make every partition the trivial n=1 case
+    val rows = RankSetOps.supplierRankPct(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
+    assert(rows.groupBy(_.getString(0)).values.exists(_.length > 1))
     rows.groupBy(_.getString(0)).foreach { case (_, g) =>
       val n = g.length
       // revenue ties are peers: same revenue ⇒ same rank/pct/cume
@@ -34,6 +37,22 @@ class RankSetOpsSpec extends SparkSpec {
       val dr = g.map(_.getAs[Long]("drnk")).distinct.sorted
       assert(dr.sameElements(1L to dr.length.toLong))
     }
+  }
+
+  test("rank_pct: known ties are true peers (rank gaps, shared pct/cume, dense gapless)") {
+    import spark.implicits._
+    // one partition, revenues 400, 300, 300, 100 → ranks 1,2,2,4
+    val rev = Seq(("N", 1L, 4000000L), ("N", 2L, 3000000L),
+      ("N", 3L, 3000000L), ("N", 4L, 1000000L))
+      .toDF("n_name", "s_suppkey", "rc")
+    val got = RankSetOps.rankWindow(rev).collect()
+      .map(r => (r.getLong(1), r.getAs[Long]("rnk"), r.getAs[Long]("drnk"),
+        r.getAs[Double]("pct_rank"), r.getAs[Double]("cum_dist")))
+    assert(got.sameElements(Seq(
+      (1L, 1L, 1L, 0.0, 0.25),
+      (2L, 2L, 2L, 1.0 / 3.0, 0.75),
+      (3L, 2L, 2L, 1.0 / 3.0, 0.75),
+      (4L, 4L, 3L, 1.0, 1.0))))
   }
 
   private def monthCounts(range: (String, String)): Map[(Long, String), Long] =

@@ -41,12 +41,17 @@ class TpchExtSpec extends SparkSpec {
     val rows = TpchExt.q12PriorityClass(spark, sf).collect()
     val total = rows.map(r =>
       r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
-    val expected = Tables.lineitem(spark, sf)
+    val joined = Tables.lineitem(spark, sf)
       .where(col("l_shipdate") >= lit(s"${TpchExt.Q12Year}-01-01").cast("timestamp") &&
              col("l_shipdate") < lit(s"${TpchExt.Q12Year + 1}-01-01").cast("timestamp"))
       .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
-      .count()
-    assert(total == expected && rows.forall(_.getAs[Long]("high_line_count") >= 0))
+    assert(total == joined.count())
+    // the split itself, recomputed independently: a wrong priority
+    // constant would dump everything into low and still partition
+    val high = rows.map(_.getAs[Long]("high_line_count")).sum
+    val expectedHigh = joined
+      .where(col("o_orderpriority").isin(TpchExt.Q12HighPriorities: _*)).count()
+    assert(high == expectedHigh && high > 0 && high < total)
   }
 
   test("q14: promo share matches brute-force ratio and sits in (0, 100)") {
@@ -66,16 +71,20 @@ class TpchExtSpec extends SparkSpec {
   }
 
   test("q16: anti-join excludes negative-balance suppliers from every group") {
-    val df = TpchExt.q16SupplierCount(spark, sf)
+    // sf0.01 — the sf0.001 fixture has NO negative-balance supplier, so
+    // the exclusion under test would be vacuous there
+    val dir = "/root/testdata/sf0.01"
+    val df = TpchExt.q16SupplierCount(spark, dir)
     assert(df.queryExecution.executedPlan.toString.contains("LeftAnti"))
     val rows = df.collect()
     assert(rows.nonEmpty && rows.forall(_.getAs[Long]("supplier_cnt") > 0))
     // recompute the total distinct (group, supplier) pairs without the
     // anti side and check the excluded suppliers explain the difference
-    val bad = Tables.supplier(spark, sf).where(col("s_acctbal") < 0)
+    val bad = Tables.supplier(spark, dir).where(col("s_acctbal") < 0)
       .select("s_suppkey").collect().map(_.getLong(0)).toSet
-    val pairs = Tables.lineitem(spark, sf)
-      .join(Tables.part(spark, sf)
+    assert(bad.nonEmpty) // the exclusion must actually fire
+    val pairs = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir)
           .where(col("p_size").isin(TpchExt.Q16Sizes: _*) && col("p_type") =!= "PROMO"),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
