@@ -266,14 +266,28 @@ object TextAnalysis {
     * a fixed grid keeps the DuckDB oracle exact). Reported quantiles
     * are grid-resolution approximations of the true ones, off by at
     * most one bin width — documented, bounded, and hash-verified. */
-  def qualityQuantilesGrid(spark: SparkSession, sfDir: String): DataFrame = {
+  def qualityQuantilesGrid(spark: SparkSession, sfDir: String): DataFrame =
+    quantilesFromQualityHist(qualityHist(docs(spark, sfDir)))
+
+  /** The (source, qbin) → count histogram stage of
+    * [[qualityQuantilesGrid]] — a plain streaming-compatible aggregate
+    * (no window tail), so the SAME expression tree serves the batch
+    * query and the continuous monitor
+    * ([[graft.streaming.DocStream.qualityHistStream]]). */
+  def qualityHist(documents: DataFrame): DataFrame = {
     val (_, quality) = qualityCols(col("text"))
-    val hist = docs(spark, sfDir)
+    documents
       .where(col("text").isNotNull)
       .select(col("source"),
         floor(quality * QualityGridScale).cast("long").as("qbin"))
       .groupBy(col("source"), col("qbin"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The quantile tail of [[qualityQuantilesGrid]] over a landed
+    * [[qualityHist]] frame — the periodic read side of the streaming
+    * monitor, identical type-7 arithmetic to the batch path. */
+  def quantilesFromQualityHist(hist: DataFrame): DataFrame =
     ExactQuantiles.fromHistogram(hist, Seq("source"), "qbin", "cnt",
         Seq("p50_bin" -> 0.5, "p90_bin" -> 0.9),
         extraAggs = Seq(sum(col("cnt")).as("n_docs")))
@@ -281,7 +295,6 @@ object TextAnalysis {
         (col("p50_bin") / QualityGridScale).as("p50_quality"),
         (col("p90_bin") / QualityGridScale).as("p90_quality"))
       .orderBy(col("source").asc)
-  }
 
   /** Oracle: replays the [[ExactQuantiles]] type-7 arithmetic
     * EXPLICITLY (rank containment + pos = q·(n−1) + the same

@@ -291,6 +291,21 @@ object DocStream {
         size(filter(t, tk => !array_contains(varr, tk))).cast("long").as("n_oov"))
   }
 
+  /** Streaming per-source quality-distribution monitor, accumulate
+    * half: the SAME (source, qbin) histogram aggregate as the batch
+    * [[TextAnalysis.qualityHist]] (shared expression tree), run in
+    * complete/update mode over a live feed. State is O(sources × grid)
+    * — hard-bounded by the 10⁻⁴ quality grid regardless of corpus
+    * size, the streaming analogue of a KLL sketch with the same
+    * determinism argument as the batch grid. A periodic reader replays
+    * the exact type-7 tail ([[TextAnalysis.quantilesFromQualityHist]])
+    * over the landed histogram; the spec pins that read ==
+    * the oracle-verified `quality_quantiles_grid` batch query — the
+    * continuous-land / periodic-tail architecture of
+    * `EventStream.hourlyCounts` + `trailingRatioFromHourly`. */
+  def qualityHistStream(docs: DataFrame): DataFrame =
+    TextAnalysis.qualityHist(docs)
+
   /** Exact content-dedup on top of [[curateStream]], state bounded by
     * an INGEST-time watermark (the fixture documents carry no event
     * time, so arrival time is the only clock — the standard shape for

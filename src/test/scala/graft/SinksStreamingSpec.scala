@@ -635,4 +635,24 @@ class SinksStreamingSpec extends SparkSpec {
         r.getAs[Long]("n_oov") == nOov)
     }
   }
+
+  test("streaming quality-histogram monitor: periodic tail equals the batch grid quantiles") {
+    import graft.streaming.DocStream
+    import graft.operators.TextAnalysis
+    val dir = Files.createTempDirectory("graft_qhiststream").toString
+    Files.copy(java.nio.file.Path.of(s"$sf/documents.parquet"),
+      java.nio.file.Path.of(dir, "documents.parquet"))
+    val q = DocStream.qualityHistStream(DocStream.readDocsStream(spark, dir))
+      .writeStream.format("memory").queryName("qhist_stream_test").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    // the landed state is histogram-sized, never corpus-sized
+    val hist = spark.table("qhist_stream_test")
+    assert(hist.count() > 0 &&
+      hist.count() == hist.select("source", "qbin").distinct().count())
+    // periodic tail over the stream-landed histogram == the
+    // oracle-verified batch query, bit for bit
+    val streamed = TextAnalysis.quantilesFromQualityHist(hist).collect()
+    val batch = TextAnalysis.qualityQuantilesGrid(spark, sf).collect()
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
 }
