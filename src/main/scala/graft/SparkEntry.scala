@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, Decontamination, DedupOps, EventOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Sharding, Similarity, TextAnalysis, TpchExt}
+import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, DataQuality, Decontamination, DedupOps, EventOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Sharding, Similarity, TextAnalysis, TpchExt}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -343,6 +343,14 @@ object SparkEntry {
     }),
     "sql_pivot_pricing"   -> ((s, dir) => {
       graft.sources.Tables.ensureViews(s, dir); s.sql(RankSetOps.pivotPricingSql)
+    }),
+    "profile_lineitem"    -> ((s, dir) => DataQuality.profileLineitem(s, dir)),
+    "dq_checks"           -> ((s, dir) => DataQuality.dqChecks(s, dir)),
+    "sql_profile"         -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(DataQuality.profileLineitemSql)
+    }),
+    "sql_dq_checks"       -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(DataQuality.dqChecksSql)
     })
   )
 
@@ -514,6 +522,10 @@ object SparkEntry {
     "sql_rank_pct"        -> RankSetOps.supplierRankPctSql,
     "sql_except_all"      -> RankSetOps.exceptAllShipmentsSql,
     "sql_intersect_all"   -> RankSetOps.intersectAllShipmentsSql,
-    "sql_pivot_pricing"   -> RankSetOps.pivotPricingSql
+    "sql_pivot_pricing"   -> RankSetOps.pivotPricingSql,
+    "profile_lineitem"    -> DataQuality.profileLineitemSql,
+    "dq_checks"           -> DataQuality.dqChecksSql,
+    "sql_profile"         -> DataQuality.profileLineitemSql,
+    "sql_dq_checks"       -> DataQuality.dqChecksSql
   )
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-profiling and rule-based quality checking — the pre-ingest
+  * audit surface a pipeline runs BEFORE trusting a new data drop
+  * (the Deequ/"unit tests for data" shape, re-expressed as plain
+  * aggregates):
+  *
+  *  - [[profileLineitem]]: per-column null counts, exact distinct
+  *    counts, and min/max, all computed in ONE logical pass (a single
+  *    wide aggregate row, unpivoted with `stack`). The multi-column
+  *    exact COUNT(DISTINCT) plans as one Expand (11 projections of the
+  *    scan) feeding a single aggregate tree — the standard exact-
+  *    profiling cost; a corpus-scale deployment that can tolerate
+  *    sketched distincts swaps in the [[graft.functions.KmvSketch]]
+  *    aggregate (the `approx_distinct_tokens` precedent) and drops the
+  *    Expand entirely.
+  *  - [[dqChecks]]: a violations report over declarative row rules.
+  *    All single-table rules for a table fuse into ONE conditional-
+  *    aggregate pass (COUNT(CASE) per rule — never a scan per rule);
+  *    referential rules are key-only anti-join counts (the orphan side
+  *    shuffles 8-byte keys, and the build side is the referenced key
+  *    set, broadcast when dimension-sized).
+  *
+  * Values in the profile are rendered VARCHAR so one report row type
+  * covers every column type; the fixture's doubles carry exactly two
+  * decimal digits, so Spark's and DuckDB's shortest-round-trip
+  * double→string renderings agree (spec + oracle enforce it).
+  */
+object DataQuality {
+
+  /** The profiled lineitem columns, in report order. */
+  val LineitemCols: Seq[String] = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** One-pass per-column profile: (column_name, n_nulls, n_distinct,
+    * min_val, max_val), one row per column. */
+  def profileLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val aggs = LineitemCols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    val row = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = LineitemCols.map { c =>
+      s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max"
+    }.mkString(", ")
+    row.selectExpr(s"stack(${LineitemCols.size}, $stackArgs) AS " +
+        "(column_name, n_nulls, n_distinct, min_val, max_val)")
+      .orderBy(col("column_name").asc)
+  }
+
+  val profileLineitemSql: String =
+    LineitemCols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |       COUNT(*) - COUNT($c) AS n_nulls,
+         |       COUNT(DISTINCT $c) AS n_distinct,
+         |       CAST(MIN($c) AS STRING) AS min_val,
+         |       CAST(MAX($c) AS STRING) AS max_val
+         |FROM lineitem""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY column_name ASC")
+
+  /** The declarative single-table rules: (rule name, violation
+    * predicate SQL) — the SQL text is the shared source of truth, so
+    * the Spark side (`expr`) and the DuckDB oracle evaluate the
+    * IDENTICAL predicate. */
+  val LineitemRules: Seq[(String, String)] = Seq(
+    "lineitem.nonpositive_price" -> "l_extendedprice <= 0",
+    "lineitem.discount_range" -> "l_discount < 0 OR l_discount > 0.5",
+    "lineitem.quantity_range" -> "l_quantity < 1 OR l_quantity > 200",
+    "lineitem.null_orderkey" -> "l_orderkey IS NULL",
+    "lineitem.flag_domain" -> "l_returnflag NOT IN ('A', 'N', 'R')")
+
+  val OrdersRules: Seq[(String, String)] = Seq(
+    "orders.nonpositive_total" -> "o_totalprice <= 0",
+    "orders.null_orderdate" -> "o_orderdate IS NULL",
+    "orders.status_domain" -> "o_orderstatus NOT IN ('F', 'O', 'P')")
+
+  /** Rule-violations report: (rule, n_violations, n_checked), one row
+    * per rule INCLUDING zero-violation rules (a missing row is
+    * indistinguishable from an unchecked rule — the
+    * temperature-mixture n_selected=0 lesson). */
+  /** One conditional-aggregate pass evaluating every rule of one table
+    * — package-private so the spec can drive it over a frame with KNOWN
+    * violations (the fixture is clean, so the end-to-end report alone
+    * would never exercise a non-zero count). */
+  private[graft] def tableReport(df: DataFrame,
+                                 rules: Seq[(String, String)]): DataFrame = {
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(expr(pred), 1L).otherwise(0L)).as(name)
+    } :+ count(lit(1)).as("__checked")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.map { case (name, _) => s"'$name', `$name`" }.mkString(", ")
+    row.selectExpr(
+      s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)", "__checked")
+      .select(col("rule"), col("n_violations"), col("__checked").as("n_checked"))
+  }
+
+  def dqChecks(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = tableReport(Tables.lineitem(spark, sfDir), LineitemRules)
+    val ord = tableReport(Tables.orders(spark, sfDir), OrdersRules)
+    // referential rules: key-only anti joins
+    val orphanLi = Tables.lineitem(spark, sfDir).select(col("l_orderkey"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("lineitem.orphan_orderkey").as("rule"), col("n_violations"))
+      .crossJoin(broadcast(
+        Tables.lineitem(spark, sfDir).agg(count(lit(1)).as("n_checked"))))
+    val orphanOrd = Tables.orders(spark, sfDir).select(col("o_custkey"))
+      .join(Tables.customer(spark, sfDir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders.orphan_custkey").as("rule"), col("n_violations"))
+      .crossJoin(broadcast(
+        Tables.orders(spark, sfDir).agg(count(lit(1)).as("n_checked"))))
+    li.unionByName(ord).unionByName(orphanLi).unionByName(orphanOrd)
+      .orderBy(col("rule").asc)
+  }
+
+  val dqChecksSql: String = {
+    def tableSelect(table: String, rules: Seq[(String, String)]): Seq[String] =
+      rules.map { case (name, pred) =>
+        s"""SELECT '$name' AS rule,
+           |       COUNT(CASE WHEN $pred THEN 1 END) AS n_violations,
+           |       COUNT(*) AS n_checked
+           |FROM $table""".stripMargin
+      }
+    val referential = Seq(
+      s"""SELECT 'lineitem.orphan_orderkey' AS rule,
+         |       (SELECT COUNT(*) FROM lineitem l
+         |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+         |                          WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+         |       (SELECT COUNT(*) FROM lineitem) AS n_checked""".stripMargin,
+      s"""SELECT 'orders.orphan_custkey' AS rule,
+         |       (SELECT COUNT(*) FROM orders o
+         |        WHERE NOT EXISTS (SELECT 1 FROM customer c
+         |                          WHERE c.c_custkey = o.o_custkey)) AS n_violations,
+         |       (SELECT COUNT(*) FROM orders) AS n_checked""".stripMargin)
+    (tableSelect("lineitem", LineitemRules) ++ tableSelect("orders", OrdersRules) ++
+      referential).mkString("\n", "\nUNION ALL\n", "\nORDER BY rule ASC")
+  }
+}
