@@ -351,6 +351,22 @@ object SparkEntry {
     }),
     "sql_dq_checks"       -> ((s, dir) => {
       graft.sources.Tables.ensureViews(s, dir); s.sql(DataQuality.dqChecksSql)
+    }),
+    "epoch_plan"          -> ((s, dir) => Curation.epochPlan(s, dir)),
+    "above_avg_suppliers" -> ((s, dir) => TpchExt.aboveAvgSuppliers(s, dir)),
+    "sim_int8_topk"       -> ((s, dir) => Quantization.int8TopK(s, dir)),
+    "sql_epoch_plan"      -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_epoch_plan")
+      s.sql("SELECT lang, available_tokens, target_tokens, repeat_x1000 " +
+        "FROM graft_epoch_plan ORDER BY lang ASC")
+    }),
+    "sql_above_avg"       -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchExt.aboveAvgSuppliersSql)
+    }),
+    "sql_int8_topk"       -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_int8_topk")
+      s.sql("SELECT vec_id, label, cos_sim8 FROM graft_int8_topk " +
+        "ORDER BY cos_sim8 DESC, vec_id ASC")
     })
   )
 
@@ -526,6 +542,12 @@ object SparkEntry {
     "profile_lineitem"    -> DataQuality.profileLineitemSql,
     "dq_checks"           -> DataQuality.dqChecksSql,
     "sql_profile"         -> DataQuality.profileLineitemSql,
-    "sql_dq_checks"       -> DataQuality.dqChecksSql
+    "sql_dq_checks"       -> DataQuality.dqChecksSql,
+    "epoch_plan"          -> Curation.epochPlanSql,
+    "above_avg_suppliers" -> TpchExt.aboveAvgSuppliersSql,
+    "sim_int8_topk"       -> Quantization.int8TopKSql,
+    "sql_epoch_plan"      -> Curation.epochPlanSql,
+    "sql_above_avg"       -> TpchExt.aboveAvgSuppliersSql,
+    "sql_int8_topk"       -> Quantization.int8TopKSql
   )
 }

@@ -232,6 +232,59 @@ object Curation {
        |GROUP BY d.lang
        |ORDER BY d.lang ASC""".stripMargin
 
+  /** Token budget an epoch plan allocates across languages. */
+  val EpochBudgetTokens = 1000000L
+
+  /** Epoch/repeat planning — the mixing config a training run consumes:
+    * per language, the whitespace-token supply, the temperature-weighted
+    * token target out of [[EpochBudgetTokens]], and the repeat factor
+    * (×1000, integer-ceiling) a data loader applies to hit that target.
+    * repeat > 1000 means the language is oversampled (epochs > 1 over
+    * its data), the standard low-resource-upsampling readout.
+    *
+    * All-integer discipline end-to-end ([[temperatureMixture]]'s): the
+    * sqrt temperature weight is one IEEE sqrt of an integer (correctly
+    * rounded on both engines), targets allocate by integer division, and
+    * the ceiling is (1000·target + supply − 1) DIV supply — no float
+    * ratio ever crosses engines. Scale shape: one token-count
+    * aggregation over the corpus (the only corpus-sized work), then
+    * languages-sized arithmetic. */
+  def epochPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull)
+      .select(col("lang"), size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("available_tokens"))
+      .withColumn("s",
+        floor(sqrt((col("available_tokens") * TemperatureScale).cast("double"))).cast("long"))
+    val stot = toks.agg(sum(col("s")).as("s_tot"))
+    toks.crossJoin(broadcast(stot))
+      .withColumn("target_tokens", expr(s"($EpochBudgetTokens * s) DIV s_tot"))
+      .withColumn("repeat_x1000",
+        expr("(1000 * target_tokens + available_tokens - 1) DIV available_tokens"))
+      .select(col("lang"), col("available_tokens"),
+        col("target_tokens"), col("repeat_x1000"))
+      .orderBy(col("lang").asc)
+  }
+
+  val epochPlanSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang,
+       |         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+       |           AS available_tokens
+       |  FROM documents WHERE text IS NOT NULL GROUP BY lang),
+       |s AS (SELECT lang, available_tokens,
+       |             CAST(floor(sqrt(CAST(available_tokens * $TemperatureScale AS DOUBLE))) AS BIGINT) AS s
+       |      FROM toks),
+       |t AS (SELECT lang, available_tokens,
+       |             CAST(($EpochBudgetTokens * s) // (SELECT SUM(s) FROM s) AS BIGINT) AS target_tokens
+       |      FROM s)
+       |SELECT lang, available_tokens, target_tokens,
+       |       CAST((1000 * target_tokens + available_tokens - 1) // available_tokens AS BIGINT)
+       |         AS repeat_x1000
+       |FROM t
+       |ORDER BY lang ASC""".stripMargin
+
   /** The oracle composes the SAME sub-oracles ([[DedupOps.dedupExactSql]],
     * [[TextAnalysis.qualityScoreSql]]) as CTEs — operator reuse on both
     * engines. */

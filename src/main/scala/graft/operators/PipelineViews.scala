@@ -67,7 +67,9 @@ object PipelineViews {
     "graft_cluster_sizes"      -> ((s, d) => ClusterOps.clusterSizeHistogram(s, d)),
     "graft_cell_quality"       -> ((s, d) => Similarity.cellQualityReport(s, d)),
     "graft_quartiles"          -> ((s, d) => TextAnalysis.qualityQuartiles(s, d)),
-    "graft_redact"             -> ((s, d) => TextAnalysis.textRedact(s, d)))
+    "graft_redact"             -> ((s, d) => TextAnalysis.textRedact(s, d)),
+    "graft_epoch_plan"         -> ((s, d) => Curation.epochPlan(s, d)),
+    "graft_int8_topk"          -> ((s, d) => Quantization.int8TopK(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 

@@ -43,6 +43,66 @@ object Quantization {
       .orderBy(col("vec_id").asc)
   }
 
+  /** Top-K neighbors of the query vector COMPUTED ON THE INT8 CODES —
+    * the serving-fidelity readout of [[embedQuantize]]: rank by the
+    * cosine of the quantized vectors (integer int8 dot and norms, then
+    * the fixed sqrt/mul/div tree of `Similarity.cosineFrom`). Where
+    * this disagrees with the float-path `sim_cosine_topk`, that IS the
+    * quantization error a pipeline measures before switching serving to
+    * int8. Same plan shape as the float path: one broadcast of the
+    * single query row, one corpus scan, TakeOrderedAndProject — the
+    * corpus never shuffles. Determinism: codes are exact integers
+    * (round-half-away-from-zero on both engines), the dot is integer
+    * arithmetic, and the final cosine is one IEEE tree. */
+  def int8TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = Similarity.TopK
+    val q8frame = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"), col("label"), col("e"),
+        array_max(transform(col("e"), x => abs(x))).as("maxabs"))
+      .select(col("vec_id"), col("label"),
+        transform(col("e"), x =>
+          when(col("maxabs") === 0, lit(0L))
+            .otherwise(round(x * 127 / col("maxabs")).cast("long"))).as("q8"))
+      .withColumn("n8",
+        coalesce(aggregate(col("q8"), lit(0L), (a, x) => a + x * x), lit(0L)))
+    val query = q8frame.where(col("vec_id") === Similarity.QueryVecId)
+      .select(col("q8").as("qq8"), col("n8").as("qn8"))
+    q8frame.join(broadcast(query))
+      .where(col("vec_id") =!= Similarity.QueryVecId && col("n8") > 0 && col("qn8") > 0)
+      .withColumn("dot8",
+        coalesce(aggregate(zip_with(col("q8"), col("qq8"), (a, b) => a * b),
+          lit(0L), (a, x) => a + x), lit(0L)))
+      .select(col("vec_id"), col("label"),
+        (col("dot8").cast("double") /
+          (sqrt(col("n8").cast("double")) * sqrt(col("qn8").cast("double"))))
+          .as("cos_sim8"))
+      .orderBy(col("cos_sim8").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  val int8TopKSql: String =
+    s"""WITH e AS (SELECT vec_id, label,
+       |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |           FROM embeddings),
+       |m AS (SELECT vec_id, label, e,
+       |             list_max(list_transform(e, x -> abs(x))) AS maxabs FROM e),
+       |q AS (SELECT vec_id, label,
+       |             list_transform(e, x -> CASE WHEN maxabs = 0 THEN 0
+       |                                         ELSE CAST(round(x * 127 / maxabs) AS BIGINT) END) AS q8
+       |      FROM m),
+       |n AS (SELECT vec_id, label, q8,
+       |             coalesce(list_sum(list_transform(q8, x -> x * x)), 0) AS n8 FROM q),
+       |qv AS (SELECT q8 AS qq8, n8 AS qn8 FROM n WHERE vec_id = ${Similarity.QueryVecId})
+       |SELECT n.vec_id, n.label,
+       |       CAST(coalesce(list_sum(list_transform(range(1, len(n.q8) + 1),
+       |                                             i -> n.q8[i] * qv.qq8[i])), 0) AS DOUBLE)
+       |         / (sqrt(CAST(n.n8 AS DOUBLE)) * sqrt(CAST(qv.qn8 AS DOUBLE))) AS cos_sim8
+       |FROM n, qv
+       |WHERE n.vec_id <> ${Similarity.QueryVecId} AND n.n8 > 0 AND qv.qn8 > 0
+       |ORDER BY cos_sim8 DESC, n.vec_id ASC
+       |LIMIT ${Similarity.TopK}""".stripMargin
+
   val embedQuantizeSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |           FROM embeddings),

@@ -337,6 +337,37 @@ object TpchExt {
       .orderBy(col("c_mktsegment").asc)
   }
 
+  /** Suppliers whose balance beats their own nation's average — the
+    * CORRELATED scalar-subquery shape (the SQL twin carries two
+    * correlated subqueries, which both engines decorrelate to grouped
+    * joins). The DataFrame side expresses the decorrelated form
+    * directly: per-nation count and cent-sum as window aggregates over
+    * the one nation-partitioned exchange, compared ALL-INTEGER
+    * (cents·n > Σcents) so no average is ever materialized as a float.
+    * A nation with a single supplier can never beat its own average —
+    * strict inequality — which is why the sf0.001 fixture (one supplier
+    * per nation) yields zero rows; sf0.01+ exercises it. */
+  def aboveAvgSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s_nationkey"))
+    Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+        count(lit(1)).over(w).as("n"),
+        sum(cents(col("s_acctbal"))).over(w).as("sum_cents"))
+      .where(cents(col("s_acctbal")) * col("n") > col("sum_cents"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
+  val aboveAvgSuppliersSql: String =
+    s"""SELECT s_suppkey, s_nationkey, s_acctbal
+       |FROM supplier s
+       |WHERE CAST(ROUND(s_acctbal * 100) AS BIGINT)
+       |      * (SELECT COUNT(*) FROM supplier s2
+       |         WHERE s2.s_nationkey = s.s_nationkey)
+       |      > (SELECT SUM(CAST(ROUND(s2.s_acctbal * 100) AS BIGINT)) FROM supplier s2
+       |         WHERE s2.s_nationkey = s.s_nationkey)
+       |ORDER BY s_suppkey ASC""".stripMargin
+
   val q22DormantCustomersSql: String =
     s"""WITH pos AS (SELECT count(*) AS pos_cnt,
        |                    SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS pos_cents

@@ -520,4 +520,32 @@ class PipelineOpsSpec extends SparkSpec {
     try intercept[IllegalArgumentException](TextAnalysis.vocabInduction(spark, sf))
     finally spark.conf.unset(GraftConf.VocabSizeKey)
   }
+
+  test("epoch plan: targets sum within budget, repeat factors are exact ceilings") {
+    import graft.operators.Curation
+    val rows = Curation.epochPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // integer-truncated allocation: Σ targets ≤ budget, short by < |langs|·(s/s_tot) units
+    assert(rows.map(_.getAs[Long]("target_tokens")).sum <= Curation.EpochBudgetTokens)
+    rows.foreach { r =>
+      val (avail, target, rep) = (r.getAs[Long]("available_tokens"),
+        r.getAs[Long]("target_tokens"), r.getAs[Long]("repeat_x1000"))
+      assert(avail > 0 && target >= 0)
+      assert(rep == (1000L * target + avail - 1) / avail)
+      // the plan actually reaches the target: repeats cover it...
+      assert(rep * avail >= 1000L * target)
+      // ...with no more than one extra pass-fraction of slack
+      assert((rep - 1) * avail < 1000L * target || target == 0)
+    }
+    // supply matches an independent token count per language
+    val direct = graft.sources.Tables.documents(spark, sf)
+      .where(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextOps.tokens(org.apache.spark.sql.functions.col("text")))
+          .cast("long").as("n"))
+      .groupBy("lang").sum("n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getAs[Long]("available_tokens")).toMap == direct)
+  }
 }

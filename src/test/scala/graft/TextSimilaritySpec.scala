@@ -403,4 +403,32 @@ class TextSimilaritySpec extends SparkSpec {
     assert(one.head.contains("[0.9,9,3]") || one.head.contains("{0.9, 9, 3}") ||
       one.head.indexOf("9") < one.head.indexOf("10"))
   }
+
+  test("int8 top-K ranks by the quantized cosine, recomputed driver-side") {
+    import graft.operators.Quantization
+    val got = Quantization.int8TopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim8")))
+    assert(got.length == Similarity.TopK)
+    assert(got.map(_._2).sameElements(got.map(_._2).sorted(Ordering[Double].reverse)))
+    // brute-force: quantize every vector to int8 and rank by integer dot
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def q8(v: Array[Double]): Array[Long] = {
+      val m = v.map(math.abs).max
+      // round half AWAY FROM ZERO — Spark/DuckDB round(), not math.round
+      def r(x: Double): Long = (math.signum(x) * math.round(math.abs(x))).toLong
+      if (m == 0) v.map(_ => 0L) else v.map(x => r(x * 127 / m))
+    }
+    val qq = q8(vecs(Similarity.QueryVecId))
+    val qn = qq.map(x => x * x).sum
+    val expected = vecs.toSeq.collect { case (id, v) if id != Similarity.QueryVecId =>
+      val c = q8(v); val n = c.map(x => x * x).sum
+      (id, n)
+    }.filter(_._2 > 0).map { case (id, n) =>
+      val dot = q8(vecs(id)).zip(qq).map { case (a, b) => a * b }.sum
+      (id, dot.toDouble / (math.sqrt(n.toDouble) * math.sqrt(qn.toDouble)))
+    }.sortBy { case (id, c) => (-c, id) }.take(Similarity.TopK)
+    assert(got.sameElements(expected))
+  }
 }

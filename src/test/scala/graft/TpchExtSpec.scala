@@ -127,6 +127,22 @@ class TpchExtSpec extends SparkSpec {
     assert(got == exact.toDouble / 10000.0 && got > 0)
   }
 
+  test("above_avg: correlated-subquery result matches brute-force per-nation means") {
+    // sf0.01 — one supplier per nation at sf0.001 means nobody beats
+    // their own average (strict inequality), an empty (vacuous) check
+    val dir = "/root/testdata/sf0.01"
+    val got = TpchExt.aboveAvgSuppliers(spark, dir).collect()
+      .map(_.getAs[Long]("s_suppkey"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal")).collect()
+    val byNation = sup.groupBy(_.getInt(1))
+    val expected = sup.filter { r =>
+      val peers = byNation(r.getInt(1))
+      cents(r.getDouble(2)) * peers.length > peers.map(p => cents(p.getDouble(2))).sum
+    }.map(_.getLong(0)).sorted
+    assert(got.nonEmpty && got.sameElements(expected))
+  }
+
   test("q22: all-integer mean comparison and time-scoped anti-join agree with brute force") {
     val rows = TpchExt.q22DormantCustomers(spark, sf).collect()
     assert(rows.nonEmpty)
