@@ -367,6 +367,10 @@ object SparkEntry {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_int8_topk")
       s.sql("SELECT vec_id, label, cos_sim8 FROM graft_int8_topk " +
         "ORDER BY cos_sim8 DESC, vec_id ASC")
+    }),
+    "dq_docs"             -> ((s, dir) => DataQuality.dqDocs(s, dir)),
+    "sql_dq_docs"         -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(DataQuality.dqDocsSql)
     })
   )
 
@@ -548,6 +552,8 @@ object SparkEntry {
     "sim_int8_topk"       -> Quantization.int8TopKSql,
     "sql_epoch_plan"      -> Curation.epochPlanSql,
     "sql_above_avg"       -> TpchExt.aboveAvgSuppliersSql,
-    "sql_int8_topk"       -> Quantization.int8TopKSql
+    "sql_int8_topk"       -> Quantization.int8TopKSql,
+    "dq_docs"             -> DataQuality.dqDocsSql,
+    "sql_dq_docs"         -> DataQuality.dqDocsSql
   )
 }

@@ -124,14 +124,41 @@ object DataQuality {
       .orderBy(col("rule").asc)
   }
 
+  private def tableSelectSql(table: String, rules: Seq[(String, String)]): Seq[String] =
+    rules.map { case (name, pred) =>
+      s"""SELECT '$name' AS rule,
+         |       COUNT(CASE WHEN $pred THEN 1 END) AS n_violations,
+         |       COUNT(*) AS n_checked
+         |FROM $table""".stripMargin
+    }
+
+  /** Integrity rules for the documents corpus. `lang_unlisted` fires on
+    * real fixture rows (languages outside [[Curation.LangAllow]]), so
+    * the oracle hash-verifies a NON-zero violation count — the others
+    * pin the fixture's integrity invariants (redundant-column
+    * consistency, presence). */
+  val DocumentRules: Seq[(String, String)] = {
+    val langs = Curation.LangAllow.map(l => s"'$l'").mkString(", ")
+    Seq(
+      "documents.null_text" -> "text IS NULL",
+      "documents.empty_text" -> "length(text) < 1",
+      "documents.chars_mismatch" -> "n_chars <> length(text)",
+      s"documents.lang_unlisted" -> s"lang NOT IN ($langs)")
+  }
+
+  /** [[dqChecks]] for the documents corpus — the audit a text pipeline
+    * runs on every new crawl drop before curation. */
+  def dqDocs(spark: SparkSession, sfDir: String): DataFrame =
+    tableReport(Tables.documents(spark, sfDir), DocumentRules)
+      .orderBy(col("rule").asc)
+
+  val dqDocsSql: String =
+    tableSelectSql("documents", DocumentRules)
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY rule ASC")
+
   val dqChecksSql: String = {
     def tableSelect(table: String, rules: Seq[(String, String)]): Seq[String] =
-      rules.map { case (name, pred) =>
-        s"""SELECT '$name' AS rule,
-           |       COUNT(CASE WHEN $pred THEN 1 END) AS n_violations,
-           |       COUNT(*) AS n_checked
-           |FROM $table""".stripMargin
-      }
+      tableSelectSql(table, rules)
     val referential = Seq(
       s"""SELECT 'lineitem.orphan_orderkey' AS rule,
          |       (SELECT COUNT(*) FROM lineitem l

@@ -306,6 +306,23 @@ object DocStream {
   def qualityHistStream(docs: DataFrame): DataFrame =
     TextAnalysis.qualityHist(docs)
 
+  /** Streaming quarantine: per arriving document, emit one
+    * (doc_id, rule) row for EVERY [[graft.operators.DataQuality]]
+    * document rule it violates — the reject-side complement of
+    * [[curateStream]], with reasons, feeding a quarantine sink instead
+    * of silently dropping rows. Stateless (the rule battery is one
+    * projection; `explode` of the failed-rule array emits nothing for
+    * clean docs), so throughput scales with input rate and the batch
+    * twin is the IDENTICAL expression tree — spec-pinned, with the
+    * per-rule counts reconciled against the oracle-verified `dq_docs`
+    * report. */
+  def violationsStream(docs: DataFrame): DataFrame = {
+    val fired = array(graft.operators.DataQuality.DocumentRules.map {
+      case (name, pred) => when(expr(pred), lit(name))
+    }: _*)
+    docs.select(col("doc_id"), explode(filter(fired, x => x.isNotNull)).as("rule"))
+  }
+
   /** Exact content-dedup on top of [[curateStream]], state bounded by
     * an INGEST-time watermark (the fixture documents carry no event
     * time, so arrival time is the only clock — the standard shape for

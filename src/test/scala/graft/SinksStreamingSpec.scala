@@ -655,4 +655,26 @@ class SinksStreamingSpec extends SparkSpec {
     val batch = TextAnalysis.qualityQuantilesGrid(spark, sf).collect()
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
+
+  test("streaming quarantine emits one (doc, rule) row per violation, none for clean docs") {
+    import graft.streaming.DocStream
+    import graft.operators.DataQuality
+    val dir = Files.createTempDirectory("graft_dqstream").toString
+    Files.copy(java.nio.file.Path.of(s"$sf/documents.parquet"),
+      java.nio.file.Path.of(dir, "documents.parquet"))
+    val q = DocStream.violationsStream(DocStream.readDocsStream(spark, dir))
+      .writeStream.format("memory").queryName("dq_stream_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dq_stream_test").orderBy("doc_id", "rule").collect()
+    // stateless: identical to the batch application
+    val batch = DocStream.violationsStream(Tables.documents(spark, sf))
+      .orderBy("doc_id", "rule").collect()
+    assert(streamed.sameElements(batch))
+    // per-rule counts reconcile with the oracle-verified dq_docs report
+    val counts = streamed.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val report = DataQuality.dqDocs(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_violations")).toMap
+    assert(report("documents.lang_unlisted") > 0) // the rule actually fires
+    report.foreach { case (rule, n) => assert(counts.getOrElse(rule, 0L) == n) }
+  }
 }
