@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, DataQuality, Decontamination, DedupOps, EventOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Sharding, Similarity, TextAnalysis, TpchExt}
+import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, DataQuality, Decontamination, DedupOps, EventOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Sharding, Similarity, TextAnalysis, TpchComplete, TpchExt}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -328,6 +328,38 @@ object SparkEntry {
     "sql_q22"             -> ((s, dir) => {
       graft.sources.Tables.ensureViews(s, dir); s.sql(TpchExt.q22DormantCustomersSql)
     }),
+    "q8_market_share"     -> ((s, dir) => TpchComplete.q8MarketShare(s, dir)),
+    "q9_product_profit"   -> ((s, dir) => TpchComplete.q9ProductProfit(s, dir)),
+    "q11_important_parts" -> ((s, dir) => TpchComplete.q11ImportantParts(s, dir)),
+    "q13_order_distribution" -> ((s, dir) => TpchComplete.q13OrderDistribution(s, dir)),
+    "q15_top_supplier"    -> ((s, dir) => TpchComplete.q15TopSupplier(s, dir)),
+    "q17_small_qty_revenue" -> ((s, dir) => TpchComplete.q17SmallQtyRevenue(s, dir)),
+    "q20_promotion_suppliers" -> ((s, dir) => TpchComplete.q20PromotionSuppliers(s, dir)),
+    "q21_waiting_suppliers" -> ((s, dir) => TpchComplete.q21WaitingSuppliers(s, dir)),
+    "sql_q8"              -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchComplete.q8MarketShareSql)
+    }),
+    "sql_q9"              -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchComplete.q9ProductProfitSql)
+    }),
+    "sql_q11"             -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchComplete.q11ImportantPartsSql)
+    }),
+    "sql_q13"             -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchComplete.q13OrderDistributionSql)
+    }),
+    "sql_q15"             -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchComplete.q15TopSupplierSql)
+    }),
+    "sql_q17"             -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchComplete.q17SmallQtyRevenueSql)
+    }),
+    "sql_q20"             -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchComplete.q20PromotionSuppliersSql)
+    }),
+    "sql_q21"             -> ((s, dir) => {
+      graft.sources.Tables.ensureViews(s, dir); s.sql(TpchComplete.q21WaitingSuppliersSql())
+    }),
     "supplier_rank_pct"   -> ((s, dir) => RankSetOps.supplierRankPct(s, dir)),
     "except_all_shipments" -> ((s, dir) => RankSetOps.exceptAllShipments(s, dir)),
     "intersect_all_shipments" -> ((s, dir) => RankSetOps.intersectAllShipments(s, dir)),
@@ -535,6 +567,22 @@ object SparkEntry {
     "sql_q18"             -> TpchExt.q18LargeOrdersSql(),
     "sql_q19"             -> TpchExt.q19DisjunctiveRevenueSql,
     "sql_q22"             -> TpchExt.q22DormantCustomersSql,
+    "q8_market_share"     -> TpchComplete.q8MarketShareSql,
+    "q9_product_profit"   -> TpchComplete.q9ProductProfitSql,
+    "q11_important_parts" -> TpchComplete.q11ImportantPartsSql,
+    "q13_order_distribution" -> TpchComplete.q13OrderDistributionSql,
+    "q15_top_supplier"    -> TpchComplete.q15TopSupplierSql,
+    "q17_small_qty_revenue" -> TpchComplete.q17SmallQtyRevenueSql,
+    "q20_promotion_suppliers" -> TpchComplete.q20PromotionSuppliersSql,
+    "q21_waiting_suppliers" -> TpchComplete.q21WaitingSuppliersSql(),
+    "sql_q8"              -> TpchComplete.q8MarketShareSql,
+    "sql_q9"              -> TpchComplete.q9ProductProfitSql,
+    "sql_q11"             -> TpchComplete.q11ImportantPartsSql,
+    "sql_q13"             -> TpchComplete.q13OrderDistributionSql,
+    "sql_q15"             -> TpchComplete.q15TopSupplierSql,
+    "sql_q17"             -> TpchComplete.q17SmallQtyRevenueSql,
+    "sql_q20"             -> TpchComplete.q20PromotionSuppliersSql,
+    "sql_q21"             -> TpchComplete.q21WaitingSuppliersSql(),
     "supplier_rank_pct"   -> RankSetOps.supplierRankPctSql,
     "except_all_shipments" -> RankSetOps.exceptAllShipmentsSql,
     "intersect_all_shipments" -> RankSetOps.intersectAllShipmentsSql,
