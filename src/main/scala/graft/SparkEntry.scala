@@ -71,6 +71,7 @@ object SparkEntry {
     "events_json_props"   -> ((s, dir) => EventOps.propsExtract(s, dir)),
     "events_asof"         -> ((s, dir) => EventOps.purchaseAttribution(s, dir)),
     "events_range_join"   -> ((s, dir) => EventOps.nearbyClickCounts(s, dir)),
+    "events_attribution"  -> ((s, dir) => EventOps.attributionWindow(s, dir)),
     "events_funnel"       -> ((s, dir) => EventOps.funnelStages(s, dir)),
     "events_retention"    -> ((s, dir) => EventOps.cohortRetention(s, dir)),
     "dedup_report"        -> ((s, dir) => ClusterOps.dedupReport(s, dir)),
@@ -461,6 +462,7 @@ object SparkEntry {
     "events_json_props"   -> EventOps.propsExtractSql,
     "events_asof"         -> EventOps.purchaseAttributionSql,
     "events_range_join"   -> EventOps.nearbyClickCountsSql,
+    "events_attribution"  -> EventOps.attributionWindowSql,
     "events_funnel"       -> EventOps.funnelStagesSql,
     "events_retention"    -> EventOps.cohortRetentionSql,
     "dedup_report"        -> ClusterOps.dedupReportSql,

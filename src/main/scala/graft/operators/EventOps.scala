@@ -212,6 +212,56 @@ object EventOps {
       .orderBy(col("event_id").asc)
   }
 
+  /** Attribution window width shared by the batch operator and the
+    * stream-stream join twin (`EventStream.attributionStream`). */
+  val AttributionWindowSec = 21600
+
+  /** Windowed click→view attribution: every (click, view) pair of the
+    * same user with the view at most [[AttributionWindowSec]] before
+    * (or at) the click — the batch statement of the watermarked
+    * stream-stream interval join. Same chunk-bucketing as
+    * [[nearbyClickCounts]]: both sides land in window-width time
+    * chunks, clicks probe chunk−1 and chunk, and the exact bound is a
+    * post-join filter — an equi-join on (user, chunk) whose shuffle is
+    * O(rows), never a per-user nested loop. A view in chunk ck can
+    * only match clicks in ck or ck+1, so probing {ck−1, ck} from the
+    * click side is exhaustive and duplicate-free. */
+  def attributionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val winUs = AttributionWindowSec.toLong * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("cus"))
+    val probes = clicks.select(col("click_id"), col("user_id"), col("cus"),
+      explode(array(expr(s"cus div $winUs") - 1, expr(s"cus div $winUs")))
+        .as("ck"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("vus"))
+      .withColumn("ck", expr(s"vus div $winUs"))
+    probes.join(views, Seq("user_id", "ck"))
+      .where(col("vus") >= col("cus") - winUs && col("vus") <= col("cus"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        (col("cus") - col("vus")).as("gap_us"))
+      .orderBy(col("click_id").asc, col("view_id").asc)
+  }
+
+  val attributionWindowSql: String = {
+    val winUs = AttributionWindowSec.toLong * 1000000L
+    s"""WITH clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+       |                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |                  AND event_type = 'click'),
+       |views AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus
+       |          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |            AND event_type = 'view')
+       |SELECT c.click_id, v.view_id, c.user_id, c.cus - v.vus AS gap_us
+       |FROM clicks c JOIN views v
+       |  ON c.user_id = v.user_id
+       | AND v.vus >= c.cus - $winUs AND v.vus <= c.cus
+       |ORDER BY c.click_id ASC, v.view_id ASC""".stripMargin
+  }
+
   val nearbyClickCountsSql: String = {
     val winUs = RangeJoinWindowSec.toLong * 1000000L
     s"""WITH errs AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events

@@ -328,21 +328,30 @@ object Multimodal {
       })
   }
 
-  /** The video decode query: render → container-encode → parse →
-    * per-frame PNG decode, one row per frame with the decoded raster
-    * checksum — all recomputed by the oracle from
-    * [[pixelValue]]/[[genDims]]/[[videoFrameCount]] arithmetic. */
-  def multimodalVideo(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    videoPayloads(spark, sfDir).mapPartitions(_.flatMap { m =>
+  /** The parse-and-decode-to-frames transform shared by the batch query
+    * and the streaming ingest ([[graft.streaming.MediaStream]]) — the
+    * video twin of [[audioStats]]'s shared-transform rule: decode is
+    * per-row pure, so ONE function serves both and the twins cannot
+    * drift. */
+  def videoFrames(media: Dataset[Media]): Dataset[FrameMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
       decodeVideo(m.payload).toSeq.flatMap { frames =>
         frames.zipWithIndex.map { case (img, f) =>
           FrameMeta(m.doc_id, f.toLong,
             img.getWidth.toLong, img.getHeight.toLong, rgbSum(img))
         }
       }
-    }).toDF().orderBy(col("doc_id").asc, col("frame_no").asc)
+    })
   }
+
+  /** The video decode query: render → container-encode → parse →
+    * per-frame PNG decode, one row per frame with the decoded raster
+    * checksum — all recomputed by the oracle from
+    * [[pixelValue]]/[[genDims]]/[[videoFrameCount]] arithmetic. */
+  def multimodalVideo(spark: SparkSession, sfDir: String): DataFrame =
+    videoFrames(videoPayloads(spark, sfDir))
+      .toDF().orderBy(col("doc_id").asc, col("frame_no").asc)
 
   /** DuckDB twin of [[multimodalVideo]]: one row per (doc, frame) from
     * a bounded range() grid, checksum = Σ [[pixelValue]] with the

@@ -77,6 +77,41 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Watermarked stream-stream interval join — windowed click→view
+    * attribution, the streaming twin of the oracle-verified
+    * `EventOps.attributionWindow` (identical window constant, identical
+    * output columns). Both sides derive from ONE input stream (a
+    * stream-stream self-join); each carries its own event-time
+    * watermark, and the join condition bounds view_ts to
+    * [click_ts − window, click_ts], so BOTH state stores are
+    * watermark-bounded: views retained `watermark + window`, clicks
+    * `watermark` — state is proportional to the delivery-lag window,
+    * never the stream length. Inner-join matches emit as soon as both
+    * sides arrive (no watermark wait on the append path). */
+  def attributionStream(events: DataFrame,
+                        watermark: String = "2 hours"): DataFrame = {
+    val winSec = graft.operators.EventOps.AttributionWindowSec
+    val views = events
+      .where(col("ts").isNotNull && col("user_id").isNotNull &&
+             col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events
+      .where(col("ts").isNotNull && col("user_id").isNotNull &&
+             col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+        expr(s"""v_user = c_user
+                 AND view_ts <= click_ts
+                 AND click_ts <= view_ts + interval $winSec seconds"""))
+      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+  }
+
   /** Gap-based sessionization with explicit per-user state: emits a
     * session when the gap since the last event exceeds the gap (or on
     * event-time timeout past the watermark). Batch twin:

@@ -41,4 +41,17 @@ object MediaStream {
         .select(col("doc_id"), col("source"), col("payload"))
         .as[Multimodal.Media])
   }
+
+  /** Parse a video-container payload stream to per-frame decode rows —
+    * the shared batch transform ([[Multimodal.videoFrames]]) applied to
+    * the stream; a corrupt frame rejects its whole document (P4),
+    * streaming or batch alike. */
+  def videoFramesStream(media: DataFrame): Dataset[Multimodal.FrameMeta] = {
+    import media.sparkSession.implicits._
+    Multimodal.videoFrames(
+      media
+        .where(col("payload").isNotNull)
+        .select(col("doc_id"), col("source"), col("payload"))
+        .as[Multimodal.Media])
+  }
 }

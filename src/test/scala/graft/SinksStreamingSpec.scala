@@ -166,6 +166,25 @@ class SinksStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("stream-stream interval join (attribution) matches the batch chunk-join exactly") {
+    val dir = Files.createTempDirectory("graft_ssjoin").toString
+    Files.copy(java.nio.file.Path.of(s"$sf/events.parquet"),
+      java.nio.file.Path.of(dir, "events.parquet"))
+    val q = EventStream.attributionStream(EventStream.readEventsStream(spark, dir))
+      .writeStream.format("memory").queryName("attr_stream_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("attr_stream_test")
+      .orderBy("click_id", "view_id").collect()
+    val batch = graft.operators.EventOps.attributionWindow(spark, sf).collect()
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+    // every pair respects the interval bound; bound inclusive at 0
+    assert(streamed.forall { r =>
+      val g = r.getAs[Long]("gap_us")
+      g >= 0 && g <= graft.operators.EventOps.AttributionWindowSec * 1000000L
+    })
+  }
+
   test("trailing anomaly ratio over STREAM-landed hourly counts equals the batch query") {
     val dir = Files.createTempDirectory("graft_trailstream").toString
     Files.copy(java.nio.file.Path.of(s"$sf/events.parquet"),
@@ -463,6 +482,20 @@ class SinksStreamingSpec extends SparkSpec {
     val streamed = spark.table("media_stream_test").orderBy("doc_id").collect()
       .map(_.toString).toSeq
     val batch = Multimodal.multimodalAudio(spark, sf).collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming video decode matches the oracle-verified batch multimodal_video") {
+    import graft.streaming.MediaStream
+    import graft.operators.Multimodal
+    val dir = Files.createTempDirectory("graft_videostream").toString
+    Multimodal.videoPayloads(spark, sf).toDF().write.parquet(s"$dir/in")
+    val q = MediaStream.videoFramesStream(MediaStream.readMediaStream(spark, s"$dir/in"))
+      .writeStream.format("memory").queryName("video_stream_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("video_stream_test").orderBy("doc_id", "frame_no")
+      .collect().map(_.toString).toSeq
+    val batch = Multimodal.multimodalVideo(spark, sf).collect().map(_.toString).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
 
