@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, DataQuality, Decontamination, DedupOps, EventOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Sharding, Similarity, TextAnalysis, TpchComplete, TpchExt}
+import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, DataQuality, Decontamination, DedupOps, EventOps, LayoutOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Sharding, Similarity, TextAnalysis, TpchComplete, TpchExt}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -72,6 +72,8 @@ object SparkEntry {
     "events_asof"         -> ((s, dir) => EventOps.purchaseAttribution(s, dir)),
     "events_range_join"   -> ((s, dir) => EventOps.nearbyClickCounts(s, dir)),
     "events_attribution"  -> ((s, dir) => EventOps.attributionWindow(s, dir)),
+    "events_session_native" -> ((s, dir) => EventOps.sessionWindowNative(s, dir)),
+    "zorder_layout"       -> ((s, dir) => LayoutOps.zorderLayout(s, dir)),
     "events_funnel"       -> ((s, dir) => EventOps.funnelStages(s, dir)),
     "events_retention"    -> ((s, dir) => EventOps.cohortRetention(s, dir)),
     "dedup_report"        -> ((s, dir) => ClusterOps.dedupReport(s, dir)),
@@ -463,6 +465,8 @@ object SparkEntry {
     "events_asof"         -> EventOps.purchaseAttributionSql,
     "events_range_join"   -> EventOps.nearbyClickCountsSql,
     "events_attribution"  -> EventOps.attributionWindowSql,
+    "events_session_native" -> EventOps.sessionWindowNativeSql(),
+    "zorder_layout"       -> LayoutOps.zorderLayoutSql,
     "events_funnel"       -> EventOps.funnelStagesSql,
     "events_retention"    -> EventOps.cohortRetentionSql,
     "dedup_report"        -> ClusterOps.dedupReportSql,

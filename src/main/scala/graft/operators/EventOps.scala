@@ -342,6 +342,59 @@ object EventOps {
        |ORDER BY user_id ASC, session_id ASC""".stripMargin
   }
 
+  /** Gap-based sessionization through Spark's NATIVE `session_window`
+    * aggregation — the declarative twin of the hand-rolled
+    * lag+running-sum [[sessionize]]. The merge boundary is IDENTICAL
+    * (empirically pinned by spec on an exactly-gap pair): an event
+    * exactly `gap` after its predecessor still MERGES — the native
+    * window's end is merge-inclusive — so the oracle replays the same
+    * strict `delta > gap` split as [[sessionizeSql]]; only the
+    * reported session_end differs (`last_ts + gap`, the window bound,
+    * instead of `last_ts`). Plan-wise the native form is ONE exchange
+    * on user_id feeding a session-merging aggregate — no window pass,
+    * no second shuffle; the same physical shape Structured Streaming
+    * uses for watermarked session state at scale. */
+  def sessionWindowNative(spark: SparkSession, sfDir: String): DataFrame =
+    sessionWindowNative(spark, sfDir, graft.GraftConf.sessionGapMinutes(spark))
+
+  def sessionWindowNative(spark: SparkSession, sfDir: String,
+                          gapMinutes: Int): DataFrame =
+    sessionWindowAgg(Tables.events(spark, sfDir), gapMinutes)
+
+  /** The aggregation itself, frame-parametric so the spec can drive it
+    * over a frame with a KNOWN exactly-gap event pair (the fixture may
+    * or may not contain one). */
+  private[graft] def sessionWindowAgg(events: DataFrame,
+                                      gapMinutes: Int): DataFrame =
+    events
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id").asc, col("session_start").asc)
+
+  def sessionWindowNativeSql(gapMinutes: Int = graft.GraftConf.DefaultSessionGap): String = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    s"""SELECT user_id,
+       |       MIN(ts) AS session_start,
+       |       MAX(ts) + INTERVAL $gapMinutes MINUTE AS session_end,
+       |       COUNT(*) AS n_events
+       |FROM (SELECT user_id, ts,
+       |             CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > $gapUs THEN 1 ELSE 0 END)
+       |               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |      FROM (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+       |                   LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+       |            FROM events
+       |            WHERE ts IS NOT NULL AND user_id IS NOT NULL))
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id ASC, session_start ASC""".stripMargin
+  }
+
   /** The ordered funnel stages for [[funnelStages]]. */
   val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
 

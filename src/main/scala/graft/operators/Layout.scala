@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-layout optimization — Z-order (Morton-curve) clustering, the
+  * technique a 100 TB lake uses so that file-level min/max statistics
+  * can skip data for predicates on MORE THAN ONE column. A linear sort
+  * on `l_partkey` makes partkey ranges per file tight but leaves
+  * `l_suppkey` spanning its whole domain in every file; interleaving
+  * the bits of both keys onto one space-filling curve keeps BOTH
+  * ranges narrow, at the cost of each being a little wider than a
+  * dedicated sort.
+  *
+  * [[zorderLayout]] is the effectiveness READOUT of that layout — it
+  * assigns every row to its Z-curve file bucket and reports the
+  * per-bucket min/max of both keys (exactly the footer statistics a
+  * scan planner would prune on) plus the row count. The whole pipeline
+  * is integer arithmetic on broadcast min/max scalars — deterministic,
+  * and replayed verbatim by the DuckDB oracle. The spec quantifies the
+  * claim: the summed min/max span AREA of the Z-order buckets is far
+  * below a partkey-sorted layout's (whose suppkey spans stay ~full
+  * domain).
+  *
+  * Scale shape: one pass to compute the two (min, max) scalars
+  * (broadcast), one map to compute bin/zval/bucket (codegen'd bit
+  * arithmetic, no shuffle), one (bucket)-keyed aggregate — at 100 TB
+  * the actual rewrite would `repartitionByRange(zval)` + write; the
+  * bucket id here IS that range split, stated arithmetically so the
+  * oracle can verify it. */
+object LayoutOps {
+
+  /** Bits per dimension (8 ⇒ 256×256 Z-cells, 16-bit zval). */
+  val ZBits = 8
+
+  /** File buckets the curve is cut into (64 ⇒ zval div 1024). */
+  val ZFiles = 64
+
+  /** Morton interleave of the two [[ZBits]]-bit bins as a Σ of
+    * `div`/`%` terms — ALL-INTEGER (a float division here could round
+    * a bin boundary at corpus-scale key magnitudes), and textually the
+    * same arithmetic the oracle replays. x rides the even bit
+    * positions, y the odd. */
+  private val mortonExpr: String =
+    (0 until ZBits).map { i =>
+      s"((xb div ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+        s"((yb div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"))
+    val stats = li.agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+    val cells = 1L << (2 * ZBits)
+    li.crossJoin(broadcast(stats))
+      .selectExpr("l_partkey", "l_suppkey",
+        s"((l_partkey - pmin) * ${1 << ZBits}) div (pmax - pmin + 1) AS xb",
+        s"((l_suppkey - smin) * ${1 << ZBits}) div (smax - smin + 1) AS yb")
+      .selectExpr("l_partkey", "l_suppkey", s"($mortonExpr) AS zval")
+      .selectExpr("l_partkey", "l_suppkey",
+        s"zval div ${cells / ZFiles} AS bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+        min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+      .orderBy(col("bucket").asc)
+  }
+
+  /** The oracle replays the identical integer arithmetic — bins from
+    * the same min/max scalars, the interleave as a Σ of
+    * division/modulo terms, the same bucket cut. */
+  val zorderLayoutSql: String = {
+    val terms = (0 until ZBits).map { i =>
+      s"((xb // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+        s"((yb // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    val cells = 1L << (2 * ZBits)
+    s"""WITH stats AS (SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+       |                      MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+       |               FROM lineitem),
+       |binned AS (SELECT l_partkey, l_suppkey,
+       |                  ((l_partkey - pmin) * ${1 << ZBits}) // (pmax - pmin + 1) AS xb,
+       |                  ((l_suppkey - smin) * ${1 << ZBits}) // (smax - smin + 1) AS yb
+       |           FROM lineitem, stats),
+       |zed AS (SELECT l_partkey, l_suppkey, ($terms) AS zval FROM binned)
+       |SELECT zval // ${cells / ZFiles} AS bucket,
+       |       COUNT(*) AS n_rows,
+       |       MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
+       |       MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max
+       |FROM zed
+       |GROUP BY 1
+       |ORDER BY bucket ASC""".stripMargin
+  }
+}

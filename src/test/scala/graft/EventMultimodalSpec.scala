@@ -10,6 +10,58 @@ class EventMultimodalSpec extends SparkSpec {
     assert(n == Tables.events(spark, sf).count())
   }
 
+  test("native session_window: partitions all events; exact-gap event starts a NEW session") {
+    import org.apache.spark.sql.functions._
+    // fixture identity: every event lands in exactly one native session
+    val rows = EventOps.sessionWindowNative(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sf).where(col("ts").isNotNull && col("user_id").isNotNull).count())
+    // boundary semantics (empirical pin — this is what the oracle's
+    // strict `delta > gap` split relies on): an event at EXACTLY gap
+    // after its predecessor still merges; one microsecond past opens a
+    // new session
+    import spark.implicits._
+    val gapMin = 30
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = new java.sql.Timestamp(t0.getTime + gapMin * 60000L) // exactly gap
+    val two = Seq((1L, 1L, t0), (2L, 1L, t1))
+      .toDF("event_id", "user_id", "ts")
+    assert(EventOps.sessionWindowAgg(two, gapMin).count() == 1)
+    val t1out = java.sql.Timestamp.from(t0.toInstant
+      .plusSeconds(gapMin * 60L).plusNanos(1000))
+    val twoOut = Seq((1L, 1L, t0), (2L, 1L, t1out))
+      .toDF("event_id", "user_id", "ts")
+    assert(EventOps.sessionWindowAgg(twoOut, gapMin).count() == 2)
+  }
+
+  test("z-order layout: buckets partition all rows and beat a single-key sort's skip area") {
+    import graft.operators.LayoutOps
+    import org.apache.spark.sql.functions._
+    val rows = LayoutOps.zorderLayout(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == li.count())
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0 && b < LayoutOps.ZFiles
+    })
+    def area(r: org.apache.spark.sql.Row): Long =
+      (r.getAs[Long]("p_max") - r.getAs[Long]("p_min") + 1) *
+        (r.getAs[Long]("s_max") - r.getAs[Long]("s_min") + 1)
+    val zArea = rows.map(area).sum
+    // the contrast layout: same file count, cut by partkey rank alone
+    val linear = li.select(col("l_partkey"), col("l_suppkey"))
+      .withColumn("bucket", ntile(LayoutOps.ZFiles)
+        .over(org.apache.spark.sql.expressions.Window.orderBy(col("l_partkey"))))
+      .groupBy(col("bucket"))
+      .agg(min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+        min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+      .collect()
+    val linArea = linear.map(area).sum
+    // both keys stay narrow on the curve; the sorted layout leaves
+    // suppkey spanning ~the whole domain in every file
+    assert(zArea < linArea,
+      s"z-order area $zArea should beat single-key-sort area $linArea")
+  }
+
   test("sessions partition all events; end >= start; gap rule holds across sessions") {
     val rows = EventOps.sessionize(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sf).count())
