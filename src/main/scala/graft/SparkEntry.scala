@@ -381,6 +381,8 @@ object SparkEntry {
     }),
     "profile_lineitem"    -> ((s, dir) => DataQuality.profileLineitem(s, dir)),
     "dq_checks"           -> ((s, dir) => DataQuality.dqChecks(s, dir)),
+    "orders_reconcile"    -> ((s, dir) => DataQuality.ordersReconcile(s, dir)),
+    "doc_length_winsor"   -> ((s, dir) => TextAnalysis.docLengthWinsor(s, dir)),
     "sql_profile"         -> ((s, dir) => {
       graft.sources.Tables.ensureViews(s, dir); s.sql(DataQuality.profileLineitemSql)
     }),
@@ -599,6 +601,8 @@ object SparkEntry {
     "sql_pivot_pricing"   -> RankSetOps.pivotPricingSql,
     "profile_lineitem"    -> DataQuality.profileLineitemSql,
     "dq_checks"           -> DataQuality.dqChecksSql,
+    "orders_reconcile"    -> DataQuality.ordersReconcileSql,
+    "doc_length_winsor"   -> TextAnalysis.docLengthWinsorSql,
     "sql_profile"         -> DataQuality.profileLineitemSql,
     "sql_dq_checks"       -> DataQuality.dqChecksSql,
     "epoch_plan"          -> Curation.epochPlanSql,

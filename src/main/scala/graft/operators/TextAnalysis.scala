@@ -76,6 +76,63 @@ object TextAnalysis {
       .orderBy(col("source").asc)
   }
 
+  /** Winsorization readout — the length-outlier clip a training
+    * pipeline applies before packing: per source, the exact P5/P95
+    * document-length thresholds and how many documents each tail clip
+    * would touch. Runs entirely on the (source, n_chars) histogram:
+    * corpus-scale work is ONE slim aggregate; the threshold compare and
+    * tail counts are histogram-sized (O(distinct lengths)), with the
+    * per-source quantile frame broadcast back onto it. Thresholds are
+    * [[ExactQuantiles]] type-7 doubles; the `n_chars < p05` compares
+    * promote exact integers into doubles identically on both engines,
+    * and the only reported non-integers are the two threshold values
+    * themselves (never a Σ of doubles). */
+  def docLengthWinsor(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = docs(spark, sfDir)
+      .where(col("text").isNotNull)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val thresholds = ExactQuantiles.fromHistogram(hist, Seq("source"),
+        "n_chars", "cnt", Seq("p05_chars" -> 0.05, "p95_chars" -> 0.95),
+        extraAggs = Seq(sum(col("cnt")).as("n_docs")))
+    hist.join(broadcast(thresholds), Seq("source"))
+      .groupBy(col("source"), col("n_docs"),
+        col("p05_chars"), col("p95_chars"))
+      .agg(
+        sum(when(col("n_chars") < col("p05_chars"), col("cnt")).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col("n_chars") > col("p95_chars"), col("cnt")).otherwise(0L))
+          .as("n_clipped_hi"))
+      .select(col("source"), col("n_docs"), col("p05_chars"),
+        col("p95_chars"), col("n_clipped_lo"), col("n_clipped_hi"))
+      .orderBy(col("source").asc)
+  }
+
+  val docLengthWinsorSql: String =
+    s"""WITH r AS (SELECT source, n_chars, COUNT(*) AS cnt FROM documents
+       |           WHERE text IS NOT NULL GROUP BY source, n_chars),
+       |w AS (SELECT source, n_chars, cnt,
+       |             SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars ASC
+       |                            ROWS UNBOUNDED PRECEDING) AS cum,
+       |             SUM(cnt) OVER (PARTITION BY source) AS n
+       |      FROM r),
+       |agg AS (SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       |               ${ExactQuantiles.replaySelectSql("0.05", "p05", "n_chars")},
+       |               ${ExactQuantiles.replaySelectSql("0.95", "p95", "n_chars")}
+       |        FROM w GROUP BY source),
+       |thr AS (SELECT source, n_docs,
+       |               ${ExactQuantiles.replayInterpSql("p05")} AS p05_chars,
+       |               ${ExactQuantiles.replayInterpSql("p95")} AS p95_chars
+       |        FROM agg)
+       |SELECT thr.source, thr.n_docs, thr.p05_chars, thr.p95_chars,
+       |       CAST(SUM(CASE WHEN r.n_chars < thr.p05_chars THEN r.cnt ELSE 0 END) AS BIGINT)
+       |         AS n_clipped_lo,
+       |       CAST(SUM(CASE WHEN r.n_chars > thr.p95_chars THEN r.cnt ELSE 0 END) AS BIGINT)
+       |         AS n_clipped_hi
+       |FROM r JOIN thr USING (source)
+       |GROUP BY thr.source, thr.n_docs, thr.p05_chars, thr.p95_chars
+       |ORDER BY thr.source ASC""".stripMargin
+
   /** Oracle: replays the [[ExactQuantiles]] selection + interpolation
     * explicitly (see [[ExactQuantiles.replaySelectSql]]) — DuckDB's
     * median/quantile_cont agree on this fixture but their interpolation

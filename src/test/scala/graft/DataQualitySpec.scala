@@ -36,6 +36,58 @@ class DataQualitySpec extends SparkSpec {
       .forall(_.getAs[Long]("n_checked") == liCount))
   }
 
+  test("cogroup reconcile: classes partition all orders; every class fires on real rows") {
+    import spark.implicits._
+    val rows = DataQuality.ordersReconcile(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == Tables.orders(spark, sf).count())
+    // the three classes partition each status row exactly
+    assert(rows.forall(r => r.getAs[Long]("n_no_lines") +
+      r.getAs[Long]("n_contiguous") + r.getAs[Long]("n_broken") ==
+      r.getAs[Long]("n_orders")))
+    // the fixture's line numbering is genuinely dirty (random 1..7 with
+    // dups), so ALL three classes are exercised by real rows — the
+    // audit's non-zero counts are what the oracle hash-verifies
+    assert(rows.map(_.getAs[Long]("n_no_lines")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_contiguous")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_broken")).sum > 0)
+    // planted defects: order 2 has a gap (1,3), order 3 duplicates (1,1),
+    // order 4 has no lines at all, order 5 starts at 2
+    val orders = Seq((1L, "F"), (2L, "F"), (3L, "O"), (4L, "O"), (5L, "O"))
+      .toDF("o_orderkey", "o_orderstatus")
+    val lines = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 1L),
+      (5L, 2L)).toDF("l_orderkey", "l_linenumber")
+    val got = DataQuality.reconcileCore(orders, lines).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_orders"),
+        r.getAs[Long]("n_no_lines"), r.getAs[Long]("n_contiguous"),
+        r.getAs[Long]("n_broken"))).toMap
+    assert(got == Map("F" -> ((2L, 0L, 1L, 1L)), "O" -> ((3L, 1L, 0L, 2L))))
+  }
+
+  test("winsorize readout: thresholds and tail counts match a driver-side type-7 replay") {
+    val rows = graft.operators.TextAnalysis.docLengthWinsor(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCols = Tables.documents(spark, sf)
+      .where(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("source", "n_chars").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    def t7(xs: Seq[Long], q: Double): Double = {
+      val pos = q * (xs.length - 1)
+      val lo = xs(pos.toInt); val hi = xs(math.min(pos.toInt + 1, xs.length - 1))
+      lo.toDouble + (pos - math.floor(pos)) * (hi.toDouble - lo.toDouble)
+    }
+    rows.foreach { r =>
+      val xs = byCols(r.getString(0))
+      val (p05, p95) = (t7(xs, 0.05), t7(xs, 0.95))
+      assert(r.getAs[Double]("p05_chars") == p05 && r.getAs[Double]("p95_chars") == p95)
+      assert(r.getAs[Long]("n_clipped_lo") == xs.count(_ < p05))
+      assert(r.getAs[Long]("n_clipped_hi") == xs.count(_ > p95))
+      assert(r.getAs[Long]("n_docs") == xs.length)
+      // the clip touches at most ~5% per tail by construction
+      assert(r.getAs[Long]("n_clipped_lo") <= xs.length / 10 &&
+        r.getAs[Long]("n_clipped_hi") <= xs.length / 10)
+    }
+  }
+
   test("rule engine: known violations are counted, per rule, in one pass") {
     import spark.implicits._
     val bad = Seq(
