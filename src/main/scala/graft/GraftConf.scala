@@ -102,6 +102,14 @@ object GraftConf {
     * Verify guard — pinned by a spec running 1 and 4096 bands. */
   val CurriculumBandsKey = "spark.graft.curriculum.bands"
 
+  /** Opt-in planning-time cartesian guard
+    * (`graft.plans.NoCartesianGuard`): fail a query at optimization
+    * time when an inner/cross join has no equi-key and both sides
+    * exceed the broadcast threshold. Trivially result-invariant — the
+    * rule either throws or leaves the plan untouched — so no Verify
+    * guard is needed. */
+  val NoCartesianGuardKey = "spark.graft.guard.noCartesian"
+
   val DefaultTopK = 10
   val DefaultQ1Start = "1996-01-01"
   val DefaultQ1End = "1997-12-31 23:59:59"
@@ -123,6 +131,8 @@ object GraftConf {
   val DefaultCurriculumBands = 256
 
   def topK(s: SparkSession): Int = s.conf.get(TopKKey, DefaultTopK.toString).toInt
+  def noCartesianGuard(s: SparkSession): Boolean =
+    s.conf.get(NoCartesianGuardKey, "false").toBoolean
   def q1Start(s: SparkSession): String = s.conf.get(Q1StartKey, DefaultQ1Start)
   def q1End(s: SparkSession): String = s.conf.get(Q1EndKey, DefaultQ1End)
   def q1cStart(s: SparkSession): String = s.conf.get(Q1cStartKey, DefaultQ1cStart)

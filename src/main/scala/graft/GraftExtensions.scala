@@ -6,14 +6,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{AnnBuckets, DotLong, TokenCount}
 
 /** Session-extensions installer: makes the library's native expressions
-  * available to ANY session (including pure-SQL users) via
-  * `--conf spark.sql.extensions=graft.GraftExtensions` — the standard
-  * deployment path for custom Catalyst functions on a cluster. The
-  * programmatic twin is `DotLong.register(spark)` /
-  * `AnnBuckets.register(spark)` for sessions built in code.
+  * AND its optimizer rule available to ANY session (including pure-SQL
+  * users) via `--conf spark.sql.extensions=graft.GraftExtensions` — the
+  * standard deployment path for custom Catalyst surface on a cluster.
+  * The programmatic twins are `DotLong.register(spark)` /
+  * `AnnBuckets.register(spark)` / `NoCartesianGuard.install(spark)` for
+  * sessions built in code. The injected rule
+  * ([[graft.plans.NoCartesianGuard]]) is opt-in by conf and trivially
+  * result-invariant: it fails runaway cartesian plans at optimization
+  * time, it never rewrites them.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(graft.plans.NoCartesianGuard(_))
     ext.injectFunction((
       FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
