@@ -299,6 +299,7 @@ object SparkEntry {
     "revenue_by_month"    -> ((s, dir) => AnalyticsExt.revenueByMonth(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => AnalyticsExt.q3ShippingPriority(s, dir)),
     "revenue_cumulative"  -> ((s, dir) => AnalyticsExt.cumulativeRevenue(s, dir)),
+    "revenue_trailing_range" -> ((s, dir) => AnalyticsExt.trailingRangeRevenue(s, dir)),
     "q4_order_priority"   -> ((s, dir) => TpchExt.q4OrderPriority(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => TpchExt.q6ForecastRevenue(s, dir)),
     "q12_priority_class"  -> ((s, dir) => TpchExt.q12PriorityClass(s, dir)),
@@ -559,6 +560,7 @@ object SparkEntry {
     "revenue_by_month"    -> AnalyticsExt.revenueByMonthSql,
     "q3_shipping_priority" -> AnalyticsExt.q3ShippingPrioritySql(),
     "revenue_cumulative"  -> AnalyticsExt.cumulativeRevenueSql,
+    "revenue_trailing_range" -> AnalyticsExt.trailingRangeRevenueSql,
     "q4_order_priority"   -> TpchExt.q4OrderPrioritySql,
     "q6_forecast_revenue" -> TpchExt.q6ForecastRevenueSql,
     "q12_priority_class"  -> TpchExt.q12PriorityClassSql,

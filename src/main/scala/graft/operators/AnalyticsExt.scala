@@ -429,6 +429,46 @@ object AnalyticsExt {
       .orderBy(col("month").asc)
   }
 
+  /** Trailing 7-CALENDAR-DAY revenue — the RANGE-frame window class
+    * ([[cumulativeRevenue]] is ROWS-framed): the frame is a VALUE
+    * interval over the day number, so calendar gaps matter — a day
+    * following a 10-day quiet spell sums only itself, where a
+    * `ROWS 6 PRECEDING` frame would wrongly reach back across the gap.
+    * Same scale discipline as the cumulative query: the corpus
+    * collapses to one exact-cents row per DAY first (bounded by the
+    * date domain, not the row count), and only that bounded frame rides
+    * the single ordered partition. All sums are exact decimals; the
+    * two IEEE divisions at the end are per-row. */
+  def trailingRangeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day_num").asc).rangeBetween(-6, 0)
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate").isNotNull)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(RefQueries.revenueCentsExact(col("l_extendedprice"), col("l_discount")).as("rc"))
+      .withColumn("day_num", datediff(col("day"), lit("1995-01-01").cast("date")))
+      .withColumn("trail", sum(col("rc")).over(w))
+      .select(col("day"),
+        (col("rc").cast("double") / 10000.0).as("day_revenue"),
+        (col("trail").cast("double") / 10000.0).as("trailing_7d_revenue"))
+      .orderBy(col("day").asc)
+  }
+
+  val trailingRangeRevenueSql: String =
+    s"""WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+       |                  ${RefQueries.revenueCentsExactSql("l_extendedprice", "l_discount")} AS rc
+       |           FROM lineitem
+       |           WHERE l_shipdate IS NOT NULL
+       |           GROUP BY day),
+       |n AS (SELECT day, rc, day - DATE '1995-01-01' AS day_num FROM d)
+       |SELECT day,
+       |       CAST(rc AS DOUBLE) / 10000.0 AS day_revenue,
+       |       CAST(SUM(rc) OVER (ORDER BY day_num ASC
+       |                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |         / 10000.0 AS trailing_7d_revenue
+       |FROM n
+       |ORDER BY day ASC""".stripMargin
+
   val cumulativeRevenueSql: String =
     s"""WITH m AS (SELECT date_trunc('month', l_shipdate) AS month,
        |                  ${RefQueries.revenueCentsExactSql("l_extendedprice", "l_discount")} AS rc

@@ -41,7 +41,14 @@ import graft.sources.Tables
 object Pipeline {
 
   def runCuration(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    // write-path telemetry via observe(): the row count is collected BY
+    // the write job itself (a CollectMetrics node on the sink plan), so
+    // the receipt can cross-check what LEFT the pipeline against what
+    // the directory reads back — catching a lossy sink or a concurrent
+    // overwrite — without a second scan of anything
+    val manifestObs = org.apache.spark.sql.Observation("manifest_write")
     val manifest = Curation.corpusManifest(spark, sfDir)
+      .observe(manifestObs, count(lit(1)).as("rows_written"))
     Tables.writeParquetZstd(manifest, s"$outDir/manifest")
     val splits = ClusterOps.leakageSplit(spark, sfDir)
     Tables.writeParquetZstd(splits, s"$outDir/splits")
@@ -56,8 +63,10 @@ object Pipeline {
       .join(spark.read.parquet(s"$outDir/manifest").select(col("doc_id")), "doc_id")
       .join(spark.read.parquet(s"$outDir/splits").select(col("doc_id"), col("split")), "doc_id")
     Tables.writeJsonl(shardRows, s"$outDir/shards", partitionCols = Seq("split"))
+    val observed = manifestObs.get("rows_written").asInstanceOf[Long]
     val counts = Seq(
       ("manifest", spark.read.parquet(s"$outDir/manifest").count(), s"$outDir/manifest"),
+      ("manifest_observed_at_write", observed, s"$outDir/manifest"),
       ("splits", spark.read.parquet(s"$outDir/splits").count(), s"$outDir/splits"),
       ("sequences", spark.read.parquet(s"$outDir/sequences").count(), s"$outDir/sequences"),
       ("shards", Tables.readJsonl(spark, s"$outDir/shards", shardRows.schema).count(),

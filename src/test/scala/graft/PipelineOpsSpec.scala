@@ -459,7 +459,11 @@ class PipelineOpsSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
     val summary = Pipeline.runCuration(spark, sf, out).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(summary.keySet == Set("manifest", "splits", "sequences", "shards"))
+    assert(summary.keySet == Set("manifest", "manifest_observed_at_write",
+      "splits", "sequences", "shards"))
+    // the observe() write-path count agrees with the directory read-back
+    // (what LEFT the pipeline is what landed)
+    assert(summary("manifest_observed_at_write") == summary("manifest"))
     // artifact counts equal the operators they wrap
     assert(summary("manifest") == Curation.corpusManifest(spark, sf).count())
     assert(summary("splits") == Tables.documents(spark, sf).count())
