@@ -406,6 +406,36 @@ object SparkEntry {
       s.sql("SELECT vec_id, label, cos_sim8 FROM graft_int8_topk " +
         "ORDER BY cos_sim8 DESC, vec_id ASC")
     }),
+    "sql_reconcile"       -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_reconcile")
+      s.sql("SELECT o_orderstatus, n_orders, n_no_lines, n_contiguous, n_broken " +
+        "FROM graft_reconcile ORDER BY o_orderstatus ASC")
+    }),
+    "sql_winsor"          -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_winsor")
+      s.sql("SELECT source, n_docs, p05_chars, p95_chars, n_clipped_lo, n_clipped_hi " +
+        "FROM graft_winsor ORDER BY source ASC")
+    }),
+    "sql_zorder"          -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_zorder")
+      s.sql("SELECT bucket, n_rows, p_min, p_max, s_min, s_max " +
+        "FROM graft_zorder ORDER BY bucket ASC")
+    }),
+    "sql_session_native"  -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_session_native")
+      s.sql("SELECT user_id, session_start, session_end, n_events " +
+        "FROM graft_session_native ORDER BY user_id ASC, session_start ASC")
+    }),
+    "sql_attribution"     -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_attribution")
+      s.sql("SELECT click_id, view_id, user_id, gap_us " +
+        "FROM graft_attribution ORDER BY click_id ASC, view_id ASC")
+    }),
+    "sql_trailing_range"  -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_trailing_range")
+      s.sql("SELECT day, day_revenue, trailing_7d_revenue " +
+        "FROM graft_trailing_range ORDER BY day ASC")
+    }),
     "dq_docs"             -> ((s, dir) => DataQuality.dqDocs(s, dir)),
     "sql_dq_docs"         -> ((s, dir) => {
       graft.sources.Tables.ensureViews(s, dir); s.sql(DataQuality.dqDocsSql)
@@ -613,6 +643,12 @@ object SparkEntry {
     "sql_epoch_plan"      -> Curation.epochPlanSql,
     "sql_above_avg"       -> TpchExt.aboveAvgSuppliersSql,
     "sql_int8_topk"       -> Quantization.int8TopKSql,
+    "sql_reconcile"       -> DataQuality.ordersReconcileSql,
+    "sql_winsor"          -> TextAnalysis.docLengthWinsorSql,
+    "sql_zorder"          -> LayoutOps.zorderLayoutSql,
+    "sql_session_native"  -> EventOps.sessionWindowNativeSql(),
+    "sql_attribution"     -> EventOps.attributionWindowSql,
+    "sql_trailing_range"  -> AnalyticsExt.trailingRangeRevenueSql,
     "dq_docs"             -> DataQuality.dqDocsSql,
     "sql_dq_docs"         -> DataQuality.dqDocsSql
   )

@@ -69,7 +69,13 @@ object PipelineViews {
     "graft_quartiles"          -> ((s, d) => TextAnalysis.qualityQuartiles(s, d)),
     "graft_redact"             -> ((s, d) => TextAnalysis.textRedact(s, d)),
     "graft_epoch_plan"         -> ((s, d) => Curation.epochPlan(s, d)),
-    "graft_int8_topk"          -> ((s, d) => Quantization.int8TopK(s, d)))
+    "graft_int8_topk"          -> ((s, d) => Quantization.int8TopK(s, d)),
+    "graft_reconcile"          -> ((s, d) => DataQuality.ordersReconcile(s, d)),
+    "graft_winsor"             -> ((s, d) => TextAnalysis.docLengthWinsor(s, d)),
+    "graft_zorder"             -> ((s, d) => LayoutOps.zorderLayout(s, d)),
+    "graft_session_native"     -> ((s, d) => EventOps.sessionWindowNative(s, d)),
+    "graft_attribution"        -> ((s, d) => EventOps.attributionWindow(s, d)),
+    "graft_trailing_range"     -> ((s, d) => AnalyticsExt.trailingRangeRevenue(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 
