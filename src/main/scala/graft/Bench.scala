@@ -12,6 +12,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // benchmark under the same planning-time cartesian guard Verify runs
+    graft.plans.NoCartesianGuard.install(spark)
+    spark.conf.set(GraftConf.NoCartesianGuardKey, "true")
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }

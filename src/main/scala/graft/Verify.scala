@@ -20,6 +20,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Arm the planning-time cartesian guard for the whole dump: every
+    // registered query is thereby certified guard-clean at OPTIMIZATION
+    // time (a runaway join would fail its dump and the round), on top of
+    // the physical-plan audit in PropertiesSpec.
+    graft.plans.NoCartesianGuard.install(spark)
+    spark.conf.set(GraftConf.NoCartesianGuardKey, "true")
     // Overrides that change only the Spark side while the oracle SQL
     // stays pinned would report false mismatches — refuse rather than
     // mislead. The ANN plane count (oracle derives it from a live
