@@ -66,6 +66,7 @@ object SparkEntry {
     "cell_quality"        -> ((s, dir) => Similarity.cellQualityReport(s, dir)),
     "ivf_index_incr"      -> ((s, dir) => Similarity.knnCellIndexIncremental(s, dir)),
     "events_hourly"       -> ((s, dir) => EventOps.hourlyEventCounts(s, dir)),
+    "events_hourly_incr"  -> ((s, dir) => EventOps.hourlyCountsIncremental(s, dir)),
     "events_sliding"      -> ((s, dir) => EventOps.slidingEventCounts(s, dir)),
     "events_sessions"     -> ((s, dir) => EventOps.sessionize(s, dir)),
     "events_json_props"   -> ((s, dir) => EventOps.propsExtract(s, dir)),
@@ -492,6 +493,7 @@ object SparkEntry {
     "knn_label_ivf"       -> Similarity.knnLabelIvfSql,
     "cell_quality"        -> Similarity.cellQualityReportSql,
     "events_hourly"       -> EventOps.hourlyEventCountsSql,
+    "events_hourly_incr"  -> EventOps.hourlyCountsIncrementalSql,
     "events_sliding"      -> EventOps.slidingEventCountsSql,
     "events_sessions"     -> EventOps.sessionizeSql(),
     "events_json_props"   -> EventOps.propsExtractSql,

@@ -42,6 +42,46 @@ object EventOps {
        |GROUP BY window_start, event_type
        |ORDER BY window_start ASC, event_type ASC""".stripMargin
 
+  /** Cutoff for [[hourlyCountsIncremental]] — deliberately NOT
+    * hour-aligned, so one bucket spans both sides and the merge must
+    * really add partials. */
+  val HourlyIncrCutoff = "2024-01-16 12:30:00"
+
+  /** Incremental maintenance of the hourly rollup — the
+    * materialized-view refresh pattern: the pre-cutoff corpus plays
+    * "yesterday's stored rollup", the post-cutoff slice is "today's
+    * landing", and the result is the additive merge of the two partial
+    * aggregates. The merge happens on EXACT integer cents and counts
+    * (a stored `sum_value` double would make the merged sum depend on
+    * which side divided first); the single scale-back division runs
+    * after the merge, so the output is bit-identical to the full
+    * recompute — which is exactly what the oracle states. At 100 TB
+    * this is the difference between re-aggregating the corpus nightly
+    * and aggregating one day's landing: delta-sized work, same answer. */
+  def hourlyCountsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit(HourlyIncrCutoff).cast("timestamp")
+    def partial(pred: org.apache.spark.sql.Column): DataFrame =
+      Tables.events(spark, sfDir)
+        .where(col("ts").isNotNull && col("event_type").isNotNull && pred)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(RefQueries.cents(col("value"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sc"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sc"))
+    partial(col("ts") < cutoff)
+      .unionByName(partial(col("ts") >= cutoff))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), sum(col("sc")).as("sc"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        (col("sc").cast("double") / 100.0).as("sum_value"))
+      .orderBy(col("window_start").asc, col("event_type").asc)
+  }
+
+  /** Oracle = the FULL recompute ([[hourlyEventCountsSql]]): the
+    * incremental merge must be indistinguishable from it. */
+  val hourlyCountsIncrementalSql: String = hourlyEventCountsSql
+
   /** Trailing-window anomaly ratio — the monitor a pipeline points at
     * its event feed: each (hour, event_type) count against the mean of
     * the previous 24 OBSERVED hours of that type (bounded frame `ROWS

@@ -42,7 +42,7 @@ object LayoutOps {
     * a bin boundary at corpus-scale key magnitudes), and textually the
     * same arithmetic the oracle replays. x rides the even bit
     * positions, y the odd. */
-  private val mortonExpr: String =
+  private[graft] val mortonExpr: String =
     (0 until ZBits).map { i =>
       s"((xb div ${1L << i}) % 2) * ${1L << (2 * i)} + " +
         s"((yb div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"

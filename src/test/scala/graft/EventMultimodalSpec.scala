@@ -10,6 +10,23 @@ class EventMultimodalSpec extends SparkSpec {
     assert(n == Tables.events(spark, sf).count())
   }
 
+  test("incremental hourly merge equals the full recompute; the cutoff bucket straddles") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val got = EventOps.hourlyCountsIncremental(spark, dir).collect().map(_.toString)
+    val full = EventOps.hourlyEventCounts(spark, dir).collect().map(_.toString)
+    assert(got.sameElements(full))
+    // the cutoff hour has rows on BOTH sides of the cutoff instant, so
+    // the additive merge of a partially-built bucket is actually
+    // exercised (an hour-aligned cutoff would make the union disjoint)
+    val cutoff = lit(EventOps.HourlyIncrCutoff).cast("timestamp")
+    val inCutoffHour = Tables.events(spark, dir)
+      .where(col("ts").isNotNull &&
+        date_trunc("hour", col("ts")) === date_trunc("hour", cutoff))
+    assert(inCutoffHour.where(col("ts") < cutoff).count() > 0)
+    assert(inCutoffHour.where(col("ts") >= cutoff).count() > 0)
+  }
+
   test("native session_window: partitions all events; exact-gap event starts a NEW session") {
     import org.apache.spark.sql.functions._
     // fixture identity: every event lands in exactly one native session

@@ -29,6 +29,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("Morton interleave is a bijection on the full cell grid, inverse-recoverable") {
+    import spark.implicits._
+    // the OPERATOR's own SQL expression over every (xb, yb) cell
+    val cells = (0 until (1 << graft.operators.LayoutOps.ZBits)).toDF("xb")
+      .selectExpr("CAST(xb AS BIGINT) AS xb")
+      .crossJoin((0 until (1 << graft.operators.LayoutOps.ZBits)).toDF("yb")
+        .selectExpr("CAST(yb AS BIGINT) AS yb"))
+      .selectExpr("xb", "yb", s"(${graft.operators.LayoutOps.mortonExpr}) AS zval")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = 1 << (2 * graft.operators.LayoutOps.ZBits)
+    assert(cells.length == n)
+    assert(cells.map(_._3).distinct.length == n, "zval is a bijection")
+    assert(cells.forall { case (_, _, z) => z >= 0 && z < n })
+    // de-interleave inverts: even bits reassemble xb, odd bits yb
+    def unzip(z: Long): (Long, Long) = {
+      var (x, y, i) = (0L, 0L, 0)
+      while (i < graft.operators.LayoutOps.ZBits) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      (x, y)
+    }
+    assert(cells.forall { case (xb, yb, z) => unzip(z) == ((xb, yb)) })
+  }
+
   test("as-of join equals the brute-force per-row maximum (seeded random)") {
     import spark.implicits._
     val rng = new Random(1234)
