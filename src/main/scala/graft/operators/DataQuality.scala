@@ -37,6 +37,17 @@ object DataQuality {
     "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
     "l_returnflag", "l_linestatus", "l_shipdate")
 
+  /** The double-typed profile columns — their distinct-pass rendering
+    * adds `+ 0.0` so the signed zeros collapse (`-0.0 + 0.0 = 0.0`):
+    * value-distinct (what `COUNT(DISTINCT)` computes on BOTH engines,
+    * where -0.0 = 0.0) must equal render-distinct, and the raw
+    * renderings "0.0"/"-0.0" would break that on a feed carrying
+    * negative zeros. A no-op for every other double (including NaN,
+    * which both engines' DISTINCT also treat as one value and which
+    * renders uniquely). */
+  private val LineitemDoubleCols: Set[String] =
+    Set("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
   /** Per-column profile: (column_name, n_nulls, n_distinct, min_val,
     * max_val), one row per column. Two scans, both whole-stage codegen:
     * pass 1 is one wide non-distinct aggregate (nulls + typed min/max);
@@ -61,7 +72,10 @@ object DataQuality {
     }.mkString(", ")
     val base = row.selectExpr(s"stack(${LineitemCols.size}, $stackArgs) AS " +
       "(column_name, n_nulls, min_val, max_val)")
-    val unpivot = LineitemCols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    val unpivot = LineitemCols.map { c =>
+      if (LineitemDoubleCols(c)) s"'$c', CAST($c + 0.0 AS STRING)"
+      else s"'$c', CAST($c AS STRING)"
+    }.mkString(", ")
     val distincts = li
       .selectExpr(s"stack(${LineitemCols.size}, $unpivot) AS (column_name, val)")
       .where(col("val").isNotNull)

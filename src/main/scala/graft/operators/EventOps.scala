@@ -220,14 +220,10 @@ object EventOps {
 
   /** Time-range join without a cartesian: for each error event, the
     * count of the same user's clicks within ±[[RangeJoinWindowSec]]
-    * seconds. A naive inequality join plans as a per-user nested loop;
-    * instead both sides are bucketed into window-width time chunks and
-    * the error side probes its chunk ± 1 — an EQUI-join on (user,
-    * chunk) whose shuffle is O(rows), with the exact |Δt| predicate
-    * applied after. Each click lives in exactly one chunk, so no
-    * double counting; chunk width = window width guarantees every
-    * qualifying pair lands in a probed chunk. Same banding idea as the
-    * dedup/ANN joins, applied to a numeric range. */
+    * seconds — the two-sided instance of the shared [[chunkProbeJoin]]
+    * core (errors probe chunk ± 1; the exact |Δt| predicate is the
+    * residual). Same banding idea as the dedup/ANN joins, applied to a
+    * numeric range. */
   val RangeJoinWindowSec = 300
 
   def nearbyClickCounts(spark: SparkSession, sfDir: String): DataFrame = {
@@ -236,13 +232,9 @@ object EventOps {
       .where(col("ts").isNotNull && col("user_id").isNotNull)
     val errs = ev.where(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
-    val probes = errs.select(col("event_id"), col("user_id"), col("us"),
-      explode(array(expr(s"us div $winUs") - 1, expr(s"us div $winUs"),
-        expr(s"us div $winUs") + 1)).as("ck"))
-    val clicks = ev.where(col("event_type") === "click")
-      .select(col("user_id"), unix_micros(col("ts")).as("cus"))
-      .withColumn("ck", expr(s"cus div $winUs"))
-    val matched = probes.join(clicks, Seq("user_id", "ck"))
+    val clicks = chunked(ev.where(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cus")), "cus", winUs)
+    val matched = chunkProbeJoin(errs, "us", clicks, winUs, Seq(-1, 0, 1))
       .where(abs(col("us") - col("cus")) <= winUs)
       .groupBy(col("event_id")).agg(count(lit(1)).as("n_nearby"))
     errs.select(col("event_id"), col("user_id"))
@@ -256,16 +248,33 @@ object EventOps {
     * stream-stream join twin (`EventStream.attributionStream`). */
   val AttributionWindowSec = 21600
 
+  /** The shared chunk-bucketed interval-join core ([[nearbyClickCounts]]
+    * and [[attributionWindow]] both ride it): probe rows explode to
+    * time chunks {ck + o | o ∈ offsets}, build rows carry their single
+    * chunk, and the join is an EQUI-join on (user_id, chunk) — O(rows)
+    * shuffle, never a per-user nested loop. The exhaustiveness
+    * invariant lives HERE, once: with chunk width = winUs, offsets
+    * {-1, 0} cover every pair with build_us ∈ [probe_us − win,
+    * probe_us], and {-1, 0, 1} cover |Δus| ≤ win. The caller applies
+    * the exact bound as a residual filter on the returned frame. */
+  private def chunkProbeJoin(probe: DataFrame, probeUs: String,
+                             build: DataFrame, winUs: Long,
+                             offsets: Seq[Int]): DataFrame = {
+    val probes = probe.withColumn("__ck",
+      explode(array(offsets.map(o => expr(s"$probeUs div $winUs") + o): _*)))
+    probes.join(build, Seq("user_id", "__ck")).drop("__ck")
+  }
+
+  /** Build side of [[chunkProbeJoin]]: tag each row with its chunk. */
+  private def chunked(df: DataFrame, usCol: String, winUs: Long): DataFrame =
+    df.withColumn("__ck", expr(s"$usCol div $winUs"))
+
   /** Windowed click→view attribution: every (click, view) pair of the
     * same user with the view at most [[AttributionWindowSec]] before
     * (or at) the click — the batch statement of the watermarked
-    * stream-stream interval join. Same chunk-bucketing as
-    * [[nearbyClickCounts]]: both sides land in window-width time
-    * chunks, clicks probe chunk−1 and chunk, and the exact bound is a
-    * post-join filter — an equi-join on (user, chunk) whose shuffle is
-    * O(rows), never a per-user nested loop. A view in chunk ck can
-    * only match clicks in ck or ck+1, so probing {ck−1, ck} from the
-    * click side is exhaustive and duplicate-free. */
+    * stream-stream interval join, on the shared [[chunkProbeJoin]]
+    * core (clicks probe {ck−1, ck}; the one-sided bound is the
+    * residual). */
   def attributionWindow(spark: SparkSession, sfDir: String): DataFrame = {
     val winUs = AttributionWindowSec.toLong * 1000000L
     val ev = Tables.events(spark, sfDir)
@@ -273,14 +282,10 @@ object EventOps {
     val clicks = ev.where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         unix_micros(col("ts")).as("cus"))
-    val probes = clicks.select(col("click_id"), col("user_id"), col("cus"),
-      explode(array(expr(s"cus div $winUs") - 1, expr(s"cus div $winUs")))
-        .as("ck"))
-    val views = ev.where(col("event_type") === "view")
+    val views = chunked(ev.where(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
-        unix_micros(col("ts")).as("vus"))
-      .withColumn("ck", expr(s"vus div $winUs"))
-    probes.join(views, Seq("user_id", "ck"))
+        unix_micros(col("ts")).as("vus")), "vus", winUs)
+    chunkProbeJoin(clicks, "cus", views, winUs, Seq(-1, 0))
       .where(col("vus") >= col("cus") - winUs && col("vus") <= col("cus"))
       .select(col("click_id"), col("view_id"), col("user_id"),
         (col("cus") - col("vus")).as("gap_us"))

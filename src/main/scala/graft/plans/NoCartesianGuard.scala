@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * contains an inner/cross join with no equi-key whose BOTH sides
   * exceed the broadcast threshold. At 100 TB a planned cartesian is a
   * doomed multi-day stage; the blanket plan audit (PropertiesSpec)
-  * proves the 199 registered queries never produce one, and this rule
+  * proves the registered queries never produce one, and this rule
   * extends the same guarantee to ad-hoc user queries on a session with
   * the library installed — fail in milliseconds, not after the cluster
   * burns a day.
@@ -48,9 +48,16 @@ case class NoCartesianGuard(spark: SparkSession)
       case _ => false
     }
 
+  /** The "small side" floor when broadcasting is disabled entirely
+    * (`autoBroadcastJoinThreshold = -1`): without this, `size > -1` is
+    * true for EVERY plan and the guard would outlaw the legal 1-row
+    * scalar-broadcast pattern too. */
+  private val DisabledBroadcastFloor = 10L * 1024 * 1024
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (graft.GraftConf.noCartesianGuard(spark)) {
-      val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+      val conf = spark.sessionState.conf.autoBroadcastJoinThreshold
+      val thr = if (conf > 0) conf else DisabledBroadcastFloor
       plan.foreach {
         case j: Join if (j.joinType == Inner || j.joinType == Cross) &&
             !hasEquiKey(j) =>

@@ -36,6 +36,18 @@ class DataQualitySpec extends SparkSpec {
       .forall(_.getAs[Long]("n_checked") == liCount))
   }
 
+  test("profile distinct rendering: signed zeros collapse to one value") {
+    import spark.implicits._
+    // the render used by the double-typed profile columns: -0.0 and 0.0
+    // must count as ONE distinct (matching COUNT(DISTINCT) on both
+    // engines), while ordinary values stay injective
+    val vals = Seq(0.0, -0.0, 1.5, -1.5).toDF("v")
+    assert(vals.selectExpr("CAST(v + 0.0 AS STRING) AS s")
+      .distinct().count() == 3)
+    // and the raw render would NOT collapse them (the bug being pinned)
+    assert(vals.selectExpr("CAST(v AS STRING) AS s").distinct().count() == 4)
+  }
+
   test("cogroup reconcile: classes partition all orders; every class fires on real rows") {
     import spark.implicits._
     val rows = DataQuality.ordersReconcile(spark, sf).collect()

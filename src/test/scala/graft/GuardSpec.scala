@@ -20,6 +20,26 @@ class GuardSpec extends SparkSpec {
     a.crossJoin(b).queryExecution.optimizedPlan // must not throw
   }
 
+  test("guard armed with broadcasting DISABLED (-1): scalar cross still legal, big still dies") {
+    NoCartesianGuard.install(spark)
+    arm(true)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.range(10000000L).toDF("x")
+      val b = spark.range(10000000L).toDF("y")
+      // -1 must not turn 'size > threshold' vacuously true: the 1-row
+      // scalar pattern stays legal under the guard's internal floor
+      a.crossJoin(b.agg(count(lit(1)).as("n"))).queryExecution.optimizedPlan
+      intercept[SparkException] {
+        a.crossJoin(b).queryExecution.optimizedPlan
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      arm(false)
+    }
+  }
+
   test("guard armed: big no-key cartesians die at plan time; legal shapes pass") {
     NoCartesianGuard.install(spark)
     arm(true)
