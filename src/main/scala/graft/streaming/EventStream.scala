@@ -91,18 +91,26 @@ object EventStream {
   def attributionStream(events: DataFrame,
                         watermark: String = "2 hours"): DataFrame = {
     val winSec = graft.operators.EventOps.AttributionWindowSec
-    val views = events
+    // an upstream stateful operator (e.g. [[dedupEvents]] in the
+    // at-least-once composition) already carries a watermark on ts;
+    // re-defining one downstream is an analysis error, and the renamed
+    // event-time columns inherit the existing watermark — so only
+    // watermark a bare stream
+    val hasWm = events.queryExecution.analyzed.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => w
+    }.isDefined
+    def wm(df: DataFrame, c: String): DataFrame =
+      if (hasWm) df else df.withWatermark(c, watermark)
+    val views = wm(events
       .where(col("ts").isNotNull && col("user_id").isNotNull &&
              col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-        col("ts").as("view_ts"))
-      .withWatermark("view_ts", watermark)
-    val clicks = events
+        col("ts").as("view_ts")), "view_ts")
+    val clicks = wm(events
       .where(col("ts").isNotNull && col("user_id").isNotNull &&
              col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", watermark)
+        col("ts").as("click_ts")), "click_ts")
     views.join(clicks,
         expr(s"""v_user = c_user
                  AND view_ts <= click_ts

@@ -220,6 +220,35 @@ class SinksStreamingSpec extends SparkSpec {
     assert(ids.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("ingest-dedup composed with the stream-stream join: redelivery yields no duplicate pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.Event]
+    def ev(id: Long, t: String, typ: String) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(t), 7L, typ, 1.0)
+    // chained stateful operators: dropDuplicatesWithinWatermark THEN the
+    // interval self-join — the at-least-once feed shape end-to-end
+    val q = EventStream.attributionStream(EventStream.dedupEvents(input.toDF()))
+      .writeStream.format("memory").queryName("dedup_join_test")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        ev(1, "2024-01-01 00:00:00", "view"),
+        ev(2, "2024-01-01 01:00:00", "click"),
+        ev(2, "2024-01-01 01:00:00", "click"))) // same-batch redelivery
+      q.processAllAvailable()
+      // later-batch redelivery of BOTH sides must not re-emit the pair
+      input.addData(Seq(ev(1, "2024-01-01 00:00:00", "view"),
+        ev(2, "2024-01-01 01:00:00", "click"),
+        ev(3, "2024-01-01 02:00:00", "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("dedup_join_test").collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("view_id")))
+    // view 1 is within the 6h window of both clicks; each pair exactly once
+    assert(pairs.sorted.sameElements(Array((2L, 1L), (3L, 1L))))
+  }
+
   test("streaming PII redaction matches the oracle-verified batch text_redact") {
     import graft.streaming.DocStream
     val dir = Files.createTempDirectory("graft_redactstream").toString
