@@ -23,6 +23,9 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // probe under the same armed cartesian guard Verify and Bench use
+    graft.plans.NoCartesianGuard.install(spark)
+    spark.conf.set(GraftConf.NoCartesianGuardKey, "true")
     val names = if (args.isEmpty) Seq("dedup_simhash_pairs") else args.toSeq
     val unknown = names.toSet -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
