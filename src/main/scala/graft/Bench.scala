@@ -37,15 +37,36 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // a failed query is the -1.0 sentinel in the per-query map; it must
+    // NOT be summed into the total (it would silently SHRINK it) — the
+    // total covers successful queries and failures are listed by name
+    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also persist to the repo: the driver captures the stdout tail,
     // which truncates the per-query map once the registry is this big
     // (r7 lost 53 of 119 numbers) — the file is the complete record.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
+    try {
+      val outPath = java.nio.file.Paths.get(out).toAbsolutePath
+      java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
+      // round-stamped copy, so every round's FULL per-query record is
+      // versioned even though the driver's stdout tail-capture truncates:
+      // the driver's own BENCH_r<N>.json siblings identify the round in
+      // progress (max existing N + 1)
+      val dir = outPath.getParent
+      val R = "BENCH_r(\\d+)\\.json".r
+      val prev = dir.toFile.list() match {
+        case null => Seq.empty[Int]
+        case fs => fs.toSeq.collect { case R(n) => n.toInt }
+      }
+      if (prev.nonEmpty) {
+        val stamped = dir.resolve(f"bench_out_r${prev.max + 1}%02d.json")
+        java.nio.file.Files.write(stamped, (json + "\n").getBytes("UTF-8"))
+      }
+    }
     catch { case e: Throwable => System.err.println(s"bench_out write failed: $e") }
     spark.stop()
   }

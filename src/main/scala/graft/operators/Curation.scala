@@ -260,8 +260,14 @@ object Curation {
     val stot = toks.agg(sum(col("s")).as("s_tot"))
     toks.crossJoin(broadcast(stot))
       .withColumn("target_tokens", expr(s"($EpochBudgetTokens * s) DIV s_tot"))
+      // a language can have docs whose text is non-null but zero-token
+      // (all whitespace): available_tokens = 0 there, and an unguarded
+      // integer DIV diverges across engines (Spark non-ANSI DIV → NULL,
+      // DuckDB // 0 → error) — nothing to repeat means repeat 0
       .withColumn("repeat_x1000",
-        expr("(1000 * target_tokens + available_tokens - 1) DIV available_tokens"))
+        expr("CASE WHEN available_tokens > 0 THEN " +
+          "(1000 * target_tokens + available_tokens - 1) DIV available_tokens " +
+          "ELSE CAST(0 AS BIGINT) END"))
       .select(col("lang"), col("available_tokens"),
         col("target_tokens"), col("repeat_x1000"))
       .orderBy(col("lang").asc)
@@ -280,7 +286,9 @@ object Curation {
        |             CAST(($EpochBudgetTokens * s) // (SELECT SUM(s) FROM s) AS BIGINT) AS target_tokens
        |      FROM s)
        |SELECT lang, available_tokens, target_tokens,
-       |       CAST((1000 * target_tokens + available_tokens - 1) // available_tokens AS BIGINT)
+       |       CAST(CASE WHEN available_tokens > 0
+       |                 THEN (1000 * target_tokens + available_tokens - 1) // available_tokens
+       |                 ELSE 0 END AS BIGINT)
        |         AS repeat_x1000
        |FROM t
        |ORDER BY lang ASC""".stripMargin

@@ -37,16 +37,28 @@ object DataQuality {
     "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
     "l_returnflag", "l_linestatus", "l_shipdate")
 
-  /** The double-typed profile columns — their distinct-pass rendering
-    * adds `+ 0.0` so the signed zeros collapse (`-0.0 + 0.0 = 0.0`):
-    * value-distinct (what `COUNT(DISTINCT)` computes on BOTH engines,
-    * where -0.0 = 0.0) must equal render-distinct, and the raw
-    * renderings "0.0"/"-0.0" would break that on a feed carrying
-    * negative zeros. A no-op for every other double (including NaN,
-    * which both engines' DISTINCT also treat as one value and which
-    * renders uniquely). */
+  /** The double-typed profile columns — rendered through an EXPLICIT
+    * `DECIMAL(18,2)` cast on BOTH engines rather than the engine-default
+    * double→string: Java's `Double.toString` switches to scientific
+    * notation at ≥1e7 while DuckDB never does, so the default renderings
+    * diverge exactly on large money values. The fixture's doubles are
+    * 2-decimal money (quantities, prices, rates — [[LineitemRules]]
+    * police the ranges), so the decimal render is lossless AND identical
+    * text on both engines at any magnitude; it also collapses signed
+    * zeros (BigDecimal has no -0.0), which value-DISTINCT requires.
+    * The oracle counts distinct over the SAME decimal domain so
+    * distinct-on-render equals distinct-on-value by construction. */
   private val LineitemDoubleCols: Set[String] =
     Set("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** The shared fixed-point render — identical SQL text runs on Spark
+    * and DuckDB. `c` picks the render; `x` is the rendered expression
+    * (defaults to the column itself). */
+  private def renderSql(c: String, x: String = null): String = {
+    val e = if (x == null) c else x
+    if (LineitemDoubleCols(c)) s"CAST(CAST($e AS DECIMAL(18,2)) AS STRING)"
+    else s"CAST($e AS STRING)"
+  }
 
   /** Per-column profile: (column_name, n_nulls, n_distinct, min_val,
     * max_val), one row per column. Two scans, both whole-stage codegen:
@@ -57,14 +69,19 @@ object DataQuality {
     * holding 11 COUNT(DISTINCT)s instead plans as a 12-projection Expand
     * feeding one monolithic aggregate — measured 50× slower at sf0.1.)
     * Distinct-on-render equals distinct-on-value because every profiled
-    * type's string rendering is injective (longs, shortest-round-trip
-    * doubles, identity strings, timestamps). */
+    * type's rendering is injective on its domain (longs, 2-decimal money
+    * through the shared DECIMAL(18,2) render, identity strings,
+    * timestamps) — and the oracle distincts over the same decimal
+    * domain, so the equality holds by construction at any magnitude. */
   def profileLineitem(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
+    def render(x: org.apache.spark.sql.Column, c: String): org.apache.spark.sql.Column =
+      if (LineitemDoubleCols(c)) x.cast("decimal(18,2)").cast("string")
+      else x.cast("string")
     val baseAggs = LineitemCols.flatMap { c =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        min(col(c)).cast("string").as(s"${c}_min"),
-        max(col(c)).cast("string").as(s"${c}_max"))
+        render(min(col(c)), c).as(s"${c}_min"),
+        render(max(col(c)), c).as(s"${c}_max"))
     }
     val row = li.agg(baseAggs.head, baseAggs.tail: _*)
     val stackArgs = LineitemCols.map { c =>
@@ -73,8 +90,7 @@ object DataQuality {
     val base = row.selectExpr(s"stack(${LineitemCols.size}, $stackArgs) AS " +
       "(column_name, n_nulls, min_val, max_val)")
     val unpivot = LineitemCols.map { c =>
-      if (LineitemDoubleCols(c)) s"'$c', CAST($c + 0.0 AS STRING)"
-      else s"'$c', CAST($c AS STRING)"
+      s"'$c', ${renderSql(c)}"
     }.mkString(", ")
     val distincts = li
       .selectExpr(s"stack(${LineitemCols.size}, $unpivot) AS (column_name, val)")
@@ -90,11 +106,13 @@ object DataQuality {
 
   val profileLineitemSql: String =
     LineitemCols.map { c =>
+      val distinctArg =
+        if (LineitemDoubleCols(c)) s"CAST($c AS DECIMAL(18,2))" else c
       s"""SELECT '$c' AS column_name,
          |       COUNT(*) - COUNT($c) AS n_nulls,
-         |       COUNT(DISTINCT $c) AS n_distinct,
-         |       CAST(MIN($c) AS STRING) AS min_val,
-         |       CAST(MAX($c) AS STRING) AS max_val
+         |       COUNT(DISTINCT $distinctArg) AS n_distinct,
+         |       ${renderSql(c, s"MIN($c)")} AS min_val,
+         |       ${renderSql(c, s"MAX($c)")} AS max_val
          |FROM lineitem""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "\nORDER BY column_name ASC")
 

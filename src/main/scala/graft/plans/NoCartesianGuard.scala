@@ -34,10 +34,14 @@ case class NoCartesianGuard(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
   private def oneEachSide(j: Join, a: Expression, b: Expression): Boolean =
-    (a.references.subsetOf(j.left.outputSet) &&
-      b.references.subsetOf(j.right.outputSet)) ||
-      (a.references.subsetOf(j.right.outputSet) &&
-        b.references.subsetOf(j.left.outputSet))
+    // both sides must actually reference attributes: a foldable equality
+    // (empty references) passes subsetOf vacuously on BOTH sides and
+    // would exempt a de facto cartesian from the guard
+    a.references.nonEmpty && b.references.nonEmpty &&
+      ((a.references.subsetOf(j.left.outputSet) &&
+        b.references.subsetOf(j.right.outputSet)) ||
+        (a.references.subsetOf(j.right.outputSet) &&
+          b.references.subsetOf(j.left.outputSet)))
 
   /** Does any conjunct equate one attribute set from each side? That is
     * exactly what turns the join into a hash/sort-merge shape. */

@@ -100,8 +100,12 @@ object EmbedStream {
           // BestKByScore's exact ordering: (cos desc, vec_id asc), then
           // the vote argmax ties (n_votes desc, label asc) — the batch
           // voteTail semantics in JVM form over this query's candidates
+          // `cos + 0.0` collapses the signed zeros before negating: SQL's
+          // `cos DESC` treats -0.0 = 0.0, but Java's total order puts
+          // -(+0.0) = -0.0 before -(-0.0) = +0.0, which would flip the
+          // vid tiebreak on a zero-cosine tie at k's boundary
           val top = rows.flatMap(_._2).toArray
-            .sortBy { case (cos, vid, _) => (-cos, vid) }.take(k)
+            .sortBy { case (cos, vid, _) => (-(cos + 0.0), vid) }.take(k)
           if (top.isEmpty) Iterator.empty
           else {
             val (lbl, votes) = top.groupBy(_._3)

@@ -22,7 +22,8 @@ class DataQualitySpec extends SparkSpec {
     val flag = rows.find(_.getString(0) == "l_returnflag").get
     assert(flag.getAs[String]("min_val") == "A" && flag.getAs[String]("max_val") == "R")
     val qty = rows.find(_.getString(0) == "l_quantity").get
-    assert(qty.getAs[String]("min_val") == "1.0" && qty.getAs[String]("max_val") == "50.0")
+    // doubles render through the shared DECIMAL(18,2) cast: fixed 2dp
+    assert(qty.getAs[String]("min_val") == "1.00" && qty.getAs[String]("max_val") == "50.00")
   }
 
   test("dq_checks: clean fixture reports EVERY rule with zero violations") {
@@ -36,16 +37,22 @@ class DataQualitySpec extends SparkSpec {
       .forall(_.getAs[Long]("n_checked") == liCount))
   }
 
-  test("profile distinct rendering: signed zeros collapse to one value") {
+  test("profile double render: fixed-point, signed-zero-collapsing, 2dp-injective") {
     import spark.implicits._
-    // the render used by the double-typed profile columns: -0.0 and 0.0
-    // must count as ONE distinct (matching COUNT(DISTINCT) on both
-    // engines), while ordinary values stay injective
+    // the shared DECIMAL(18,2) render used by the double-typed profile
+    // columns: -0.0 and 0.0 must count as ONE distinct (matching
+    // COUNT(DISTINCT) on both engines), 2-decimal money stays injective
     val vals = Seq(0.0, -0.0, 1.5, -1.5).toDF("v")
-    assert(vals.selectExpr("CAST(v + 0.0 AS STRING) AS s")
+    assert(vals.selectExpr("CAST(CAST(v AS DECIMAL(18,2)) AS STRING) AS s")
       .distinct().count() == 3)
-    // and the raw render would NOT collapse them (the bug being pinned)
-    assert(vals.selectExpr("CAST(v AS STRING) AS s").distinct().count() == 4)
+    // large money values render fixed-point — Java's Double.toString
+    // flips to scientific notation at >=1e7 (the cross-engine divergence
+    // the decimal render exists to remove)
+    val big = Seq(12345678.25).toDF("v")
+    assert(big.selectExpr("CAST(CAST(v AS DECIMAL(18,2)) AS STRING) AS s")
+      .head().getString(0) == "12345678.25")
+    assert(big.selectExpr("CAST(v AS STRING) AS s")
+      .head().getString(0).toLowerCase.contains("e")) // the pinned bug
   }
 
   test("cogroup reconcile: classes partition all orders; every class fires on real rows") {
