@@ -224,6 +224,88 @@ class ScaleOpsSpec extends SparkSpec {
       s"per-band ranking windows must partition by band:\n$plan")
   }
 
+  test("hot LSH band bucket: occupancy cap bounds the candidate pairs a boilerplate family generates") {
+    import graft.operators.DedupOps
+    // a boilerplate-heavy corpus: 30 byte-identical documents (ONE hot
+    // band bucket in every band) + 12 unrelated documents sharing no
+    // shingles. Written as a real documents table so the cap is
+    // exercised through the full text→shingle→signature→band pipeline.
+    val boiler = "terms of service apply to all content on this mirror " +
+      "site including the parts nobody reads ever"
+    // every token parameterized by i — the 12 docs share ZERO shingles,
+    // so cross-pairs can only come from the boilerplate family
+    val uniq = (0 until 12).map(i =>
+      s"subject$i matter$i detail$i depth$i angle$i topic$i " +
+        s"scope$i theme$i facet$i aspect$i layer$i field$i")
+    val rows = (0 until 30).map(i => (i.toLong, boiler)) ++
+      uniq.zipWithIndex.map { case (t, i) => ((100 + i).toLong, t) }
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotbucket").toString
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def candidates(): Long = {
+      graft.operators.Materialize.reset(spark)
+      DedupOps.minhashCandidates(spark, dir).count()
+    }
+    try {
+      // uncapped (default 1000): the boilerplate family alone generates
+      // C(30,2) = 435 pairs — quadratic in occupancy, the scale hazard
+      assert(candidates() == 435L)
+      // capped at 10: every band bucket the family occupies exceeds the
+      // cap and is dropped BEFORE the self-join, so the family generates
+      // ZERO pairs (unique docs share no bucket either way). AQE can
+      // split an oversized partition but cannot reduce the pairs a hot
+      // bucket GENERATES — only the cap does that.
+      spark.conf.set(GraftConf.MinhashBucketCapKey, "10")
+      assert(candidates() == 0L)
+    } finally {
+      spark.conf.unset(GraftConf.MinhashBucketCapKey)
+      graft.operators.Materialize.reset(spark)
+    }
+  }
+
+  test("AQE skew-join splits the hot-key partition of a sort-merge join") {
+    import spark.implicits._
+    // one hot key carrying ~90% of the fact rows — the shape a capped
+    // band join or a viral-user event join degrades to. AQE must mark
+    // the SMJ as a skew join and split the oversized partition; the
+    // salted fallback (SkewOps.saltedJoin, tested above) covers shapes
+    // AQE cannot (e.g. the dimension side too big to broadcast but the
+    // runtime stats too coarse). Thresholds are scaled down to fixture
+    // size; at 100 TB the defaults (256 MB) play the same role.
+    val hot = spark.range(0, 200000).select(lit(1L).as("k"), col("id").as("payload"))
+    val cold = spark.range(0, 20000).select((col("id") % 500 + 2).as("k"), col("id").as("payload"))
+    val fact = hot.unionByName(cold)
+    val dim = spark.range(0, 502).select(col("id").as("k"), col("id").as("d"))
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val joined = fact.join(dim, "k")
+      // execute THIS frame (not a derived count plan): the skew marker
+      // only exists in the adaptively re-planned final physical plan
+      val n = joined.collect().length
+      assert(n == 220000, s"join result wrong: $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot-key SMJ as a skew join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("exact quantiles come from histograms — no buffering percentile/median aggregate") {
     import graft.operators.{AnalyticsExt, TextAnalysis}
     // the buffering aggregates hold every group value in one buffer —
