@@ -36,6 +36,11 @@ import graft.sources.Tables
   */
 object ClusterOps {
 
+  /** Rounds the last [[componentsOf]] call took to converge — a
+    * diagnostic readout for the O(log diameter) claim (ScaleEvidence
+    * measures it across fixture scales). Driver-side only. */
+  @volatile private[graft] var lastConvergenceRounds: Int = -1
+
   /** Connected components of an undirected edge list (`doc_a`,
     * `doc_b`): one row per node appearing in any edge, labeled with its
     * component's minimum node id. */
@@ -67,18 +72,22 @@ object ClusterOps {
         val nbrMin = sym.join(labels.toDF("nbr", "nbr_label"), "nbr")
           .groupBy(col("node")).agg(min(col("nbr_label")).as("nbr_min"))
         val jump = labels.toDF("jnode", "jlabel")
-        val next = labels
+        // the convergence check is FUSED into the round: the stepped
+        // frame carries the previous label, so "did anything change" is
+        // a filter-count over the round's own checkpoint blocks — not
+        // (as before) an extra shuffled join of next against labels,
+        // which cost one more exchange per round at every scale
+        val stepped = labels
           .join(nbrMin, Seq("node"), "left")
           .join(jump, col("label") === col("jnode"), "left")
-          .select(col("node"),
+          .select(col("node"), col("label").as("old_label"),
             least(col("label"),
               coalesce(col("nbr_min"), col("label")),
               coalesce(col("jlabel"), col("label"))).as("label"))
           .localCheckpoint(true)
-        val changed = next.toDF("node", "new_label").join(labels, "node")
-          .where(col("new_label") =!= col("label")).count()
+        val changed = stepped.where(col("label") =!= col("old_label")).count()
         Materialize.free(labels)
-        labels = next
+        labels = stepped.select(col("node"), col("label"))
         converged = changed == 0
         iter += 1
       }
@@ -93,6 +102,7 @@ object ClusterOps {
         throw e
     }
     Materialize.free(sym)
+    lastConvergenceRounds = iter
     labels
   }
 
@@ -137,7 +147,11 @@ object ClusterOps {
     *
     *  1. baseline labels = components of the corpus-only near-dup graph
     *     (in production these are STORED from the last run; here
-    *     recomputed from the `doc_id % 10 != 0` slice);
+    *     derived by RESTRICTING the session's memoized verified-pair
+    *     frame to non-delta endpoints — a projection of work another
+    *     cluster consumer already paid, standing in for the stored
+    *     label table without re-running banding + verification on the
+    *     90% slice);
     *  2. delta edges = Jaccard-verified pairs touching the delta
     *     ([[DedupOps.incrementalCandidatesFromBands]] — cost
     *     proportional to the delta, never Σ bucket²);
@@ -149,16 +163,19 @@ object ClusterOps {
     *
     * Because every cluster label is its component's minimum doc id, the
     * minimum over merged super-nodes equals the full re-run's label —
-    * so the ORACLE is the full re-clustering itself (exact whenever no
-    * band bucket sits at the occupancy cap, as in the pinned fixtures;
-    * a capped bucket could let the two runs band differently, which is
-    * inherent to capped LSH, not to the merge). */
+    * so the ORACLE is the full re-clustering itself. With the baseline
+    * restricted from the FULL corpus banding, baseline ∪ delta edges
+    * partition the full verified-pair set exactly (every pair either
+    * touches a delta doc or does not), so the equality holds even when
+    * a band bucket sits at the occupancy cap — the r8 slice-banding
+    * caveat is gone. */
   def incrementalClusters(spark: SparkSession, sfDir: String): DataFrame = {
     var inners: List[DataFrame] = Nil
     val labels = Materialize.memoized(spark, s"cc_incr_${Materialize.dirTag(sfDir)}") {
       val sigs = DedupOps.signatures(spark, sfDir, keepHs = true)
       val baseLabels = componentsOf(spark,
-        DedupOps.nearDupJaccardFromSignatures(sigs.where(col("doc_id") % 10 =!= 0))
+        DedupOps.nearDupJaccard(spark, sfDir)
+          .where(col("doc_a") % 10 =!= 0 && col("doc_b") % 10 =!= 0)
           .select(col("doc_a"), col("doc_b")))
       val deltaEdges = DedupOps.jaccardVerify(
           DedupOps.incrementalCandidates(spark, sfDir), sigs)

@@ -110,12 +110,23 @@ object DedupOps {
     * fault-tolerance trade-off as kmeansCentroids); it is memoized per
     * (variant, dir, session) via [[Materialize]] so repeated query
     * constructions never leak checkpoint blocks. */
-  private[graft] def signatures(spark: SparkSession, sfDir: String, keepHs: Boolean): DataFrame =
-    Materialize.memoized(spark, s"minhash_sig_${keepHs}_${Materialize.dirTag(sfDir)}") {
+  private[graft] def signatures(spark: SparkSession, sfDir: String, keepHs: Boolean): DataFrame = {
+    val tag = Materialize.dirTag(sfDir)
+    def build = Materialize.memoized(spark, s"minhash_sig_${keepHs}_$tag") {
       val mins = (0 until NumHashes).map(i => min(TextOps.permute(col("h"), i)).as(s"m$i"))
       val aggs = if (keepHs) mins :+ collect_set(col("h")).as("hs") else mins
       shingleHashes(spark, sfDir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     }
+    if (keepHs) build
+    else
+      // the hs-less variant is a PROJECTION of the richer memo — if the
+      // session already paid for that one (any jaccard-verified
+      // pipeline), serve it by dropping `hs` instead of re-running the
+      // whole text→shingle→signature pipeline into a second checkpoint
+      Materialize.existing(spark, s"minhash_sig_false_$tag")
+        .orElse(Materialize.existing(spark, s"minhash_sig_true_$tag").map(_.drop("hs")))
+        .getOrElse(build)
+  }
 
   /** The capped band rows as a storable relation — what a production
     * pipeline persists (bucketed by `band_key`) so periodic
@@ -297,7 +308,9 @@ object DedupOps {
     * thresholded. The division is one IEEE op over exact integers —
     * deterministic. */
   def nearDupJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    nearDupJaccardFromSignatures(signatures(spark, sfDir, keepHs = true))
+    Materialize.memoized(spark, s"neardup_pairs_${Materialize.dirTag(sfDir)}") {
+      nearDupJaccardFromSignatures(signatures(spark, sfDir, keepHs = true))
+    }
 
   /** Distinct candidate pairs from the banded self-join — the shared
     * discovery step of the jaccard and containment verifiers. */

@@ -43,6 +43,14 @@ private[graft] object Materialize {
     }
   }
 
+  /** The already-memoized frame for `key`, if this session built one —
+    * for callers that can SERVE one memo variant as a projection of a
+    * richer one instead of building a second checkpoint. */
+  def existing(spark: SparkSession, key: String): Option[DataFrame] = {
+    val name = Prefix + key
+    if (spark.catalog.tableExists(name)) Some(spark.table(name)) else None
+  }
+
   /** Key-safe tag for a fixture dir: the sanitized path (readable in
     * view names) plus an md5 suffix, so two dirs that differ only in
     * punctuation — or that a 32-bit `hashCode` would collide — can
