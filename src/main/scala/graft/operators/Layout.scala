@@ -48,18 +48,106 @@ object LayoutOps {
         s"((yb div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
 
-  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (l_partkey, l_suppkey, zval): every lineitem row on the Morton
+    * curve — the shared projection under both the [[zorderLayout]]
+    * readout and the [[zorderWrite]] sink. */
+  private def zvalFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_suppkey"))
     val stats = li.agg(
       min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
       min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
-    val cells = 1L << (2 * ZBits)
     li.crossJoin(broadcast(stats))
       .selectExpr("l_partkey", "l_suppkey",
         s"((l_partkey - pmin) * ${1 << ZBits}) div (pmax - pmin + 1) AS xb",
         s"((l_suppkey - smin) * ${1 << ZBits}) div (smax - smin + 1) AS yb")
       .selectExpr("l_partkey", "l_suppkey", s"($mortonExpr) AS zval")
+  }
+
+  /** MATERIALIZE the Z-order layout: range-partition the rows by zval
+    * into [[ZFiles]] output files (each file a contiguous curve range,
+    * sorted within so row-group statistics are tight) and write
+    * parquet. This is exactly "the rewrite at 100 TB": the same
+    * repartitionByRange + write, only the file count scales. The
+    * comparison baseline a lake would migrate FROM is
+    * [[singleKeyWrite]]. */
+  def zorderWrite(spark: SparkSession, sfDir: String, outDir: String,
+                  files: Int = ZFiles): Unit =
+    zvalFrame(spark, sfDir)
+      .repartitionByRange(files, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .drop("zval")
+      .write.mode("overwrite").parquet(outDir)
+
+  /** The single-key-sorted baseline layout: same file count, range
+    * partitioned + sorted on `l_partkey` alone — partkey ranges per
+    * file are as tight as possible, suppkey spans ~the whole domain in
+    * every file. */
+  def singleKeyWrite(spark: SparkSession, sfDir: String, outDir: String,
+                     files: Int = ZFiles): Unit =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .repartitionByRange(files, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(outDir)
+
+  /** What a statistics-pruning scan must READ from `dir` to answer a
+    * two-sided box predicate `l_partkey ∈ [pMin,pMax] ∧ l_suppkey ∈
+    * [sMin,sMax]`: walks every parquet footer and keeps each row group
+    * whose (min,max) ranges intersect the box on BOTH columns — the
+    * identical file/row-group-level skipping a parquet reader performs
+    * from those same footer statistics. Driver-side footer walk over a
+    * file LISTING (bounded by file count, never data). */
+  def scanEstimate(spark: SparkSession, dir: String,
+                   pMin: Long, pMax: Long, sMin: Long, sMax: Long): ScanEstimate = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    var filesToRead, rowGroups, rowGroupsToRead = 0
+    var rows, rowsToRead = 0L
+    files.foreach { p =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        var touched = false
+        rd.getFooter.getBlocks.asScala.foreach { b =>
+          rowGroups += 1
+          rows += b.getRowCount
+          def range(name: String): (Long, Long) = {
+            val st = b.getColumns.asScala
+              .find(_.getPath.toDotString == name).get.getStatistics
+            (st.genericGetMin.asInstanceOf[Number].longValue(),
+              st.genericGetMax.asInstanceOf[Number].longValue())
+          }
+          val (pmn, pmx) = range("l_partkey")
+          val (smn, smx) = range("l_suppkey")
+          if (pmx >= pMin && pmn <= pMax && smx >= sMin && smn <= sMax) {
+            rowGroupsToRead += 1
+            rowsToRead += b.getRowCount
+            touched = true
+          }
+        }
+        if (touched) filesToRead += 1
+      } finally rd.close()
+    }
+    ScanEstimate(files.length, filesToRead, rowGroups, rowGroupsToRead, rows, rowsToRead)
+  }
+
+  /** Footer-statistics scan audit for one layout directory and one box
+    * predicate: of `files`/`rowGroups`/`rows` present, a pruning reader
+    * must touch `filesToRead`/`rowGroupsToRead`/`rowsToRead`. */
+  final case class ScanEstimate(files: Int, filesToRead: Int,
+                                rowGroups: Int, rowGroupsToRead: Int,
+                                rows: Long, rowsToRead: Long)
+
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = 1L << (2 * ZBits)
+    zvalFrame(spark, sfDir)
       .selectExpr("l_partkey", "l_suppkey",
         s"zval div ${cells / ZFiles} AS bucket")
       .groupBy(col("bucket"))

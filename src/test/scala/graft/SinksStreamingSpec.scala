@@ -9,6 +9,51 @@ import org.apache.spark.sql.functions._
 
 class SinksStreamingSpec extends SparkSpec {
 
+  test("z-order write path: materialized layout skips row groups a partkey sort must read") {
+    import graft.operators.LayoutOps
+    // sf0.01, not the suite's sf0.001: the curve needs non-degenerate
+    // key domains (sf0.001's ~10-value suppkey collapses the y bins)
+    val sf01 = "/root/testdata/sf0.01"
+    val zDir = Files.createTempDirectory("graft_zlayout").toString
+    val pDir = Files.createTempDirectory("graft_players").toString
+    // 256 files: the scale-realistic regime where the query box spans
+    // many file-sized curve ranges (at 100 TB, files outnumber the box
+    // by orders of magnitude; 64 fixture-sized files would make each
+    // file as LARGE as the whole box, flattering neither layout)
+    LayoutOps.zorderWrite(spark, sf01, zDir, files = 256)
+    LayoutOps.singleKeyWrite(spark, sf01, pDir, files = 256)
+    // a box predicate over BOTH keys, ~1/8 of each domain, placed inside
+    // one curve quadrant (fractions 5/16..7/16) — the multi-column
+    // pruning case Z-order exists for
+    val li = Tables.lineitem(spark, sf01)
+    val Array(dom) = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).collect()
+    def frac(lo: Long, hi: Long, num: Long): Long = lo + (hi - lo) * num / 16
+    val (pLo, pHi) = (frac(dom.getLong(0), dom.getLong(1), 5), frac(dom.getLong(0), dom.getLong(1), 7))
+    val (sLo, sHi) = (frac(dom.getLong(2), dom.getLong(3), 5), frac(dom.getLong(2), dom.getLong(3), 7))
+    def boxCount(dir: String): Long = spark.read.parquet(dir)
+      .where(col("l_partkey").between(pLo, pHi) && col("l_suppkey").between(sLo, sHi))
+      .count()
+    // both layouts hold the same data and answer the predicate identically
+    assert(boxCount(zDir) == boxCount(pDir))
+    assert(boxCount(zDir) == li.where(
+      col("l_partkey").between(pLo, pHi) && col("l_suppkey").between(sLo, sHi)).count())
+    // footer statistics: what a pruning reader must actually read
+    val z = LayoutOps.scanEstimate(spark, zDir, pLo, pHi, sLo, sHi)
+    val p = LayoutOps.scanEstimate(spark, pDir, pLo, pHi, sLo, sHi)
+    info(s"zorder: $z")
+    info(s"partkey-sorted: $p")
+    assert(z.rows == p.rows, "layouts must hold identical row counts")
+    // the partkey sort prunes partkey-disjoint files but every surviving
+    // file spans ~the full suppkey domain; the Z layout keeps both
+    // ranges narrow, so it must read strictly fewer rows — at least 2×
+    // fewer (measured ~4-8× at fixture scale)
+    assert(z.rowsToRead * 2 <= p.rowsToRead,
+      s"z-order should at least halve the rows a scan reads: z=$z p=$p")
+    assert(z.rowGroupsToRead < p.rowGroupsToRead,
+      s"z-order should touch fewer row groups: z=$z p=$p")
+  }
+
   test("pipe-delimited sink/source round-trip preserves rows (S1/S4/S6 parity)") {
     val dir = Files.createTempDirectory("graft_pipe").toString
     // cast to the text-path schema types (parquet linenumber is int64,
