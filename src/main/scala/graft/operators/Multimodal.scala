@@ -489,6 +489,51 @@ object Multimodal {
     }
   }
 
+  /** A quarantined payload: which document, how many bytes arrived,
+    * and WHY the decoder refused it. */
+  case class MediaVerdict(doc_id: Long, source: String, n_bytes: Long,
+                          reason: String)
+
+  /** The REJECT side of [[audioStats]] — one row per payload the audio
+    * decode path drops, with the reason. Complements the decoded set
+    * by construction: both sides call the same [[decodeWav]] /
+    * [[pcmStats]], so a payload appears in exactly one of them. This
+    * is what makes P4 drops OBSERVABLE: a poisoned media feed shows up
+    * in a quarantine sink with counts and reasons, not as silently
+    * shrinking output. */
+  def audioRejects(media: Dataset[Media]): Dataset[MediaVerdict] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      if (m.payload == null)
+        Some(MediaVerdict(m.doc_id, m.source, 0L, "null_payload"))
+      else decodeWav(m.payload) match {
+        case None =>
+          Some(MediaVerdict(m.doc_id, m.source, m.payload.length.toLong,
+            "wav_decode_failed"))
+        case Some((fmt, pcm)) =>
+          if (pcmStats(fmt, pcm).isEmpty)
+            Some(MediaVerdict(m.doc_id, m.source, m.payload.length.toLong,
+              "unsupported_pcm_format"))
+          else None
+      }
+    })
+  }
+
+  /** The reject side of [[videoFrames]] — same contract as
+    * [[audioRejects]] over the container parser (a corrupt frame
+    * rejects its whole document, so the verdict is per document). */
+  def videoRejects(media: Dataset[Media]): Dataset[MediaVerdict] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      if (m.payload == null)
+        Some(MediaVerdict(m.doc_id, m.source, 0L, "null_payload"))
+      else if (decodeVideo(m.payload).isEmpty)
+        Some(MediaVerdict(m.doc_id, m.source, m.payload.length.toLong,
+          "video_parse_failed"))
+      else None
+    })
+  }
+
   /** The decode-to-stats transform shared by the batch query and the
     * streaming ingest ([[graft.streaming.MediaStream]]): decode is
     * per-row pure, so ONE function serves both frame kinds and the

@@ -54,4 +54,26 @@ object MediaStream {
         .select(col("doc_id"), col("source"), col("payload"))
         .as[Multimodal.Media])
   }
+
+  /** Streaming media QUARANTINE, audio side: the `violationsStream`
+    * pattern (DocStream) for binary payloads — every payload the decode
+    * path refuses (null, undecodable, unsupported format) flows to a
+    * quarantine sink with its reason instead of being silently dropped.
+    * NOTE: deliberately no `payload IS NOT NULL` pre-filter — null
+    * payloads are the quarantine's business. Stateless, so checkpoint
+    * recovery is the file-source's exactly-once replay. */
+  def audioQuarantineStream(media: DataFrame): Dataset[Multimodal.MediaVerdict] = {
+    import media.sparkSession.implicits._
+    Multimodal.audioRejects(
+      media.select(col("doc_id"), col("source"), col("payload"))
+        .as[Multimodal.Media])
+  }
+
+  /** Streaming media quarantine, video-container side. */
+  def videoQuarantineStream(media: DataFrame): Dataset[Multimodal.MediaVerdict] = {
+    import media.sparkSession.implicits._
+    Multimodal.videoRejects(
+      media.select(col("doc_id"), col("source"), col("payload"))
+        .as[Multimodal.Media])
+  }
 }

@@ -612,6 +612,74 @@ class SinksStreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming media quarantine equals the batch reject set across a checkpoint restart") {
+    import graft.streaming.MediaStream
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft_mq_in").toString
+    val outDir = Files.createTempDirectory("graft_mq_out").toString
+    val ckpt = Files.createTempDirectory("graft_mq_ckpt").toString
+    // poison ~3/7 of the corpus deterministically: truncated payload,
+    // garbage-overwritten header, null payload — the three arrival
+    // shapes of a corrupt media feed
+    def poison(m: Multimodal.Media): Multimodal.Media = (m.doc_id % 7) match {
+      case 0 => Multimodal.Media(m.doc_id, m.source, m.payload.take(10))
+      case 1 => Multimodal.Media(m.doc_id, m.source,
+        "not a riff header".getBytes ++ m.payload.drop(17))
+      case 2 => Multimodal.Media(m.doc_id, m.source, null)
+      case _ => m
+    }
+    val media = Multimodal.wavPayloads(spark, sf).map(poison)
+    // batch ground truth: rejects ∪ decoded EXACTLY partition the feed
+    val batchRejects = Multimodal.audioRejects(media).collect()
+    val decoded = Multimodal.audioStats(media).collect()
+    assert(batchRejects.nonEmpty && decoded.nonEmpty)
+    assert(batchRejects.length + decoded.length == media.count(),
+      "every payload must be decoded or quarantined, never both/neither")
+    assert(batchRejects.map(_.doc_id).toSet.intersect(decoded.map(_.doc_id).toSet).isEmpty)
+    assert(batchRejects.map(_.reason).toSet ==
+      Set("wav_decode_failed", "null_payload"))
+    // stream the feed in two halves with a kill + checkpoint recovery
+    // between them: quarantine rows must survive exactly-once
+    val ids = media.map(_.doc_id).collect().sorted
+    val mid = ids(ids.length / 2)
+    def writeChunk(lo: Boolean, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_mq_chunk").toString
+      media.filter(m => (m.doc_id < mid) == lo).toDF()
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Path.of(inDir, name))
+    }
+    def runStream(): Unit = {
+      val q = MediaStream.audioQuarantineStream(MediaStream.readMediaStream(spark, inDir))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeChunk(lo = true, "f1.parquet")
+    runStream() // phase 1, then the query is killed
+    writeChunk(lo = false, "f2.parquet")
+    runStream() // recovery from the checkpoint
+    val streamed = spark.read.parquet(outDir).collect().map(_.toString).sorted
+    assert(streamed.sameElements(batchRejects.map(r =>
+      org.apache.spark.sql.Row(r.doc_id, r.source, r.n_bytes, r.reason).toString).sorted),
+      "streamed quarantine must equal the batch reject set, no loss, no duplicates")
+    // video container side: same contract, batch-level
+    def poisonVideo(m: Multimodal.Media): Multimodal.Media = (m.doc_id % 5) match {
+      case 0 => Multimodal.Media(m.doc_id, m.source, m.payload.take(4))
+      case 1 => Multimodal.Media(m.doc_id, m.source, null)
+      case _ => m
+    }
+    val video = Multimodal.videoPayloads(spark, sf).map(poisonVideo)
+    val vRejects = Multimodal.videoRejects(video).collect()
+    val vDecodedDocs = Multimodal.videoFrames(video).collect().map(_.doc_id).distinct
+    assert(vRejects.nonEmpty && vDecodedDocs.nonEmpty)
+    assert(vRejects.length + vDecodedDocs.length == video.count())
+    assert(vRejects.map(_.reason).toSet == Set("video_parse_failed", "null_payload"))
+  }
+
   test("streaming kNN labeling matches the oracle-verified batch knn_label_ivf") {
     import graft.streaming.EmbedStream
     // file-source replay of the embeddings fixture -> served predictions
