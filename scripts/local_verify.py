@@ -2,7 +2,7 @@
 """Local stand-in for the driver's correctness gate: compare Verify's
 parquet dumps against the DuckDB oracle SQL, column-sorted like the
 driver does. Usage: local_verify.py <sfDir> <outDir> [query ...]"""
-import datetime, json, sys, math
+import datetime, json, os, sys, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -31,7 +31,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; GenScale output is a
+        # directory of part files under <table>.parquet/
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     unknown = only - set(oracle)
     if unknown:

@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deterministic scale-up of the pinned harness fixtures — produces an
+  * sfN directory (default 10× sf0.1 ≈ sf1) so the 100× design claims in
+  * PLANS.md can be MEASURED above the driver's largest fixture instead
+  * of argued from plan shape alone.
+  *
+  * Construction: REP disjoint replicas of the source tables. Every
+  * int64 key domain is offset by `rep * 10_000_000` (all fixture keys
+  * are far below 10M), so referential integrity (orders→customer,
+  * lineitem→orders/part/supplier, events→user, docs, vectors) holds
+  * replica-by-replica and per-key group sizes — join fan-outs, session
+  * lengths, near-dup cluster sizes — are preserved while key
+  * cardinality grows linearly, which is exactly how a larger corpus
+  * grows (more users/docs, not longer sessions per user).
+  *
+  * Two columns need more than an offset:
+  *  - `documents.text`: replica r>0 applies a letter ROTATION
+  *    (translate over [a-zA-Z], shift r) — length-preserving (so
+  *    `n_chars` stays true) and token-shape-preserving, but shingles
+  *    become disjoint across replicas, so replicas do not collapse
+  *    into cross-replica near-dup cliques (which would make LSH bucket
+  *    occupancy grow with REP², nothing like real corpus growth).
+  *  - `embeddings.embedding`: replica r cyclically rotates the vector
+  *    by r positions — an isometry (within-replica dot/cosine structure
+  *    is bit-preserved) that decorrelates replicas.
+  *
+  * `region`/`nation` stay fixed (TPC-H dims do not scale with SF).
+  *
+  * Output layout: `<outDir>/<table>.parquet` as a DIRECTORY of part
+  * files (sized for parallel scans), which `spark.read.parquet` reads
+  * directly and DuckDB reads via a glob over the directory.
+  *
+  *   sbt -batch "runMain graft.tools.GenScale /root/testdata/sf0.1 scale/sf1 10"
+  */
+object GenScale {
+
+  val Off = 10000000L
+
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+  private def rot(s: String, r: Int): String =
+    s.drop(r % s.length) + s.take(r % s.length)
+
+  /** CASE over the replica id: identity for rep 0, letter rotation r
+    * for replica r (upper and lower case rotated in lockstep). */
+  private def rotText(text: org.apache.spark.sql.Column,
+                      rep: org.apache.spark.sql.Column,
+                      reps: Int): org.apache.spark.sql.Column =
+    (1 until reps).foldLeft(text) { (acc, r) =>
+      when(rep === r,
+        translate(text, lower + lower.toUpperCase,
+          rot(lower, r) + rot(lower, r).toUpperCase)).otherwise(acc)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "scale/sf1"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame): DataFrame =
+      df.select(col("*"), explode(lit((0 until reps).toArray)).as("rep"))
+
+    def offsetKeys(df: DataFrame, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + col("rep") * Off))
+
+    def write(df: DataFrame, name: String, files: Int): Unit = {
+      df.drop("rep").repartition(files).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+      println(s"[genscale] wrote $name x$reps -> $outDir/$name.parquet ($files files)")
+    }
+
+    // fixed-size dims: copy through unchanged
+    for (t <- Seq("region", "nation"))
+      Tables.load(spark, srcDir, t).write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet")
+
+    write(offsetKeys(replicate(Tables.load(spark, srcDir, "customer")), "c_custkey"),
+      "customer", 4)
+    write(offsetKeys(replicate(Tables.load(spark, srcDir, "supplier")), "s_suppkey"),
+      "supplier", 2)
+    write(offsetKeys(replicate(Tables.load(spark, srcDir, "part")), "p_partkey"),
+      "part", 4)
+    write(offsetKeys(replicate(Tables.load(spark, srcDir, "orders")),
+      "o_orderkey", "o_custkey"), "orders", 16)
+    write(offsetKeys(replicate(Tables.load(spark, srcDir, "lineitem")),
+      "l_orderkey", "l_partkey", "l_suppkey"), "lineitem", 32)
+    // events via Tables.events so nanos-as-long ts is normalized to a
+    // real timestamp column (micros) in the written file — DuckDB and
+    // Spark then agree on it exactly as they do on the ns original
+    write(offsetKeys(replicate(Tables.events(spark, srcDir)),
+      "event_id", "user_id"), "events", 16)
+    write(
+      offsetKeys(replicate(Tables.load(spark, srcDir, "documents")), "doc_id")
+        .withColumn("text", rotText(col("text"), col("rep"), reps)),
+      "documents", 4)
+    val emb = offsetKeys(replicate(Tables.load(spark, srcDir, "embeddings")), "vec_id")
+      .withColumn("embedding",
+        when(col("rep") === 0, col("embedding")).otherwise(
+          concat(
+            expr("slice(embedding, rep + 1, size(embedding) - rep)"),
+            expr("slice(embedding, 1, rep)"))))
+    write(emb, "embeddings", 4)
+    spark.stop()
+  }
+}
