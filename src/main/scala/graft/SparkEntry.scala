@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, DataQuality, Decontamination, DedupOps, EventOps, LayoutOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Sharding, Similarity, TextAnalysis, TpchComplete, TpchExt}
+import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, DataQuality, Decontamination, DedupOps, EventOps, LayoutOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Sharding, Similarity, SpanDedup, TextAnalysis, TpchComplete, TpchExt}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,8 @@ object SparkEntry {
     "text_keywords_kmv"   -> ((s, dir) => TextAnalysis.keywordsPerSourceKmv(s, dir)),
     "approx_distinct_tokens" -> ((s, dir) => TextAnalysis.approxDistinctTokens(s, dir)),
     "dedup_exact"         -> ((s, dir) => DedupOps.dedupExact(s, dir)),
+    "dedup_spans"         -> ((s, dir) => SpanDedup.dedupSpans(s, dir)),
+    "span_dup_rate"       -> ((s, dir) => SpanDedup.spanDupRate(s, dir)),
     "dedup_incremental"   -> ((s, dir) => DedupOps.incrementalCandidates(s, dir)),
     "dedup_clusters"      -> ((s, dir) => ClusterOps.dedupClusters(s, dir)),
     "quality_repetition"  -> ((s, dir) => QualityFilters.repetitionStats(s, dir)),
@@ -143,6 +145,14 @@ object SparkEntry {
     "sql_near_dups"       -> ((s, dir) => {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_near_dups")
       s.sql("SELECT doc_a, doc_b, jaccard FROM graft_near_dups ORDER BY doc_a ASC, doc_b ASC")
+    }),
+    "sql_spans"           -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_dedup_spans")
+      s.sql("SELECT span_hash, n_docs, n_occ, first_doc FROM graft_dedup_spans ORDER BY n_docs DESC, n_occ DESC, span_hash ASC")
+    }),
+    "sql_span_rate"       -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_span_dup_rate")
+      s.sql("SELECT doc_id, n_windows, n_dup_windows, dup_rate FROM graft_span_dup_rate ORDER BY doc_id ASC")
     }),
     "sql_sessions"        -> ((s, dir) => {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_sessions")
@@ -462,6 +472,8 @@ object SparkEntry {
     "text_keywords_kmv"   -> TextAnalysis.keywordsPerSourceKmvSql(),
     "approx_distinct_tokens" -> TextAnalysis.approxDistinctTokensSql,
     "dedup_exact"         -> DedupOps.dedupExactSql,
+    "dedup_spans"         -> SpanDedup.dedupSpansSql,
+    "span_dup_rate"       -> SpanDedup.spanDupRateSql,
     "dedup_incremental"   -> DedupOps.incrementalCandidatesSql,
     "dedup_clusters"      -> ClusterOps.dedupClustersSql,
     "quality_repetition"  -> QualityFilters.repetitionStatsSql,
@@ -535,6 +547,8 @@ object SparkEntry {
     "sql_funnel"          -> EventOps.funnelStagesSql,
     "sql_dedup_exact"     -> DedupOps.dedupExactSql,
     "sql_near_dups"       -> DedupOps.nearDupJaccardSql,
+    "sql_spans"           -> SpanDedup.dedupSpansSql,
+    "sql_span_rate"       -> SpanDedup.spanDupRateSql,
     "sql_sessions"        -> EventOps.sessionizeSql(),
     "sql_cosine_topk"     -> Similarity.cosineTopKSql,
     "sql_ann_topk"        -> Similarity.annTopKSql,

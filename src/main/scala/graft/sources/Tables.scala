@@ -32,18 +32,29 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader only
-    * accepts as a long (`spark.sql.legacy.parquet.nanosAsLong`, set in
-    * Verify/Bench). Convert to a microsecond timestamp with exact
-    * integer division (`div`, not `/` — long division through a double
-    * would lose precision above 2^53). DuckDB truncates nanos→micros the
-    * same way on read, so both engines see identical timestamps. */
+  /** `events.ts` normalized to a session-UTC `TimestampType` whatever
+    * the fixture generation wrote, so every downstream `unix_micros` /
+    * window / watermark sees one type:
+    *  - TIMESTAMP(NANOS) parquet (early fixtures) is only readable as a
+    *    long (`spark.sql.legacy.parquet.nanosAsLong`, set in
+    *    Verify/Bench) — convert with exact integer division (`div`,
+    *    not `/` — long division through a double would lose precision
+    *    above 2^53);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (current fixtures)
+    *    reads as TIMESTAMP_NTZ — cast to TimestampType, which
+    *    reinterprets the naive value in the session zone (pinned UTC
+    *    everywhere), i.e. the identical microsecond count.
+    * DuckDB reads either encoding as the same naive timestamp, so both
+    * engines see identical values. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
       case _ => raw
     }
   }

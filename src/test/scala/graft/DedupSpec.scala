@@ -112,4 +112,48 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     assert(highJ.forall(cont))
   }
+
+  private def spanFixture(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("span dedup: a shared 8-token run is found; short docs emit no windows") {
+    import graft.operators.SpanDedup
+    // doc 1 and doc 2 share exactly the window "a b c d e f g h";
+    // doc 3 is shorter than the window width
+    val dir = spanFixture(Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h x y",
+      3L -> "p q r"))
+    val spans = SpanDedup.dedupSpans(spark, dir).collect()
+    assert(spans.length == 1)
+    assert(spans.head.getAs[Long]("n_docs") == 2 &&
+      spans.head.getAs[Long]("n_occ") == 2 &&
+      spans.head.getAs[Long]("first_doc") == 1L)
+    val rates = SpanDedup.spanDupRate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"))).toMap
+    // 10 tokens -> 3 windows of 8, of which 1 (the first) is duplicated
+    assert(rates(1L) == (3L, 1L) && rates(2L) == (3L, 1L) && rates(3L) == (0L, 0L))
+  }
+
+  test("span dedup: within-doc repetition counts toward dup rate but not cross-doc spans") {
+    import graft.operators.SpanDedup
+    // 16 tokens = the 8-token run twice: windows at offsets 0 and 8 are
+    // identical, so the doc repeats ITSELF but shares nothing cross-doc
+    val dir = spanFixture(Seq(
+      1L -> "a b c d e f g h a b c d e f g h",
+      2L -> "t u v w x y z q r s"))
+    assert(SpanDedup.dedupSpans(spark, dir).collect().isEmpty)
+    val rates = SpanDedup.spanDupRate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"))).toMap
+    assert(rates(1L) == (9L, 2L) && rates(2L) == (3L, 0L))
+  }
 }
