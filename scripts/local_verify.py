@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: compare Verify's
 parquet dumps against the DuckDB oracle SQL, column-sorted like the
-driver does. Usage: local_verify.py <sfDir> <outDir> [query ...]"""
+driver does. Values are materialized through PANDAS (`.df()`), exactly
+like the driver — NOT fetchall() Python natives. The difference is the
+whole point: an un-cast DuckDB HUGEINT (e.g. `SUM(CASE ...)`) comes
+back as a Python int via fetchall (== Spark's int64, silent pass) but
+as float64 via pandas ("5.0" != "5", driver FAIL) — exactly how the r9
+span_dup_rate oracle shipped red despite passing this gate.
+Usage: local_verify.py <sfDir> <outDir> [query ...]"""
 import datetime, json, os, sys, math
 import duckdb
 
@@ -15,15 +21,20 @@ def norm(v):
         return v.isoformat()
     if isinstance(v, datetime.date):
         return datetime.datetime(v.year, v.month, v.day).isoformat()
-    if isinstance(v, float):
+    if isinstance(v, float):  # covers numpy float64 (a float subclass)
         if math.isnan(v):
             return "NaN"
         return repr(v)
     return str(v)
 
-def rows_key(df):
+def rows_key(rel):
+    # pandas materialization = the driver's dtype semantics: HUGEINT ->
+    # float64, BIGINT -> int64, TIMESTAMP -> datetime64. itertuples
+    # yields numpy scalars whose repr/str matches what the driver hashes.
+    df = rel.df()
     cols = sorted(df.columns)
-    rows = [tuple(norm(r[df.columns.index(c)]) for c in cols) for r in df.fetchall()]
+    rows = [tuple(norm(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
     return cols, rows
 
 def main():

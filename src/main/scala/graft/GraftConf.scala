@@ -102,6 +102,15 @@ object GraftConf {
     * Verify guard — pinned by a spec running 1 and 4096 bands. */
   val CurriculumBandsKey = "spark.graft.curriculum.bands"
 
+  /** Exact-substring span window size in tokens (`SpanDedup`). Which
+    * windows exist — and therefore which spans count as duplicated —
+    * is an OUTPUT property, so the oracle pins the default; `Verify`
+    * refuses an override like the other oracle-pinned knobs. The
+    * deduplicate-training-data literature's W≈50 shape runs as a
+    * bench-only registration (`span_rate_w50`) — cost stays O(total
+    * tokens) at any W because a doc of n tokens emits ≤ n windows. */
+  val SpanWindowKey = "spark.graft.span.windowTokens"
+
   /** Opt-in planning-time cartesian guard
     * (`graft.plans.NoCartesianGuard`): fail a query at optimization
     * time when an inner/cross join has no equi-key and both sides
@@ -129,6 +138,7 @@ object GraftConf {
   val DefaultVocabSize = 50
   val DefaultKnnK = 8
   val DefaultCurriculumBands = 256
+  val DefaultSpanWindow = 8
 
   def topK(s: SparkSession): Int = s.conf.get(TopKKey, DefaultTopK.toString).toInt
   def noCartesianGuard(s: SparkSession): Boolean =
@@ -192,6 +202,11 @@ object GraftConf {
   def curriculumBands(s: SparkSession): Int = {
     val n = s.conf.get(CurriculumBandsKey, DefaultCurriculumBands.toString).toInt
     require(n > 0, s"$CurriculumBandsKey must be positive, got $n")
+    n
+  }
+  def spanWindowTokens(s: SparkSession): Int = {
+    val n = s.conf.get(SpanWindowKey, DefaultSpanWindow.toString).toInt
+    require(n > 0, s"$SpanWindowKey must be positive, got $n")
     n
   }
 }

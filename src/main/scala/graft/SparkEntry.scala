@@ -36,6 +36,10 @@ object SparkEntry {
     "dedup_exact"         -> ((s, dir) => DedupOps.dedupExact(s, dir)),
     "dedup_spans"         -> ((s, dir) => SpanDedup.dedupSpans(s, dir)),
     "span_dup_rate"       -> ((s, dir) => SpanDedup.spanDupRate(s, dir)),
+    // the exact-substring-dedup literature's W≈50 window, as its own
+    // fully-oracled registration (W is explicit, not conf-driven, so
+    // the oracle-pinning guard on the default knob does not apply)
+    "span_rate_w50"       -> ((s, dir) => SpanDedup.spanDupRate(s, dir, Some(50))),
     "dedup_incremental"   -> ((s, dir) => DedupOps.incrementalCandidates(s, dir)),
     "dedup_clusters"      -> ((s, dir) => ClusterOps.dedupClusters(s, dir)),
     "quality_repetition"  -> ((s, dir) => QualityFilters.repetitionStats(s, dir)),
@@ -474,6 +478,7 @@ object SparkEntry {
     "dedup_exact"         -> DedupOps.dedupExactSql,
     "dedup_spans"         -> SpanDedup.dedupSpansSql,
     "span_dup_rate"       -> SpanDedup.spanDupRateSql,
+    "span_rate_w50"       -> SpanDedup.spanDupRateSqlFor(50),
     "dedup_incremental"   -> DedupOps.incrementalCandidatesSql,
     "dedup_clusters"      -> ClusterOps.dedupClustersSql,
     "quality_repetition"  -> QualityFilters.repetitionStatsSql,

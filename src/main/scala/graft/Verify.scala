@@ -44,7 +44,8 @@ object Verify {
                     GraftConf.KnnKKey, GraftConf.TopKKey,
                     GraftConf.Q1StartKey, GraftConf.Q1EndKey,
                     GraftConf.Q1cStartKey, GraftConf.Q1cEndKey,
-                    GraftConf.SessionGapKey, GraftConf.GroupTopKKey))
+                    GraftConf.SessionGapKey, GraftConf.GroupTopKKey,
+                    GraftConf.SpanWindowKey))
       require(spark.conf.getOption(key).isEmpty,
         s"$key is set; unset it before verifying " +
           "(the oracle SQL pins this knob's default)")

@@ -36,29 +36,35 @@ import graft.sources.Tables
   */
 object SpanDedup {
 
-  /** Tokens per window (stride 1). Matches the W≈50-token windows of
-    * the exact-substring-dedup literature in SHAPE; sized for the
-    * pinned fixtures so the duplicated-span set is non-trivial. */
-  val WindowTokens = 8
+  /** Default tokens per window (stride 1) — the ORACLE-PINNED value
+    * (`GraftConf.DefaultSpanWindow`): sized for the pinned fixtures so
+    * the duplicated-span set is non-trivial. Runtime-settable via
+    * `spark.graft.span.windowTokens` (or the explicit parameter); the
+    * exact-substring-dedup literature's W≈50 runs as the bench-only
+    * `span_rate_w50` registration — cost is O(total tokens) at any W. */
+  val WindowTokens: Int = graft.GraftConf.DefaultSpanWindow
 
-  /** One row per window occurrence: (doc_id, span_hash). */
-  private def spanHashes(spark: SparkSession, sfDir: String): DataFrame = {
-    val W = WindowTokens
-    val t = TextOps.tokens(col("text"))
-    val windows = when(size(col("t")) >= W,
-      transform(sequence(lit(0), size(col("t")) - W),
-        i => TextOps.hash60(concat_ws(" ", slice(col("t"), i + 1, lit(W))))))
-      .otherwise(array().cast("array<long>"))
+  /** One row per window occurrence: (doc_id, span_hash). Window
+    * construction is the established explode(ngramIndex) + codegen'd
+    * ngramAt shape shared with the shingle pipelines — an array-HOF
+    * `transform` lambda here would re-inline the interpreted md5 per
+    * window (TextOps.ngramIndex doc: measured 7× slower). */
+  private def spanHashes(spark: SparkSession, sfDir: String, W: Int): DataFrame = {
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), t.as("t"))
-      .select(col("doc_id"), explode(windows).as("span_hash"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(TextOps.ngramIndex(col("t"), W)).as("i"))
+      .select(col("doc_id"),
+        TextOps.hash60(TextOps.ngramAt(col("t"), col("i"), W)).as("span_hash"))
   }
 
   /** Spans appearing in ≥2 distinct documents: span hash, how many
     * docs contain it, total occurrences, and the smallest containing
     * doc id (the canonical place to look the text up). */
-  def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
-    spanHashes(spark, sfDir)
+  def dedupSpans(spark: SparkSession, sfDir: String,
+                 windowTokens: Option[Int] = None): DataFrame =
+    spanHashes(spark, sfDir,
+      windowTokens.getOrElse(graft.GraftConf.spanWindowTokens(spark)))
       .groupBy(col("span_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"),
@@ -72,8 +78,10 @@ object SpanDedup {
     * GLOBALLY (cross-doc or within-doc — verbatim repetition either
     * way). Documents shorter than [[WindowTokens]] have no windows and
     * report rate 0. */
-  def spanDupRate(spark: SparkSession, sfDir: String): DataFrame = {
-    val wins = spanHashes(spark, sfDir)
+  def spanDupRate(spark: SparkSession, sfDir: String,
+                  windowTokens: Option[Int] = None): DataFrame = {
+    val wins = spanHashes(spark, sfDir,
+      windowTokens.getOrElse(graft.GraftConf.spanWindowTokens(spark)))
     val counts = wins.groupBy(col("span_hash")).agg(count(lit(1)).as("n_occ"))
     val perDoc = wins.join(counts, "span_hash")
       .groupBy(col("doc_id"))
@@ -92,19 +100,16 @@ object SpanDedup {
   }
 
   /** Shared oracle CTE: tokens → sliding W-token windows → 60-bit span
-    * hashes, mirroring the Spark pipeline constant-for-constant. */
-  private def spanSqlPrefix: String = {
-    val W = WindowTokens
-    val winList =
-      s"""list_transform(range(0, greatest(len(t) - ${W - 1}, 0)),
-         | i -> concat_ws(' ', ${(1 to W).map(j => s"t[i+$j]").mkString(", ")}))""".stripMargin.replace("\n", "")
+    * hashes, mirroring the Spark pipeline constant-for-constant. The
+    * window list is [[TextOps.shingleListSql]] — the single shared
+    * n-gram SQL shape, so a W change cannot diverge the twins. */
+  private def spanSqlPrefix(w: Int): String =
     s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-       |win AS (SELECT doc_id, unnest($winList) AS s FROM toks),
+       |win AS (SELECT doc_id, unnest(${TextOps.shingleListSql("t", w)}) AS s FROM toks),
        |wh AS (SELECT doc_id, ${TextOps.hash60Sql("s")} AS span_hash FROM win)""".stripMargin
-  }
 
-  val dedupSpansSql: String =
-    s"""WITH $spanSqlPrefix
+  def dedupSpansSqlFor(w: Int): String =
+    s"""WITH ${spanSqlPrefix(w)}
        |SELECT span_hash,
        |       COUNT(DISTINCT doc_id) AS n_docs,
        |       COUNT(*) AS n_occ,
@@ -114,8 +119,15 @@ object SpanDedup {
        |HAVING COUNT(DISTINCT doc_id) >= 2
        |ORDER BY n_docs DESC, n_occ DESC, span_hash ASC""".stripMargin
 
-  val spanDupRateSql: String =
-    s"""WITH $spanSqlPrefix,
+  val dedupSpansSql: String = dedupSpansSqlFor(WindowTokens)
+
+  /** [[spanDupRateSql]] at an explicit W — the oracle twin of
+    * `spanDupRate(_, _, Some(w))`. `n_dup_windows` is a `SUM(CASE)`,
+    * which DuckDB widens to HUGEINT → pandas float64 ("5.0" vs Spark's
+    * "5") — the CAST back to BIGINT is load-bearing for the driver's
+    * dtype-sensitive compare (r9's red span rows were exactly this). */
+  def spanDupRateSqlFor(w: Int): String =
+    s"""WITH ${spanSqlPrefix(w)},
        |cnt AS (SELECT span_hash, COUNT(*) AS n_occ FROM wh GROUP BY span_hash),
        |per_doc AS (SELECT w.doc_id,
        |                   COUNT(*) AS n_windows,
@@ -124,10 +136,12 @@ object SpanDedup {
        |            GROUP BY w.doc_id)
        |SELECT d.doc_id,
        |       COALESCE(p.n_windows, 0) AS n_windows,
-       |       COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+       |       CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
        |       CASE WHEN COALESCE(p.n_windows, 0) > 0
        |            THEN CAST(p.n_dup_windows AS DOUBLE) / p.n_windows
        |            ELSE 0.0 END AS dup_rate
        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
        |ORDER BY d.doc_id ASC""".stripMargin
+
+  val spanDupRateSql: String = spanDupRateSqlFor(WindowTokens)
 }

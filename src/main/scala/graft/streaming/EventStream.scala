@@ -35,21 +35,38 @@ object EventStream {
   /** File-source stream over a directory of events parquet: the
     * production shape (files land in a directory, Spark discovers and
     * processes them incrementally, `maxFilesPerTrigger` bounds batch
-    * size). Handles the fixture's TIMESTAMP(NANOS) encoding the same
-    * way as the batch loader (`nanosAsLong` + exact integer division —
-    * the session must set `spark.sql.legacy.parquet.nanosAsLong`). */
+    * size). A file stream needs a user-supplied schema BEFORE the
+    * query starts, so the `ts` encoding is detected with one batch
+    * footer read of the directory and the stream schema branches the
+    * same way as the batch loader (`Tables.events`):
+    *  - TIMESTAMP(NANOS) fixtures are only readable as a long
+    *    (`spark.sql.legacy.parquet.nanosAsLong`) — exact `div 1000`
+    *    to micros;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (current fixtures)
+    *    reads as TIMESTAMP_NTZ — cast to TimestampType, which
+    *    reinterprets the naive micros in the (pinned-UTC) session
+    *    zone, i.e. the identical microsecond count.
+    * One dispatch per stream START, not per batch — the footer read
+    * costs one driver-side metadata fetch. */
   def readEventsStream(spark: org.apache.spark.sql.SparkSession, dir: String,
                        maxFilesPerTrigger: Int = 1): DataFrame = {
     import org.apache.spark.sql.types._
-    val nanoSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream
-      .schema(nanoSchema)
+    val raw = spark.readStream
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Streaming exact ingest-dedup: drop re-delivered events by id with

@@ -156,4 +156,25 @@ class DedupSpec extends SparkSpec {
         (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"))).toMap
     assert(rates(1L) == (9L, 2L) && rates(2L) == (3L, 0L))
   }
+
+  test("span dedup: windowTokens knob — conf and explicit parameter agree, and W changes the window set") {
+    import graft.operators.SpanDedup
+    // at the default W=8 docs 1/2 share one window; at W=10 the shared
+    // 8-token run is shorter than any window, so NO span is duplicated
+    val dir = spanFixture(Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h x y"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"))
+    val explicit = SpanDedup.spanDupRate(spark, dir, Some(10)).collect().map(key).toSet
+    assert(explicit == Set((1L, 1L, 0L), (2L, 1L, 0L)))
+    spark.conf.set(graft.GraftConf.SpanWindowKey, "10")
+    try {
+      val viaConf = SpanDedup.spanDupRate(spark, dir).collect().map(key).toSet
+      assert(viaConf == explicit)
+      assert(SpanDedup.dedupSpans(spark, dir).collect().isEmpty)
+    } finally spark.conf.unset(graft.GraftConf.SpanWindowKey)
+    // back at the default the duplicated window reappears
+    assert(SpanDedup.dedupSpans(spark, dir).collect().length == 1)
+  }
 }
