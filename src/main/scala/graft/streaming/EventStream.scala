@@ -184,9 +184,22 @@ object EventStream {
           }
         }
         cur.foreach { s =>
-          state.update(s)
-          if (state.getCurrentWatermarkMs() > 0)
-            state.setTimeoutTimestamp(s.lastUs / 1000L + gapMin.toLong * 60000L)
+          val wm = state.getCurrentWatermarkMs()
+          val timeoutMs = s.lastUs / 1000L + gapMin.toLong * 60000L
+          if (wm > 0 && timeoutMs <= wm) {
+            // the watermark has already passed this session's gap
+            // horizon — close it NOW. This arises on any replay whose
+            // files are not globally time-ordered (a later micro-batch
+            // carries a user whose newest event predates the watermark
+            // set by an earlier batch); setTimeoutTimestamp would throw
+            // on a past timestamp, and the timeout would have fired
+            // immediately anyway.
+            closed += Session(userId, toTs(s.startUs), toTs(s.lastUs), s.n)
+            state.remove()
+          } else {
+            state.update(s)
+            if (wm > 0) state.setTimeoutTimestamp(timeoutMs)
+          }
         }
         closed.result().iterator
       }

@@ -583,6 +583,50 @@ class SinksStreamingSpec extends SparkSpec {
     }, s"expected user 1's first 2-event session to close; got ${sessions.mkString(", ")}")
   }
 
+  test("streaming sessionization survives a file batch whose events predate the watermark") {
+    import spark.implicits._
+    // the sf1 replay shape: a directory whose FILE ORDER is not TIME
+    // order (the file source batches by modification time). Batch 1 =
+    // the file with NEW timestamps → its completion advances the
+    // watermark; batch 2 = the file with OLD timestamps. The file
+    // source's late filter lags the eviction watermark by one batch,
+    // so batch 2's rows REACH the state function while the current
+    // watermark is far ahead — registering lastUs+gap as a timeout
+    // would throw (past timestamp); the session must close immediately
+    // instead.
+    val dir = Files.createTempDirectory("graft_ooo_files").toString
+    def writeAs(name: String, rows: Seq[(Long, String, Long)], modMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_ooo_part").toString
+      rows.toDF("event_id", "tss", "user_id")
+        .selectExpr("event_id", "CAST(tss AS TIMESTAMP) AS ts", "user_id",
+          "'view' AS event_type", "CAST(1.0 AS DOUBLE) AS value", "'' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Path.of(dir, name)
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(modMs))
+    }
+    val t0 = System.currentTimeMillis()
+    writeAs("new.parquet", Seq((1L, "2024-01-02 00:00:00", 1L)), t0 - 60000)
+    writeAs("old.parquet", Seq((2L, "2024-01-01 00:00:00", 2L),
+      (3L, "2024-01-01 00:05:00", 2L)), t0)
+    val src = EventStream.readEventsStream(spark, dir, maxFilesPerTrigger = 1)
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStream.Event]
+    val q = EventStream.sessionize(src)
+      .writeStream.format("memory").queryName("late_sessions_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    } finally q.stop()
+    val sessions = spark.table("late_sessions_test").collect()
+    assert(sessions.exists { r =>
+      r.getAs[Long]("user_id") == 2 && r.getAs[Long]("n_events") == 2
+    }, s"expected user 2's behind-watermark session to close immediately; got ${sessions.mkString(", ")}")
+  }
+
   test("streaming audio decode matches the oracle-verified batch multimodal_audio") {
     import graft.streaming.MediaStream
     import graft.operators.Multimodal
