@@ -198,7 +198,13 @@ object EventStream {
             state.remove()
           } else {
             state.update(s)
-            if (wm > 0) state.setTimeoutTimestamp(timeoutMs)
+            // register even while the watermark is still 0 (the very
+            // first batch): a user seen ONLY before the watermark first
+            // advances would otherwise never get a timeout — state held
+            // forever and the session never flushed. The only
+            // registration constraint is timeout > current watermark,
+            // which the branch above guarantees.
+            state.setTimeoutTimestamp(timeoutMs)
           }
         }
         closed.result().iterator

@@ -627,6 +627,93 @@ class SinksStreamingSpec extends SparkSpec {
     }, s"expected user 2's behind-watermark session to close immediately; got ${sessions.mkString(", ")}")
   }
 
+  test("a session from the FIRST batch (watermark still 0) flushes once the watermark passes it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.Event]
+    def ev(id: Long, user: Long, t: String) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(t), user, "view", 1.0)
+    // batch 1 runs with watermark 0 — the timeout must be registered
+    // anyway, or user 3 (never seen again) holds state forever and the
+    // session never reaches the sink
+    input.addData(Seq(ev(1, 3, "2024-01-01 00:00:00"), ev(2, 3, "2024-01-01 00:05:00")))
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("firstbatch_sessions_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      input.addData(Seq(ev(3, 99, "2024-02-01 00:00:00"))) // watermark push
+      q.processAllAvailable()
+      input.addData(Seq(ev(4, 99, "2024-03-01 00:00:00"))) // fire timeouts
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("firstbatch_sessions_test").collect()
+    assert(sessions.exists { r =>
+      r.getAs[Long]("user_id") == 3 && r.getAs[Long]("n_events") == 2
+    }, s"expected user 3's first-batch session to flush on timeout; got ${sessions.mkString(", ")}")
+  }
+
+  test("sessionizer state survives a checkpoint restart (a session spans the kill boundary)") {
+    import spark.implicits._
+    // the flatMapGroupsWithState analogue of the join/agg recovery
+    // specs above: user 1's session STARTS before the kill and its
+    // third event lands only after the restart — it can merge into one
+    // 3-event session only if the recovered SessionState carries
+    // lastUs across the checkpoint. Without recovery the post-restart
+    // event would open a fresh session and no 3-event session exists.
+    val inDir = Files.createTempDirectory("graft_sessrec_in").toString
+    val outDir = Files.createTempDirectory("graft_sessrec_out").toString
+    val ckpt = Files.createTempDirectory("graft_sessrec_ckpt").toString
+    def writeAs(name: String, rows: Seq[(Long, String, Long)], modMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_sessrec_part").toString
+      rows.toDF("event_id", "tss", "user_id")
+        .selectExpr("event_id", "CAST(tss AS TIMESTAMP) AS ts", "user_id",
+          "'view' AS event_type", "CAST(1.0 AS DOUBLE) AS value", "'' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Path.of(inDir, name)
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(modMs))
+    }
+    def runStream(): Unit = {
+      val src = EventStream.readEventsStream(spark, inDir, maxFilesPerTrigger = 1)
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[EventStream.Event]
+      val q = EventStream.sessionize(src)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val t0 = System.currentTimeMillis()
+    writeAs("f1.parquet", Seq(
+      (1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L),
+      (3L, "2024-01-01 00:00:00", 2L), (4L, "2024-01-01 00:05:00", 2L)), t0 - 4000)
+    runStream() // phase 1, then the query is killed
+    // 00:20 is within the 30-min gap of user 1's RECOVERED lastUs
+    // (00:10); 02:00 exceeds the gap for both users and closes their
+    // first sessions on the row path
+    writeAs("f2.parquet", Seq(
+      (5L, "2024-01-01 00:20:00", 1L), (6L, "2024-01-01 02:00:00", 1L),
+      (7L, "2024-01-01 02:00:00", 2L)), t0 - 2000)
+    // far-future sentinel advances the watermark so the 02:00 tail
+    // sessions time out and flush to the append sink
+    writeAs("f3.parquet", Seq((8L, "2024-02-01 00:00:00", 99L)), t0)
+    runStream() // phase 2: recovery from the checkpoint
+    val sessions = spark.read.parquet(outDir)
+      .select("user_id", "session_start", "session_end", "n_events").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("session_start").toString,
+        r.getAs[java.sql.Timestamp]("session_end").toString, r.getAs[Long]("n_events"))).toSet
+    assert(sessions == Set(
+      (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:20:00.0", 3L),
+      (1L, "2024-01-01 02:00:00.0", "2024-01-01 02:00:00.0", 1L),
+      (2L, "2024-01-01 00:00:00.0", "2024-01-01 00:05:00.0", 2L),
+      (2L, "2024-01-01 02:00:00.0", "2024-01-01 02:00:00.0", 1L)),
+      s"got $sessions")
+  }
+
   test("streaming audio decode matches the oracle-verified batch multimodal_audio") {
     import graft.streaming.MediaStream
     import graft.operators.Multimodal
