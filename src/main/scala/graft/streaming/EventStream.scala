@@ -231,31 +231,58 @@ object EventStream {
     * spec-pinned. Gap rule is the sessionizer's exact-µs arithmetic AND
     * its knob: with no explicit gap, `spark.graft.session.gapMinutes`
     * is read like the batch operator, so the twins cannot diverge under
-    * a conf-driven gap change. No timeout: one row per user is
-    * negligible state; production adds a TTL to expire dormant users. */
+    * a conf-driven gap change.
+    *
+    * State carries a TTL at the gap horizon (event-time timeout at
+    * lastUs + gap): once the watermark passes it, no non-late event can
+    * be within the gap of the stored pair — the step rule would emit
+    * nothing from it — so dropping the state is LOSSLESS and state size
+    * becomes ∝ users ACTIVE within (gap + watermark delay), not every
+    * user ever seen. This is the difference between ~24 bytes × daily
+    * actives and ~24 bytes × all-time users on a year-long run. A bare
+    * input stream gets a 1-hour watermark (an upstream watermark, e.g.
+    * from [[dedupEvents]], is inherited instead); late events beyond it
+    * are dropped by the engine, which the in-order contract already
+    * assumes. */
   def transitions(events: Dataset[Event], gapMinutes: Option[Int] = None): Dataset[Step] = {
     import events.sparkSession.implicits._
     val gapMin = gapMinutes.getOrElse(graft.GraftConf.sessionGapMinutes(events.sparkSession))
     val gapUs = gapMin.toLong * 60L * 1000000L
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[(Long, String)]): Iterator[Step] = {
-      var last = state.getOption
-      val out = List.newBuilder[Step]
-      rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
-        val us = toUs(e.ts)
-        last match {
-          case Some((lastUs, lastType)) if us - lastUs <= gapUs =>
-            out += Step(userId, lastType, e.event_type)
-          case _ =>
+      if (state.hasTimedOut) {
+        // gap horizon passed: no future non-late event can pair with
+        // the stored (lastUs, type) — dropping it emits nothing, same
+        // as the gap-exceeded branch below
+        state.remove()
+        Iterator.empty
+      } else {
+        var last = state.getOption
+        val out = List.newBuilder[Step]
+        rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
+          val us = toUs(e.ts)
+          last match {
+            case Some((lastUs, lastType)) if us - lastUs <= gapUs =>
+              out += Step(userId, lastType, e.event_type)
+            case _ =>
+          }
+          last = Some((us, e.event_type))
         }
-        last = Some((us, e.event_type))
+        last.foreach { l =>
+          val wm = state.getCurrentWatermarkMs()
+          val timeoutMs = l._1 / 1000L + gapMin.toLong * 60000L
+          if (wm > 0 && timeoutMs <= wm) state.remove()
+          else { state.update(l); state.setTimeoutTimestamp(timeoutMs) }
+        }
+        out.result().iterator
       }
-      last.foreach(state.update)
-      out.result().iterator
     }
-    events
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+    val hasWm = events.queryExecution.analyzed.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => w
+    }.isDefined
+    val src = if (hasWm) events else events.withWatermark("ts", "1 hour")
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** One newly-reached funnel stage for one user. */

@@ -953,6 +953,37 @@ class SinksStreamingSpec extends SparkSpec {
       s"expected exactly the in-gap bridge step, got $steps")
   }
 
+  test("transitions state expires at the gap horizon (TTL) without changing emitted steps") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.Event]
+    def ev(id: Long, user: Long, t: String, tpe: String) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(t), user, tpe, 1.0)
+    input.addData(Seq(ev(1, 7, "2024-01-01 00:00:00", "view")))
+    val q = EventStream.transitions(input.toDS())
+      .writeStream.format("memory").queryName("trans_ttl_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // user 8 at 06:00 pushes the watermark to 05:00 — far past user
+      // 7's gap horizon (00:30) — so user 7's state must be EVICTED
+      input.addData(Seq(ev(2, 8, "2024-01-01 06:00:00", "view")))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1, s"expected user 7 evicted (1 state row), got $stateRows")
+      // user 7 returns at 06:10: state is gone, so no step — exactly
+      // what the gap rule would have decided with state present
+      // (06:10 − 00:00 ≫ gap); user 8's within-gap step still emits
+      input.addData(Seq(ev(3, 7, "2024-01-01 06:10:00", "click"),
+        ev(4, 8, "2024-01-01 06:20:00", "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val steps = spark.table("trans_ttl_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("from_type"),
+        r.getAs[String]("to_type"))).toSeq
+    assert(steps == Seq((8L, "view", "click")),
+      s"expected only user 8's within-gap step, got $steps")
+  }
+
   test("streaming OOV monitor matches the batch projection and the oov_rate aggregates") {
     import graft.streaming.DocStream
     import graft.operators.TextAnalysis
