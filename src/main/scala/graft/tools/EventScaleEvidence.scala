@@ -114,6 +114,11 @@ object EventScaleEvidence {
       stateOf(EventStream.attributionStream(
         EventStream.readEventsStream(spark, streamDir, filesPerTrigger)),
         "evscale_attr")
+    // transitions carries a gap-horizon TTL: after the replay's final
+    // watermark, only users active within (gap + watermark delay) of
+    // the stream's end still hold state — measured directly here
+    val (transOut, transStateRows, transStateBytes) =
+      stateOf(EventStream.transitions(src).toDF(), "evscale_trans")
 
     println(
       s"""{"sf":"$sfDir","files_per_trigger":$filesPerTrigger,""" +
@@ -123,7 +128,9 @@ object EventScaleEvidence {
         s""""stream_sessions_emitted":$sessOut,"stream_session_state_rows":$sessStateRows,""" +
         s""""stream_session_state_bytes":$sessStateBytes,""" +
         s""""stream_attr_pairs":$attrOut,"stream_attr_state_rows":$attrStateRows,""" +
-        s""""stream_attr_state_bytes":$attrStateBytes}""")
+        s""""stream_attr_state_bytes":$attrStateBytes,""" +
+        s""""stream_trans_steps":$transOut,"stream_trans_state_rows":$transStateRows,""" +
+        s""""stream_trans_state_bytes":$transStateBytes}""")
     spark.stop()
   }
 }
