@@ -304,7 +304,10 @@ object EventStream {
     * transiently — a stage is never emitted for a user who has not
     * genuinely reached it, because qualification only ever compares
     * against an earlier-or-equal recorded time. No timeout: a funnel is
-    * cumulative; production adds a TTL to expire abandoned users. */
+    * CUMULATIVE over arbitrary time, so unlike [[transitions]] (whose
+    * gap-horizon TTL is provably lossless) any TTL here would change
+    * results — production picks an explicit completion horizon and
+    * accepts the trade. */
   def funnel(events: Dataset[Event],
              stages: Seq[String] = graft.operators.EventOps.FunnelStages): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
