@@ -157,6 +157,44 @@ class DedupSpec extends SparkSpec {
     assert(rates(1L) == (9L, 2L) && rates(2L) == (3L, 0L))
   }
 
+  test("span dedup properties: local recompute matches on random corpora") {
+    import graft.operators.SpanDedup
+    // seeded generator (the scalacheck bridge isn't in the offline
+    // cache — same style as PropertiesSpec): a 2-letter alphabet makes
+    // 8-token window collisions common, so the duplicated-span branch
+    // is genuinely exercised, not vacuously empty
+    val rng = new scala.util.Random(7)
+    val W = SpanDedup.WindowTokens
+    for (trial <- 1 to 6) {
+      val docs = (1L to (2 + rng.nextInt(10)).toLong).map { id =>
+        id -> List.fill(rng.nextInt(21))(if (rng.nextBoolean()) "a" else "b").mkString(" ")
+      }
+      val dir = spanFixture(docs)
+      def windowsOf(text: String): Seq[String] = {
+        val t = text.split(" ").filter(_.nonEmpty).toSeq
+        if (t.length < W) Nil else t.sliding(W).map(_.mkString(" ")).toSeq
+      }
+      val allWins = docs.flatMap { case (id, tx) => windowsOf(tx).map(w => (id, w)) }
+      val occ = allWins.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val expRates = docs.map { case (id, tx) =>
+        val ws = windowsOf(tx)
+        id -> ((ws.size.toLong, ws.count(w => occ(w) >= 2).toLong))
+      }.toMap
+      val gotRates = SpanDedup.spanDupRate(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows")))).toMap
+      assert(gotRates == expRates, s"trial $trial rates: got $gotRates exp $expRates")
+      val expSpans = allWins.groupBy(_._2).collect {
+        case (_, os) if os.map(_._1).distinct.size >= 2 =>
+          (os.map(_._1).distinct.size.toLong, os.size.toLong, os.map(_._1).min)
+      }.toSeq.sorted
+      val gotSpans = SpanDedup.dedupSpans(spark, dir).collect()
+        .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"),
+          r.getAs[Long]("first_doc"))).toSeq.sorted
+      assert(gotSpans == expSpans, s"trial $trial spans: got $gotSpans exp $expSpans")
+    }
+  }
+
   test("span dedup: windowTokens knob — conf and explicit parameter agree, and W changes the window set") {
     import graft.operators.SpanDedup
     // at the default W=8 docs 1/2 share one window; at W=10 the shared

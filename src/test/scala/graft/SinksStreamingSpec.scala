@@ -984,6 +984,47 @@ class SinksStreamingSpec extends SparkSpec {
       s"expected only user 8's within-gap step, got $steps")
   }
 
+  test("streaming transitions equal the local gap-rule model on random in-order feeds") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val gapUs = graft.GraftConf.DefaultSessionGap.toLong * 60L * 1000000L
+    val types = Array("view", "click", "purchase")
+    for (trial <- 1 to 3) {
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      var id = 0L
+      val evs = (1L to 3L).flatMap { user =>
+        var t = base + rng.nextInt(60) * 60000L
+        (1 to 5 + rng.nextInt(8)).map { _ =>
+          t += (1 + rng.nextInt(50)) * 60000L
+          id += 1
+          EventStream.Event(id, new java.sql.Timestamp(t), user,
+            types(rng.nextInt(types.length)), 1.0)
+        }
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+      val expected = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        es.sortBy(e => (e.ts.getTime, e.event_id)).sliding(2).collect {
+          case Seq(a, b) if (b.ts.getTime - a.ts.getTime) * 1000L <= gapUs =>
+            (u, a.event_type, b.event_type)
+        }
+      }.sorted
+      val input = MemoryStream[EventStream.Event]
+      val q = EventStream.transitions(input.toDS())
+        .writeStream.format("memory").queryName(s"trans_prop_$trial")
+        .outputMode("append").start()
+      try {
+        // in-order thirds across micro-batches: steps must bridge them
+        evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+          input.addData(chunk); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = spark.table(s"trans_prop_$trial").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("from_type"),
+          r.getAs[String]("to_type"))).toSeq.sorted
+      assert(got == expected, s"trial $trial: got $got expected $expected")
+    }
+  }
+
   test("streaming OOV monitor matches the batch projection and the oov_rate aggregates") {
     import graft.streaming.DocStream
     import graft.operators.TextAnalysis
