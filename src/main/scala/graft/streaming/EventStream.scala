@@ -303,41 +303,79 @@ object EventStream {
     * exactly (spec-pinned). An out-of-order feed can only UNDER-count
     * transiently — a stage is never emitted for a user who has not
     * genuinely reached it, because qualification only ever compares
-    * against an earlier-or-equal recorded time. No timeout: a funnel is
-    * CUMULATIVE over arbitrary time, so unlike [[transitions]] (whose
-    * gap-horizon TTL is provably lossless) any TTL here would change
-    * results — production picks an explicit completion horizon and
-    * accepts the trade. */
+    * against an earlier-or-equal recorded time.
+    *
+    * By default there is no timeout: a funnel is CUMULATIVE over
+    * arbitrary time, so unlike [[transitions]] (whose gap-horizon TTL
+    * is provably lossless) expiring state CHANGES results. Production
+    * picks that trade explicitly via `completionHorizonMinutes`: a
+    * user's funnel attempt must then complete within the horizon of
+    * its stage-1 time — once the watermark passes that horizon the
+    * attempt's state is dropped, a later return starts a FRESH attempt
+    * (stages may re-emit, one hit per stage per attempt), and state
+    * size becomes ∝ users with an attempt open inside the horizon
+    * rather than every user ever seen. Users whose events never match
+    * a stage store no state in either mode. */
   def funnel(events: Dataset[Event],
-             stages: Seq[String] = graft.operators.EventOps.FunnelStages): Dataset[FunnelHit] = {
+             stages: Seq[String] = graft.operators.EventOps.FunnelStages,
+             completionHorizonMinutes: Option[Long] = None): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(completionHorizonMinutes.forall(_ > 0), "completion horizon must be positive")
     // state is sized to the stage list (stages.length optional longs),
     // not a hardcoded arity — a 5-stage funnel must not ArrayIndexOOB
     val nStages = stages.length
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[Seq[Option[Long]]]): Iterator[FunnelHit] = {
-      val t = state.getOption.getOrElse(Seq.fill[Option[Long]](nStages)(None))
-        .padTo(nStages, None).toArray
-      val out = List.newBuilder[FunnelHit]
-      rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
-        val i = stages.indexOf(e.event_type)
-        if (i >= 0) {
-          val us = toUs(e.ts)
-          val qualifies =
-            if (i == 0) t(0).isEmpty
-            else t(i).isEmpty && t(i - 1).exists(us > _)
-          if (qualifies) {
-            t(i) = Some(us)
-            out += FunnelHit(userId, i + 1, e.event_type, e.ts)
+      if (state.hasTimedOut) {
+        // completion horizon passed: the attempt is abandoned
+        state.remove()
+        Iterator.empty
+      } else {
+        val t = state.getOption.getOrElse(Seq.fill[Option[Long]](nStages)(None))
+          .padTo(nStages, None).toArray
+        val out = List.newBuilder[FunnelHit]
+        rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
+          val i = stages.indexOf(e.event_type)
+          if (i >= 0) {
+            val us = toUs(e.ts)
+            val qualifies =
+              if (i == 0) t(0).isEmpty
+              else t(i).isEmpty && t(i - 1).exists(us > _)
+            if (qualifies) {
+              t(i) = Some(us)
+              out += FunnelHit(userId, i + 1, e.event_type, e.ts)
+            }
           }
         }
+        // an all-None array is behaviorally identical to no state
+        // (stage-1 qualification is exactly t(0).isEmpty) — storing it
+        // would grow state with users who never match any stage
+        if (t.exists(_.isDefined)) {
+          state.update(t.toSeq)
+          completionHorizonMinutes.foreach { h =>
+            t(0).foreach { t0 =>
+              val wm = state.getCurrentWatermarkMs()
+              val timeoutMs = t0 / 1000L + h * 60000L
+              if (wm > 0 && timeoutMs <= wm) state.remove()
+              else state.setTimeoutTimestamp(timeoutMs)
+            }
+          }
+        } else if (state.exists) state.remove()
+        out.result().iterator
       }
-      state.update(t.toSeq)
-      out.result().iterator
     }
-    events
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+    val src = completionHorizonMinutes match {
+      case None => events
+      case Some(_) =>
+        val hasWm = events.queryExecution.analyzed.collectFirst {
+          case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => w
+        }.isDefined
+        if (hasWm) events else events.withWatermark("ts", "1 hour")
+    }
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (completionHorizonMinutes.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update)
   }
 }

@@ -19,15 +19,18 @@ import graft.sources.Tables
   * grows (more users/docs, not longer sessions per user).
   *
   * Two columns need more than an offset:
-  *  - `documents.text`: replica r>0 applies a letter ROTATION
-  *    (translate over [a-zA-Z], shift r) — length-preserving (so
-  *    `n_chars` stays true) and token-shape-preserving, but shingles
-  *    become disjoint across replicas, so replicas do not collapse
-  *    into cross-replica near-dup cliques (which would make LSH bucket
-  *    occupancy grow with REP², nothing like real corpus growth).
+  *  - `documents.text`: replica r>0 applies a letter SUBSTITUTION
+  *    (translate over [a-zA-Z]: rotation by r for ≤26 replicas, a
+  *    seeded permutation per replica above that — see [[alphabetFor]])
+  *    — length-preserving (so `n_chars` stays true) and
+  *    token-shape-preserving, but shingles become disjoint across
+  *    replicas, so replicas do not collapse into cross-replica
+  *    near-dup cliques (which would make LSH bucket occupancy grow
+  *    with REP², nothing like real corpus growth).
   *  - `embeddings.embedding`: replica r cyclically rotates the vector
-  *    by r positions — an isometry (within-replica dot/cosine structure
-  *    is bit-preserved) that decorrelates replicas.
+  *    by r positions (composed with a per-replica ±1 sign pattern
+  *    above 26 replicas) — an isometry (within-replica dot/cosine
+  *    structure is bit-preserved) that decorrelates replicas.
   *
   * `region`/`nation` stay fixed (TPC-H dims do not scale with SF).
   *
@@ -45,15 +48,32 @@ object GenScale {
   private def rot(s: String, r: Int): String =
     s.drop(r % s.length) + s.take(r % s.length)
 
-  /** CASE over the replica id: identity for rep 0, letter rotation r
-    * for replica r (upper and lower case rotated in lockstep). */
+  /** Substitution alphabet for replica r. Rotation is mod-26, so past
+    * 26 replicas r and r+26 would share it — cross-replica shingles
+    * become IDENTICAL and LSH forms replica-cliques, which is nothing
+    * like real corpus growth. ≤26 replicas keep the original rotation
+    * (the committed sf1 fixture stays bit-reproducible); above that,
+    * each replica gets a seeded-shuffle PERMUTATION of the alphabet —
+    * two of 100 permutations colliding has probability ~100²/26!, and
+    * an 8-token shingle mapping identically under two distinct
+    * permutations needs every character to agree, ~(1/26)^chars. */
+  private def alphabetFor(r: Int, reps: Int): String =
+    if (reps <= 26) rot(lower, r)
+    else {
+      val p = new scala.util.Random(1000 + r).shuffle(lower.toList).mkString
+      if (p == lower) rot(p, 1) else p
+    }
+
+  /** CASE over the replica id: identity for rep 0, the replica's
+    * substitution alphabet otherwise (upper/lower in lockstep). */
   private def rotText(text: org.apache.spark.sql.Column,
                       rep: org.apache.spark.sql.Column,
                       reps: Int): org.apache.spark.sql.Column =
     (1 until reps).foldLeft(text) { (acc, r) =>
+      val a = alphabetFor(r, reps)
       when(rep === r,
         translate(text, lower + lower.toUpperCase,
-          rot(lower, r) + rot(lower, r).toUpperCase)).otherwise(acc)
+          a + a.toUpperCase)).otherwise(acc)
     }
 
   def main(args: Array[String]): Unit = {
@@ -103,12 +123,24 @@ object GenScale {
       offsetKeys(replicate(Tables.load(spark, srcDir, "documents")), "doc_id")
         .withColumn("text", rotText(col("text"), col("rep"), reps)),
       "documents", 4)
-    val emb = offsetKeys(replicate(Tables.load(spark, srcDir, "embeddings")), "vec_id")
-      .withColumn("embedding",
-        when(col("rep") === 0, col("embedding")).otherwise(
-          concat(
-            expr("slice(embedding, rep + 1, size(embedding) - rep)"),
-            expr("slice(embedding, 1, rep)"))))
+    // cyclic rotation is mod-dim (64), so past 64 replicas r and r+64
+    // would share it; above 26 replicas compose the rotation with a
+    // deterministic per-(rep, position) ±1 sign pattern (Murmur3 via
+    // Spark's hash(), seed-stable) — a diagonal isometry, so
+    // within-replica dot/cosine structure is still bit-preserved while
+    // two replicas share the full dim-long pattern with prob 2^-dim
+    val rotated = when(col("rep") === 0, col("embedding")).otherwise(
+      concat(
+        expr("slice(embedding, pmod(rep, size(embedding)) + 1, size(embedding) - pmod(rep, size(embedding)))"),
+        expr("slice(embedding, 1, pmod(rep, size(embedding)))")))
+    val embBase = offsetKeys(replicate(Tables.load(spark, srcDir, "embeddings")), "vec_id")
+    val emb =
+      if (reps <= 26) embBase.withColumn("embedding", rotated)
+      else embBase
+        .withColumn("rot_emb", rotated)
+        .withColumn("embedding", expr(
+          "transform(rot_emb, (x, i) -> CASE WHEN pmod(hash(rep, i), 2) = 0 THEN x ELSE -x END)"))
+        .drop("rot_emb")
     write(emb, "embeddings", 4)
     spark.stop()
   }

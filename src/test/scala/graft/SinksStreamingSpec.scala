@@ -984,6 +984,57 @@ class SinksStreamingSpec extends SparkSpec {
       s"expected only user 8's within-gap step, got $steps")
   }
 
+  test("funnel completion horizon: expired attempts restart; default stays cumulative") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, user: Long, t: String, tpe: String) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(t), user, tpe, 1.0)
+    def run(horizon: Option[Long], name: String): Seq[(Long, Int, String)] = {
+      val input = MemoryStream[EventStream.Event]
+      val q = EventStream.funnel(input.toDS(), completionHorizonMinutes = horizon)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        input.addData(Seq(ev(1, 1, "2024-01-01 00:00:00", "view"),
+          ev(2, 1, "2024-01-01 00:10:00", "click")))
+        q.processAllAvailable()
+        // u9 at 06:00 pushes the watermark far past u1's 00:30 horizon
+        input.addData(Seq(ev(3, 9, "2024-01-01 06:00:00", "view")))
+        q.processAllAvailable()
+        // u1 returns: with a horizon the old attempt expired, so this
+        // is a FRESH attempt and stage 1 re-emits; cumulative mode
+        // remembers the first attempt and stays silent
+        input.addData(Seq(ev(4, 1, "2024-01-01 06:10:00", "view")))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Int]("stage"), r.getAs[String]("event_type"))).toSeq.sorted
+    }
+    val horizoned = run(Some(30L), "funnel_horizon_test")
+    assert(horizoned == Seq((1L, 1, "view"), (1L, 1, "view"), (1L, 2, "click"),
+      (9L, 1, "view")), s"got $horizoned")
+    val cumulative = run(None, "funnel_cumulative_test")
+    assert(cumulative == Seq((1L, 1, "view"), (1L, 2, "click"), (9L, 1, "view")),
+      s"got $cumulative")
+  }
+
+  test("funnel stores no state for users whose events never match a stage") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.Event]
+    def ev(id: Long, user: Long, tpe: String) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), user, tpe, 1.0)
+    // users 1-3 emit only non-stage events; user 4 reaches stage 1
+    input.addData(Seq(ev(1, 1, "scroll"), ev(2, 2, "hover"), ev(3, 3, "scroll"),
+      ev(4, 4, "view")))
+    val q = EventStream.funnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_nostate_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows == 1, s"expected only user 4 to hold state, got $stateRows")
+    assert(spark.table("funnel_nostate_test").collect().map(_.getAs[Long]("user_id")).toSeq == Seq(4L))
+  }
+
   test("streaming transitions equal the local gap-rule model on random in-order feeds") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
