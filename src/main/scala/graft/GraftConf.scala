@@ -111,6 +111,22 @@ object GraftConf {
     * tokens) at any W because a doc of n tokens emits ≤ n windows. */
   val SpanWindowKey = "spark.graft.span.windowTokens"
 
+  /** Trained-IVF cell count k (`Similarity.trainedCentroids` — the
+    * coarse quantizer behind `sim_ivf_trained`, `knn_label_ivf`,
+    * `semantic_dedup`, and the persisted index). Centroids and cell
+    * assignments are OUTPUT values, so the oracle pins the default and
+    * `Verify` refuses an override. The 100 TB rule is k ∝ √n (cells
+    * stay constant-sized); the default is fixture-sized. */
+  val IvfKKey = "spark.graft.ivf.k"
+
+  /** Streaming funnel completion horizon in minutes
+    * (`EventStream.funnel`): unset (the default) keeps the funnel
+    * cumulative forever; set, an attempt's state is dropped once the
+    * watermark passes stage-1 time + horizon and a later return starts
+    * a fresh attempt. Streaming-only (no oracle query), so no Verify
+    * guard is needed — the batch funnel ignores it. */
+  val FunnelHorizonKey = "spark.graft.funnel.horizonMinutes"
+
   /** Opt-in planning-time cartesian guard
     * (`graft.plans.NoCartesianGuard`): fail a query at optimization
     * time when an inner/cross join has no equi-key and both sides
@@ -139,6 +155,7 @@ object GraftConf {
   val DefaultKnnK = 8
   val DefaultCurriculumBands = 256
   val DefaultSpanWindow = 8
+  val DefaultIvfK = 8
 
   def topK(s: SparkSession): Int = s.conf.get(TopKKey, DefaultTopK.toString).toInt
   def noCartesianGuard(s: SparkSession): Boolean =
@@ -203,6 +220,16 @@ object GraftConf {
     val n = s.conf.get(CurriculumBandsKey, DefaultCurriculumBands.toString).toInt
     require(n > 0, s"$CurriculumBandsKey must be positive, got $n")
     n
+  }
+  def ivfK(s: SparkSession): Int = {
+    val n = s.conf.get(IvfKKey, DefaultIvfK.toString).toInt
+    require(n > 0, s"$IvfKKey must be positive, got $n")
+    n
+  }
+  def funnelHorizonMinutes(s: SparkSession): Option[Long] = {
+    val v = s.conf.getOption(FunnelHorizonKey).map(_.toLong)
+    v.foreach(n => require(n > 0, s"$FunnelHorizonKey must be positive, got $n"))
+    v
   }
   def spanWindowTokens(s: SparkSession): Int = {
     val n = s.conf.get(SpanWindowKey, DefaultSpanWindow.toString).toInt

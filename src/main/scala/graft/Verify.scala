@@ -45,7 +45,7 @@ object Verify {
                     GraftConf.Q1StartKey, GraftConf.Q1EndKey,
                     GraftConf.Q1cStartKey, GraftConf.Q1cEndKey,
                     GraftConf.SessionGapKey, GraftConf.GroupTopKKey,
-                    GraftConf.SpanWindowKey))
+                    GraftConf.SpanWindowKey, GraftConf.IvfKKey))
       require(spark.conf.getOption(key).isEmpty,
         s"$key is set; unset it before verifying " +
           "(the oracle SQL pins this knob's default)")

@@ -423,19 +423,25 @@ object Similarity {
     * per-dim integer sums, round-half-away mean, empty-cell keep) and
     * must land on bit-identical centroids, then the same probed search.
     */
-  val TrainedK = 8
+  val TrainedK: Int = graft.GraftConf.DefaultIvfK
   val TrainedIters = 2
 
   /** The trained centroid frame shared by [[ivfTrainedTopK]] and
-    * [[semanticDedup]] — memoized per (dir, session) so the k-means
+    * [[semanticDedup]] — memoized per (dir, session, k) so the k-means
     * runs ONCE however many consumers build on it, and the training
     * loop's final internal checkpoint is freed as soon as the memo's
-    * own (k-row) checkpoint has materialized. */
+    * own (k-row) checkpoint has materialized. The cell count is the
+    * `spark.graft.ivf.k` knob (oracle pins the [[TrainedK]] default —
+    * Verify refuses overrides): IVF's scale rule is k ∝ √n so cells
+    * stay ~constant-sized; with k FIXED the probe scan degenerates
+    * toward quadratic (measured: sf10's 200 k vectors at k=8 put
+    * 24 k vectors in every cell — see PLANS.md). */
   private[graft] def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = graft.GraftConf.ivfK(spark)
     var inner: DataFrame = null
     val out = Materialize.memoized(spark,
-        s"kmeans_cent_${TrainedK}_${TrainedIters}_${Materialize.dirTag(sfDir)}") {
-      inner = kmeansCentroids(spark, sfDir, TrainedK, TrainedIters)
+        s"kmeans_cent_${k}_${TrainedIters}_${Materialize.dirTag(sfDir)}") {
+      inner = kmeansCentroids(spark, sfDir, k, TrainedIters)
       inner
     }
     if (inner ne null) Materialize.free(inner)

@@ -52,6 +52,21 @@ case class NoCartesianGuard(spark: SparkSession)
       case _ => false
     }
 
+  /** An EXPLICIT broadcast() hint on either side is a deliberate
+    * assertion that that side is small — the opposite of the
+    * accidental cartesian this guard exists to catch. It also covers a
+    * size-estimation blind spot: a `Filter` keeps its child's
+    * sizeInBytes without CBO column stats, so `corpus.where(vec_id =
+    * K)` — ONE real row — is estimated at full corpus size, and at
+    * sf10 (200 k vectors) every brute-force top-K query's legal 1-row
+    * broadcast tripped the guard purely because the UNDERLYING table
+    * grew past the threshold. */
+  private def hasBroadcastHint(j: Join): Boolean =
+    j.hint.leftHint.exists(_.strategy.contains(
+      org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) ||
+      j.hint.rightHint.exists(_.strategy.contains(
+        org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+
   /** The "small side" floor when broadcasting is disabled entirely
     * (`autoBroadcastJoinThreshold = -1`): without this, `size > -1` is
     * true for EVERY plan and the guard would outlaw the legal 1-row
@@ -64,7 +79,7 @@ case class NoCartesianGuard(spark: SparkSession)
       val thr = if (conf > 0) conf else DisabledBroadcastFloor
       plan.foreach {
         case j: Join if (j.joinType == Inner || j.joinType == Cross) &&
-            !hasEquiKey(j) =>
+            !hasEquiKey(j) && !hasBroadcastHint(j) =>
           val (ls, rs) = (j.left.stats.sizeInBytes, j.right.stats.sizeInBytes)
           if (ls > thr && rs > thr)
             throw new SparkException(

@@ -321,7 +321,12 @@ object EventStream {
              completionHorizonMinutes: Option[Long] = None): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
     require(stages.nonEmpty, "funnel needs at least one stage")
-    require(completionHorizonMinutes.forall(_ > 0), "completion horizon must be positive")
+    // explicit param wins; otherwise the session conf
+    // (spark.graft.funnel.horizonMinutes) — same precedence rule as the
+    // sessionize gap knob
+    val horizon = completionHorizonMinutes
+      .orElse(graft.GraftConf.funnelHorizonMinutes(events.sparkSession))
+    require(horizon.forall(_ > 0), "completion horizon must be positive")
     // state is sized to the stage list (stages.length optional longs),
     // not a hardcoded arity — a 5-stage funnel must not ArrayIndexOOB
     val nStages = stages.length
@@ -353,7 +358,7 @@ object EventStream {
         // would grow state with users who never match any stage
         if (t.exists(_.isDefined)) {
           state.update(t.toSeq)
-          completionHorizonMinutes.foreach { h =>
+          horizon.foreach { h =>
             t(0).foreach { t0 =>
               val wm = state.getCurrentWatermarkMs()
               val timeoutMs = t0 / 1000L + h * 60000L
@@ -365,7 +370,7 @@ object EventStream {
         out.result().iterator
       }
     }
-    val src = completionHorizonMinutes match {
+    val src = horizon match {
       case None => events
       case Some(_) =>
         val hasWm = events.queryExecution.analyzed.collectFirst {
@@ -375,7 +380,7 @@ object EventStream {
     }
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        if (completionHorizonMinutes.isDefined) GroupStateTimeout.EventTimeTimeout
+        if (horizon.isDefined) GroupStateTimeout.EventTimeTimeout
         else GroupStateTimeout.NoTimeout)(update)
   }
 }

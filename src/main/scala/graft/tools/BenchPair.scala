@@ -9,6 +9,15 @@ object BenchPair {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional session confs for knob experiments (Verify refuses
+    // oracle-pinned overrides; an isolated probe is where they belong):
+    //   SPARK_GRAFT_CONF="spark.graft.ivf.k=64;spark.graft.topK=20"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+        println(s"PAIR conf ${k.trim}=${v.trim}")
+      })
     val names = args.toSeq
     (1 to 2).foreach { pass =>
       names.foreach { n =>

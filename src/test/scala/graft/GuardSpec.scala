@@ -65,4 +65,24 @@ class GuardSpec extends SparkSpec {
         .collect().nonEmpty)
     } finally arm(false)
   }
+
+  test("guard armed: an explicit broadcast() hint exempts a filter-estimated side") {
+    NoCartesianGuard.install(spark)
+    arm(true)
+    try {
+      // the sf10 similarity shape: the query side is ONE real row, but
+      // a Filter keeps its child's sizeInBytes without CBO stats, so
+      // both sides estimate over the threshold and the unhinted cross
+      // join dies...
+      val big = spark.range(10000000L).toDF("x")
+      val oneRow = big.where(col("x") === 42L)
+      intercept[SparkException] {
+        big.crossJoin(oneRow).queryExecution.optimizedPlan
+      }
+      // ...while broadcast() is a deliberate smallness assertion that
+      // exempts the join — the brute-force top-K pattern stays legal
+      // at ANY corpus size
+      big.crossJoin(broadcast(oneRow)).queryExecution.optimizedPlan
+    } finally arm(false)
+  }
 }

@@ -1015,6 +1015,12 @@ class SinksStreamingSpec extends SparkSpec {
     val cumulative = run(None, "funnel_cumulative_test")
     assert(cumulative == Seq((1L, 1, "view"), (1L, 2, "click"), (9L, 1, "view")),
       s"got $cumulative")
+    // the conf knob routes to the same behavior as the explicit param
+    spark.conf.set(graft.GraftConf.FunnelHorizonKey, "30")
+    try {
+      val viaConf = run(None, "funnel_conf_horizon_test")
+      assert(viaConf == horizoned, s"conf knob diverged: $viaConf vs $horizoned")
+    } finally spark.conf.unset(graft.GraftConf.FunnelHorizonKey)
   }
 
   test("funnel stores no state for users whose events never match a stage") {
