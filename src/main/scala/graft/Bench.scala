@@ -15,6 +15,17 @@ object Bench {
     // benchmark under the same planning-time cartesian guard Verify runs
     graft.plans.NoCartesianGuard.install(spark)
     spark.conf.set(GraftConf.NoCartesianGuardKey, "true")
+    // optional session confs for scale experiments, same contract as
+    // BenchPair (Verify refuses oracle-pinned overrides; a bench run
+    // measures wall-clock, not oracle equality, so knobs are fair
+    // here — any override is recorded in the output JSON):
+    //   SPARK_GRAFT_CONF="spark.graft.ivf.k=auto"
+    val confOverrides = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+        k.trim + "=" + v.trim
+      }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
@@ -43,7 +54,8 @@ object Bench {
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    val conf = confOverrides.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"conf":$conf,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also persist to the repo: the driver captures the stdout tail,
     // which truncates the per-query map once the registry is this big

@@ -116,7 +116,9 @@ object GraftConf {
     * `semantic_dedup`, and the persisted index). Centroids and cell
     * assignments are OUTPUT values, so the oracle pins the default and
     * `Verify` refuses an override. The 100 TB rule is k ∝ √n (cells
-    * stay constant-sized); the default is fixture-sized. */
+    * stay constant-sized); the default is fixture-sized. Set to an
+    * explicit cell count, or `auto` to derive k = ⌈√n⌉ from the corpus
+    * at build time ([[ivfKResolved]]). */
   val IvfKKey = "spark.graft.ivf.k"
 
   /** Streaming funnel completion horizon in minutes
@@ -156,6 +158,11 @@ object GraftConf {
   val DefaultCurriculumBands = 256
   val DefaultSpanWindow = 8
   val DefaultIvfK = 8
+  /** Ceiling for `ivf.k=auto`: the k-means build is O(n·k·dim) per
+    * iteration and the centroid array rides a broadcast, so k is
+    * capped where a 65k-cell × dim array is still comfortably a
+    * few-MB broadcast. Past this, use a multi-level quantizer. */
+  val MaxAutoIvfK = 65536
 
   def topK(s: SparkSession): Int = s.conf.get(TopKKey, DefaultTopK.toString).toInt
   def noCartesianGuard(s: SparkSession): Boolean =
@@ -221,10 +228,28 @@ object GraftConf {
     require(n > 0, s"$CurriculumBandsKey must be positive, got $n")
     n
   }
-  def ivfK(s: SparkSession): Int = {
-    val n = s.conf.get(IvfKKey, DefaultIvfK.toString).toInt
-    require(n > 0, s"$IvfKKey must be positive, got $n")
-    n
+  /** Resolve the IVF cell count, honoring `spark.graft.ivf.k=auto`:
+    * the production mode where k is DERIVED from the corpus size as
+    * ⌈√n⌉ (clamped to [[DefaultIvfK]]..[[MaxAutoIvfK]]) so cells stay
+    * ~√n-sized as the corpus grows — the standard IVF scale rule. With
+    * k fixed while n grows, the probe scan degenerates toward the
+    * brute-force quadratic (measured at sf10, PLANS.md); with k=auto
+    * it stays an index. `corpusSize` is only evaluated in auto mode
+    * (an explicit k costs no count job). Verify still refuses ANY
+    * `ivf.k` override — auto is a serving/bench mode, never the
+    * oracle-pinned default. */
+  def ivfKResolved(s: SparkSession, corpusSize: => Long): Int = {
+    val raw = s.conf.get(IvfKKey, DefaultIvfK.toString).trim
+    if (raw.equalsIgnoreCase("auto")) {
+      val n = corpusSize
+      require(n > 0, s"$IvfKKey=auto needs a non-empty corpus, got $n rows")
+      math.max(DefaultIvfK.toLong,
+        math.min(MaxAutoIvfK.toLong, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    } else {
+      val n = raw.toInt
+      require(n > 0, s"$IvfKKey must be positive or 'auto', got $n")
+      n
+    }
   }
   def funnelHorizonMinutes(s: SparkSession): Option[Long] = {
     val v = s.conf.getOption(FunnelHorizonKey).map(_.toLong)

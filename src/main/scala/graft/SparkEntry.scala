@@ -40,6 +40,7 @@ object SparkEntry {
     // fully-oracled registration (W is explicit, not conf-driven, so
     // the oracle-pinning guard on the default knob does not apply)
     "span_rate_w50"       -> ((s, dir) => SpanDedup.spanDupRate(s, dir, Some(50))),
+    "span_top_text"       -> ((s, dir) => SpanDedup.spanTopText(s, dir)),
     "dedup_incremental"   -> ((s, dir) => DedupOps.incrementalCandidates(s, dir)),
     "dedup_clusters"      -> ((s, dir) => ClusterOps.dedupClusters(s, dir)),
     "quality_repetition"  -> ((s, dir) => QualityFilters.repetitionStats(s, dir)),
@@ -153,6 +154,10 @@ object SparkEntry {
     "sql_spans"           -> ((s, dir) => {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_dedup_spans")
       s.sql("SELECT span_hash, n_docs, n_occ, first_doc FROM graft_dedup_spans ORDER BY n_docs DESC, n_occ DESC, span_hash ASC")
+    }),
+    "sql_span_text"       -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_span_top_text")
+      s.sql("SELECT span_hash, n_docs, n_occ, first_doc, first_pos, span_text FROM graft_span_top_text ORDER BY n_docs DESC, n_occ DESC, span_hash ASC")
     }),
     "sql_span_rate"       -> ((s, dir) => {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_span_dup_rate")
@@ -479,6 +484,7 @@ object SparkEntry {
     "dedup_spans"         -> SpanDedup.dedupSpansSql,
     "span_dup_rate"       -> SpanDedup.spanDupRateSql,
     "span_rate_w50"       -> SpanDedup.spanDupRateSqlFor(50),
+    "span_top_text"       -> SpanDedup.spanTopTextSql,
     "dedup_incremental"   -> DedupOps.incrementalCandidatesSql,
     "dedup_clusters"      -> ClusterOps.dedupClustersSql,
     "quality_repetition"  -> QualityFilters.repetitionStatsSql,
@@ -554,6 +560,7 @@ object SparkEntry {
     "sql_near_dups"       -> DedupOps.nearDupJaccardSql,
     "sql_spans"           -> SpanDedup.dedupSpansSql,
     "sql_span_rate"       -> SpanDedup.spanDupRateSql,
+    "sql_span_text"       -> SpanDedup.spanTopTextSql,
     "sql_sessions"        -> EventOps.sessionizeSql(),
     "sql_cosine_topk"     -> Similarity.cosineTopKSql,
     "sql_ann_topk"        -> Similarity.annTopKSql,

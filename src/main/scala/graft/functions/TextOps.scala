@@ -117,6 +117,15 @@ object TextOps {
     s"""list_transform(range(0, greatest(len($t) - ${k - 1}, 0)),
        | i -> concat_ws(' ', ${(1 to k).map(j => s"$t[i+$j]").mkString(", ")}))""".stripMargin.replace("\n", "")
 
+  /** Positional variant of [[shingleListSql]]: a list of
+    * `{pos, s}` structs (0-based start index + the k-token shingle), for
+    * oracles that need to know WHERE a window sits, not just what it
+    * hashes to (span-text reconstruction). Same window construction,
+    * written once next to its position-less twin. */
+  def shingleStructListSql(t: String, k: Int): String =
+    s"""list_transform(range(0, greatest(len($t) - ${k - 1}, 0)),
+       | i -> struct_pack(pos := i, s := concat_ws(' ', ${(1 to k).map(j => s"$t[i+$j]").mkString(", ")})))""".stripMargin.replace("\n", "")
+
   /** Portable 60-bit string hash: first 15 hex chars of md5, as a long.
     * Identical in DuckDB: `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`.
     * (md5 is bytewise-identical across engines; 15 hex chars keep the

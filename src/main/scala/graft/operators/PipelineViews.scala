@@ -27,6 +27,7 @@ object PipelineViews {
     "graft_dedup_exact"        -> ((s, d) => DedupOps.dedupExact(s, d)),
     "graft_dedup_spans"        -> ((s, d) => SpanDedup.dedupSpans(s, d)),
     "graft_span_dup_rate"      -> ((s, d) => SpanDedup.spanDupRate(s, d)),
+    "graft_span_top_text"      -> ((s, d) => SpanDedup.spanTopText(s, d)),
     "graft_minhash_candidates" -> ((s, d) => DedupOps.minhashCandidates(s, d)),
     "graft_near_dups"          -> ((s, d) => DedupOps.nearDupJaccard(s, d)),
     "graft_simhash"            -> ((s, d) => DedupOps.simhashSignatures(s, d)),

@@ -436,8 +436,21 @@ object Similarity {
     * stay ~constant-sized; with k FIXED the probe scan degenerates
     * toward quadratic (measured: sf10's 200 k vectors at k=8 put
     * 24 k vectors in every cell — see PLANS.md). */
+  /** Corpus size for `ivf.k=auto` resolution — a parquet-metadata
+    * count on the raw embeddings table (no quantization work), memoized
+    * in session conf per directory so auto mode costs ONE count job
+    * per (session, dir) however many consumers resolve k. */
+  private def corpusCount(spark: SparkSession, sfDir: String): Long = {
+    val memoKey = s"${graft.GraftConf.IvfKKey}.corpusCount:$sfDir"
+    spark.conf.getOption(memoKey).map(_.toLong).getOrElse {
+      val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+      spark.conf.set(memoKey, n.toString)
+      n
+    }
+  }
+
   private[graft] def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = graft.GraftConf.ivfK(spark)
+    val k = graft.GraftConf.ivfKResolved(spark, corpusCount(spark, sfDir))
     var inner: DataFrame = null
     val out = Materialize.memoized(spark,
         s"kmeans_cent_${k}_${TrainedIters}_${Materialize.dirTag(sfDir)}") {

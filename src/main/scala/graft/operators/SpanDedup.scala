@@ -99,6 +99,50 @@ object SpanDedup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Top duplicated spans WITH their reconstructed text — the
+    * inspection step after [[dedupSpans]] flags duplication: a curation
+    * engineer's first question is "what IS this repeated span —
+    * license header, nav boilerplate, quoted passage?", which the
+    * hash-only report cannot answer. Reports the [[graft.GraftConf
+    * .topK]] most-duplicated spans (same ordering as [[dedupSpans]])
+    * with the span text sliced from its canonical occurrence (lowest
+    * doc id, then lowest start position).
+    *
+    * Scale shape: the heavy pass is the SAME single hash aggregation
+    * as [[dedupSpans]] (positions ride along as one extra int); the
+    * text reconstruction then touches only top-N rows — the N-row
+    * frame broadcasts into one scan of `documents`, so no corpus-sized
+    * text ever shuffles. min(struct(doc_id, pos)) picks the canonical
+    * location in the same aggregation (lexicographic struct ordering =
+    * min doc, then min pos within it). */
+  def spanTopText(spark: SparkSession, sfDir: String,
+                  windowTokens: Option[Int] = None): DataFrame = {
+    val W = windowTokens.getOrElse(graft.GraftConf.spanWindowTokens(spark))
+    val wins = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(TextOps.ngramIndex(col("t"), W)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        TextOps.hash60(TextOps.ngramAt(col("t"), col("pos"), W)).as("span_hash"))
+    val top = wins
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("loc"))
+      .where(col("n_docs") >= 2)
+      .select(col("span_hash"), col("n_docs"), col("n_occ"),
+        col("loc.doc_id").as("first_doc"), col("loc.pos").as("first_pos"))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span_hash").asc)
+      .limit(graft.GraftConf.topK(spark))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .join(broadcast(top), col("doc_id") === col("first_doc"))
+      .select(col("span_hash"), col("n_docs"), col("n_occ"),
+        col("first_doc"), col("first_pos"),
+        TextOps.ngramAt(col("t"), col("first_pos"), W).as("span_text"))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span_hash").asc)
+  }
+
   /** Shared oracle CTE: tokens → sliding W-token windows → 60-bit span
     * hashes, mirroring the Spark pipeline constant-for-constant. The
     * window list is [[TextOps.shingleListSql]] — the single shared
@@ -144,4 +188,32 @@ object SpanDedup {
        |ORDER BY d.doc_id ASC""".stripMargin
 
   val spanDupRateSql: String = spanDupRateSqlFor(WindowTokens)
+
+  /** DuckDB twin of [[spanTopText]]. Position-carrying windows come
+    * from [[TextOps.shingleStructListSql]] (the positional sibling of
+    * the shared shingle shape); the canonical location is the two-step
+    * MIN(doc_id) → MIN(pos)-within-that-doc, which is exactly what the
+    * Spark side's lexicographic `min(struct(doc_id, pos))` computes.
+    * `pos` is CAST to INTEGER (DuckDB range yields BIGINT, Spark's
+    * sequence-of-int explode yields int32 — the dtype gate compares
+    * widths). */
+  def spanTopTextSqlFor(w: Int, topN: Int): String =
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |win AS (SELECT doc_id, unnest(${TextOps.shingleStructListSql("t", w)}) AS w FROM toks),
+       |wh AS (SELECT doc_id, CAST(w.pos AS INTEGER) AS pos, ${TextOps.hash60Sql("w.s")} AS span_hash FROM win),
+       |agg AS (SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ, MIN(doc_id) AS first_doc
+       |        FROM wh GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2),
+       |loc AS (SELECT w.span_hash, MIN(w.pos) AS first_pos
+       |        FROM wh w JOIN agg a ON w.span_hash = a.span_hash AND w.doc_id = a.first_doc
+       |        GROUP BY w.span_hash),
+       |top AS (SELECT a.span_hash, a.n_docs, a.n_occ, a.first_doc, l.first_pos
+       |        FROM agg a JOIN loc l ON a.span_hash = l.span_hash
+       |        ORDER BY a.n_docs DESC, a.n_occ DESC, a.span_hash ASC LIMIT $topN)
+       |SELECT t.span_hash, t.n_docs, t.n_occ, t.first_doc, t.first_pos,
+       |       concat_ws(' ', ${(1 to w).map(j => s"k.t[t.first_pos+$j]").mkString(", ")}) AS span_text
+       |FROM top t JOIN toks k ON k.doc_id = t.first_doc
+       |ORDER BY t.n_docs DESC, t.n_occ DESC, t.span_hash ASC""".stripMargin
+
+  val spanTopTextSql: String =
+    spanTopTextSqlFor(WindowTokens, graft.GraftConf.DefaultTopK)
 }

@@ -143,6 +143,33 @@ class DedupSpec extends SparkSpec {
     assert(rates(1L) == (3L, 1L) && rates(2L) == (3L, 1L) && rates(3L) == (0L, 0L))
   }
 
+  test("span top-text reconstructs the duplicated window verbatim from its canonical location") {
+    import graft.operators.SpanDedup
+    import graft.functions.TextOps
+    import org.apache.spark.sql.functions.{col, lit}
+    // doc 1/2 share "a b c d e f g h"; doc 2/3 ALSO share "x y z p q r s t"
+    // at different offsets, so canonical location (min doc, min pos) and
+    // text slicing are both exercised
+    val dir = spanFixture(Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h x y z p q r s t",
+      3L -> "w w x y z p q r s t"))
+    val rows = SpanDedup.spanTopText(spark, dir).collect()
+    val byText = rows.map(r => r.getAs[String]("span_text") ->
+      (r.getAs[Long]("first_doc"), r.getAs[Int]("first_pos"))).toMap
+    assert(byText("a b c d e f g h") == (1L, 0))
+    assert(byText("x y z p q r s t") == (2L, 8))
+    // self-consistency: the reported hash IS the hash of the reported text
+    val sess = spark
+    import sess.implicits._
+    rows.foreach { r =>
+      val h = Seq(r.getAs[String]("span_text")).toDF("s")
+        .select(TextOps.hash60(col("s"))).head.getLong(0)
+      assert(h == r.getAs[Long]("span_hash"),
+        s"span_text does not hash back to span_hash for ${r.getAs[String]("span_text")}")
+    }
+  }
+
   test("span dedup: within-doc repetition counts toward dup rate but not cross-doc spans") {
     import graft.operators.SpanDedup
     // 16 tokens = the 8-token run twice: windows at offsets 0 and 8 are

@@ -241,6 +241,28 @@ class TextSimilaritySpec extends SparkSpec {
     assert(cent.queryExecution.analyzed.collectLeaves().size <= 2)
   }
 
+  test("ivf.k=auto derives ceil(sqrt(n)) cells and serves like the explicit k") {
+    import graft.GraftConf
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    val expectK = math.max(GraftConf.DefaultIvfK,
+      math.ceil(math.sqrt(n.toDouble)).toInt)
+    // explicit mode must not evaluate the corpus count (no count job)
+    assert(GraftConf.ivfKResolved(spark,
+      sys.error("corpus count evaluated in explicit mode")) == GraftConf.DefaultIvfK)
+    spark.conf.set(GraftConf.IvfKKey, "auto")
+    try {
+      assert(GraftConf.ivfKResolved(spark, n) == expectK)
+      val auto = Similarity.ivfTrainedTopK(spark, sf).collect()
+      assert(auto.nonEmpty)
+      spark.conf.set(GraftConf.IvfKKey, expectK.toString)
+      val explicit = Similarity.ivfTrainedTopK(spark, sf).collect()
+      // auto resolves to the SAME quantizer as the explicit cell count
+      // (shared memo key carries the resolved k, so this also pins that
+      // auto and explicit land on one build, not two)
+      assert(auto.sameElements(explicit))
+    } finally spark.conf.unset(GraftConf.IvfKKey)
+  }
+
   test("persisted trained index serves identically to the in-session memo") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString + "/idx"
