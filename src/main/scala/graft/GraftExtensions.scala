@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AnnBuckets, DotLong, TokenCount}
+import graft.functions.{AnnBuckets, DotLong, IvfProbes, TokenCount}
 
 /** Session-extensions installer: makes the library's native expressions
   * AND its optimizer rule available to ANY session (including pure-SQL
@@ -27,6 +27,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ann_buckets"),
       new ExpressionInfo(classOf[AnnBuckets].getName, "ann_buckets"),
       (exprs: Seq[Expression]) => AnnBuckets(exprs.head, exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction((
+      FunctionIdentifier("ivf_probes"),
+      new ExpressionInfo(classOf[IvfProbes].getName, "ivf_probes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4, "ivf_probes takes (cents, q, n2, p)")
+        IvfProbes(exprs.head, exprs(1), exprs(2), exprs(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"ivf_probes probe count must be an integer literal, got $other")
+        })
+      }))
     ext.injectFunction((
       FunctionIdentifier("token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "token_count"),

@@ -26,6 +26,11 @@ import graft.sources.Tables
   * with it candidate-pair work — stays bounded per vector at any scale;
   * at cluster scale the (tbl, bucket) id is the shuffle key.
   */
+/** One coarse-quantizer centroid in driver-side form — the element type
+  * of the [[Similarity.centsLit]] plan literal (field names must stay
+  * `cid`/`cq`/`cn2`: the `ivf_probes` kernel resolves them by name). */
+case class CentLit(cid: Long, cq: Seq[Long], cn2: Long)
+
 object Similarity {
 
   val Dims = 64
@@ -89,11 +94,26 @@ object Similarity {
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
   /** Corpus projection: quantized vector + its squared norm, computed
-    * once on the scan side. */
+    * once on the scan side.
+    *
+    * Embedding tables are BYTE-dense and COMPUTE-heavy: at sf10 the
+    * 200 k-vector table is ~50 MB on disk — one default 128 MB scan
+    * split — which would run every downstream n×k×dim kernel pass on
+    * ONE core of local[32] (measured, PLANS.md). When the scan plans
+    * fewer splits than the cluster has slots, rebalance once;
+    * at real scale (thousands of splits) the condition is false and no
+    * exchange is added. Round-robin redistribution cannot change any
+    * result: every consumer aggregates with commutative exact
+    * arithmetic or sorts deterministically. */
   private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
     DotLong.register(spark)
     graft.functions.AnnBuckets.register(spark)
-    Tables.embeddings(spark, sfDir)
+    graft.functions.IvfProbes.register(spark)
+    val raw = Tables.embeddings(spark, sfDir)
+    val target = spark.sparkContext.defaultParallelism
+    val balanced =
+      if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
+    balanced
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
       .withColumn("n2", dotQ(col("q"), col("q")))
   }
@@ -267,41 +287,47 @@ object Similarity {
   val NumCentroids = 16
   val NumProbes = 4
 
-  /** One-row frame holding the whole coarse quantizer as an array of
-    * (cid, cq, cn2) structs — the broadcastable form. Cell assignment
-    * against it is a per-row array fold, so the build side of IVF needs
-    * ZERO exchanges: no window, no shuffle of n×k assignment rows. */
-  private[graft] def centroidArray(cent: DataFrame): DataFrame =
-    cent.agg(collect_list(struct(col("cid"), col("cq"), col("cn2"))).as("cents"))
+  /** The whole coarse quantizer as ONE constant-folded plan literal:
+    * an array of (cid, cq, cn2) structs, collected to the driver
+    * (k rows — the bounded, documented centroid collect) and inlined.
+    * Cell assignment against it is a per-row kernel call, so the build
+    * side of IVF needs ZERO exchanges AND no join: the earlier
+    * broadcast-one-row-array formulation went through a
+    * BroadcastNestedLoopJoin whose output row copies the k·dim-long
+    * centroid array per corpus row — ~48 GB of memcpy per assignment
+    * pass at sf10/k=448 (measured, PLANS.md); a literal is referenced,
+    * never copied. `typedlit` of the case-class rows makes this ONE
+    * Literal node (an `array(struct(lit…))` tree is k·(dim+2) nodes —
+    * ~29 k at k=448 — and every analyzer/optimizer walk of it costs
+    * driver seconds per materialization). Sorted by cid so the literal
+    * (and the codegen cache key) is deterministic regardless of
+    * upstream partitioning. */
+  private[graft] def centsLit(cent: DataFrame): Column = {
+    val rows = cent.select(col("cid"), col("cq"), col("cn2")).collect()
+      .map(r => CentLit(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_.cid).toIndexedSeq
+    typedlit(rows)
+  }
 
-  /** Exact integer squared distance ||x-c||² = n2 - 2·dot + cn2 for one
-    * centroid struct. */
-  private def cellDist2(c: Column, q: Column, n2: Column): Column =
-    n2 - lit(2L) * dotQ(q, c.getField("cq")) + c.getField("cn2")
-
-  /** Map-side argmin cell id: the lexicographic min of (dist2, cid) over
-    * the broadcast centroid array — identical to ranking by dist2 asc,
-    * cid asc and keeping rank 1, but computed as a fold so it is
-    * order-independent (collect_list's nondeterministic array order
-    * cannot leak into the result). */
+  /** Map-side argmin cell id — rank 1 of (dist2 asc, cid asc) over the
+    * broadcast centroid array, via the native [[graft.functions
+    * .IvfProbes]] kernel (a tight primitive loop; the original
+    * higher-order `aggregate` fold is `CodegenFallback` and its
+    * interpreted per-centroid lambda dominated the n×k×dim assignment
+    * pass once k left fixture scale — see PLANS.md). Order-independent
+    * like the fold (collect_list's nondeterministic array order cannot
+    * leak into an argmin). The coalesce preserves the fold's
+    * empty/degenerate result: no valid centroid → Long.MaxValue. */
   private[graft] def nearestCid(cents: Column, q: Column, n2: Column): Column =
-    aggregate(cents,
-      struct(lit(Long.MaxValue).as("d2"), lit(Long.MaxValue).as("cid")),
-      (acc, c) => {
-        val d2 = cellDist2(c, q, n2)
-        val cid = c.getField("cid")
-        when(d2 < acc.getField("d2") ||
-             (d2 === acc.getField("d2") && cid < acc.getField("cid")),
-          struct(d2.as("d2"), cid.as("cid"))).otherwise(acc)
-      }).getField("cid")
+    coalesce(element_at(call_function("ivf_probes", cents, q, n2, lit(1)), 1),
+      lit(Long.MaxValue))
 
-  /** The query's nProbes nearest cell ids, nearest first — array_sort on
-    * (dist2, cid) structs is exactly the dist2-asc, cid-asc rank. */
+  /** The query's nProbes nearest cell ids, nearest first — the same
+    * kernel with p = nProbes (identical to the transform→array_sort→
+    * slice rank on null-free centroid arrays, which [[centsLit]]
+    * always produces). */
   private[graft] def probeCids(cents: Column, q: Column, n2: Column, nProbes: Int): Column =
-    transform(
-      slice(array_sort(transform(cents, c =>
-        struct(cellDist2(c, q, n2).as("d2"), c.getField("cid").as("cid")))), 1, nProbes),
-      x => x.getField("cid"))
+    call_function("ivf_probes", cents, q, n2, lit(nProbes))
 
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = corpus(spark, sfDir)
@@ -361,49 +387,99 @@ object Similarity {
     */
   def kmeansCentroids(spark: SparkSession, sfDir: String,
                       k: Int = NumCentroids, iters: Int = 3): DataFrame = {
+    // MLlib-architecture training loop: centroids live ON THE DRIVER
+    // (k·dim longs — the bounded, documented centroid collect) and ride
+    // into each assignment pass as one plan literal; each partition
+    // folds its rows into a k-entry map of (long[dim] sums, count) over
+    // raw InternalRows — primitive while-loops, zero boxing — and the
+    // driver merges k×partitions slim partials and computes the means.
+    // No per-iteration shuffle, join, or checkpoint at all; the
+    // declarative mean-update forms all hit a wall at real k (measured
+    // at sf10/k=448, PLANS.md): posexplode pushes n·dim rows through a
+    // generate (~18 s/iter), an Aggregator-UDAF trips
+    // ObjectHashAggregate's 128-key sort-based fallback, a Dims-wide
+    // sum(element_at) HashAggregate's generated update method is too
+    // big to JIT, and a broadcast-array join memcpys the k·dim-long
+    // quantizer into every joined row. Exact integer sums commute, so
+    // partials are partitioning-invariant; the driver's
+    // BigDecimal HALF_UP mean reproduces Spark's round() (and DuckDB's)
+    // for negative sums too, so centroids stay bit-identical to the
+    // training replay the oracle runs.
+    //
+    // The quantized corpus is persisted for the loop (each iteration is
+    // one in-memory map pass, not a parquet scan + quantize) and freed
+    // before returning; the returned k-row frame is a LocalRelation —
+    // constant plan size and zero lineage into the loop by construction.
     val emb = corpus(spark, sfDir).select(col("vec_id"), col("q"), col("n2"))
-    var cent = emb.where(col("vec_id").between(1, k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: IndexedSeq[CentLit] = emb.where(col("vec_id").between(1, k))
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+      .collect()
+      .map(r => CentLit(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_.cid).toIndexedSeq
+    val dims = Dims
     for (_ <- 1 to iters) {
-      val assigned = emb.join(broadcast(centroidArray(cent)))
-        .select(nearestCid(col("cents"), col("q"), col("n2")).as("cid"), col("q"))
-      val byDim = assigned
-        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .select(col("cid"), col("pos"),
-          round(col("s").cast("double") / col("n")).cast("long").as("m"))
-      val means = byDim.groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("mq"))
-      val next = cent.select(col("cid"), col("cq").as("prev_cq"))
-        .join(means, Seq("cid"), "left_outer")
-        .select(col("cid"), coalesce(col("mq"), col("prev_cq")).as("cq"))
-        .withColumn("cn2", dotQ(col("cq"), col("cq")))
-        .localCheckpoint(true)
-      unpersistCheckpoint(cent)
-      cent = next
+      val assigned = emb
+        .select(nearestCid(typedlit(cents), col("q"), col("n2")).as("cid"), col("q"))
+      val partials = assigned.queryExecution.toRdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.LongMap.empty[(Array[Long], Array[Long])]
+        while (it.hasNext) {
+          val r = it.next()
+          val e = acc.getOrElseUpdate(r.getLong(0),
+            (new Array[Long](dims), new Array[Long](1)))
+          e._2(0) += 1L
+          if (!r.isNullAt(1)) {
+            val q = r.getArray(1)
+            val n = math.min(dims, q.numElements())
+            var j = 0
+            while (j < n) { e._1(j) += q.getLong(j); j += 1 }
+          }
+        }
+        acc.iterator.map { case (cid, (s, n)) => (cid, s, n(0)) }
+      }.collect()
+      val sums = scala.collection.mutable.LongMap.empty[(Array[Long], Long)]
+      partials.foreach { case (cid, s, n) =>
+        val cur = sums.getOrElse(cid, (new Array[Long](dims), 0L))
+        var j = 0
+        while (j < dims) { cur._1(j) += s(j); j += 1 }
+        sums(cid) = (cur._1, cur._2 + n)
+      }
+      cents = cents.map { c =>
+        sums.get(c.cid) match {
+          case Some((s, n)) if n > 0 =>
+            val mq = IndexedSeq.tabulate(dims) { j =>
+              // Spark round(double) = BigDecimal HALF_UP (away from
+              // zero on .5), NOT java Math.round (toward +inf on -.5)
+              java.math.BigDecimal.valueOf(s(j).toDouble / n)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            }
+            CentLit(c.cid, mq, mq.map(v => v * v).sum)
+          case _ => c // empty cell keeps its centroid — never fewer than k
+        }
+      }
     }
-    cent
+    emb.unpersist()
+    spark.createDataFrame(cents.map(c => (c.cid, c.cq, c.cn2)))
+      .toDF("cid", "cq", "cn2")
   }
 
   /** IVF search against caller-supplied centroids (e.g. from
     * [[kmeansCentroids]]): same probed-cell plan as [[ivfTopK]].
     *
-    * Assignment stage is exchange-free: the centroid set rides in as a
-    * broadcast one-row array and each vector folds over it
-    * ([[nearestCid]]), so the only shuffle anywhere in the serving path
-    * is the final top-K (TakeOrderedAndProject). */
+    * Assignment stage is exchange-free AND join-free: the centroid set
+    * rides in as a constant-folded plan literal ([[centsLit]]) and each
+    * vector runs the native argmin kernel over it ([[nearestCid]]), so
+    * the only shuffle anywhere in the serving path is the final top-K
+    * (TakeOrderedAndProject). */
   def ivfSearchWith(spark: SparkSession, sfDir: String, cent: DataFrame,
                     nProbes: Int = NumProbes): DataFrame = {
     val emb = corpus(spark, sfDir)
-    val centArr = centroidArray(cent)
-    val cells = emb.join(broadcast(centArr))
+    val cl = centsLit(cent)
+    val cells = emb
       .select(col("vec_id"), col("label"), col("q"), col("n2"),
-        nearestCid(col("cents"), col("q"), col("n2")).as("cid"))
+        nearestCid(cl, col("q"), col("n2")).as("cid"))
     val probes = emb.where(col("vec_id") === QueryVecId)
-      .join(broadcast(centArr))
-      .select(explode(probeCids(col("cents"), col("q"), col("n2"), nProbes)).as("probe_cid"))
+      .select(explode(probeCids(cl, col("q"), col("n2"), nProbes)).as("probe_cid"))
     val query = emb.where(col("vec_id") === QueryVecId)
       .select(col("q").as("qq"), col("n2").as("qn2"))
     cells.join(broadcast(probes), col("cid") === col("probe_cid"))
@@ -489,15 +565,8 @@ object Similarity {
     * artifact — never corpus-scale) and baked into the probe
     * expression, so cell assignment on a stream is a pure per-row fold
     * with no join at all. Sorted by cid for a deterministic literal. */
-  private[graft] def trainedCentroidLiteral(spark: SparkSession, sfDir: String): Column = {
-    val rows = trainedCentroids(spark, sfDir)
-      .select(col("cid"), col("cq"), col("cn2")).collect()
-    array(rows.sortBy(_.getLong(0)).map { r =>
-      struct(lit(r.getLong(0)).as("cid"),
-        lit(r.getSeq[Long](1).toArray).as("cq"),
-        lit(r.getLong(2)).as("cn2"))
-    }.toIndexedSeq: _*)
-  }
+  private[graft] def trainedCentroidLiteral(spark: SparkSession, sfDir: String): Column =
+    centsLit(trainedCentroids(spark, sfDir))
 
   /** The cell-keyed reference index [[graft.streaming.EmbedStream]]
     * serves kNN labels from: every labeled reference vector grouped
@@ -510,11 +579,10 @@ object Similarity {
   private[graft] def knnCellIndex(spark: SparkSession, sfDir: String): DataFrame =
     Materialize.memoized(spark, s"knn_cell_index_${Materialize.dirTag(sfDir)}") {
       val emb = corpus(spark, sfDir)
-      val centArr = centroidArray(trainedCentroids(spark, sfDir))
+      val cl = trainedCentroidLiteral(spark, sfDir)
       emb.where(col("vec_id") % KnnQueryMod =!= 0 && col("n2") > 0)
-        .join(broadcast(centArr))
         .select(col("vec_id"), col("label"), col("q"), col("n2"),
-          nearestCid(col("cents"), col("q"), col("n2")).as("cid"))
+          nearestCid(cl, col("q"), col("n2")).as("cid"))
         .groupBy(col("cid"))
         .agg(collect_list(struct(col("vec_id"), col("label"), col("q"), col("n2")))
           .as("members"))
@@ -537,10 +605,9 @@ object Similarity {
     * merged ARRAY index, not side-stats. */
   def knnCellIndexIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = corpus(spark, sfDir)
-    val centArr = centroidArray(trainedCentroids(spark, sfDir))
+    val cl = trainedCentroidLiteral(spark, sfDir)
     def assignedLists(refs: DataFrame): DataFrame = refs
-      .join(broadcast(centArr))
-      .select(col("vec_id"), nearestCid(col("cents"), col("q"), col("n2")).as("cid"))
+      .select(col("vec_id"), nearestCid(cl, col("q"), col("n2")).as("cid"))
       .groupBy(col("cid"))
       .agg(sort_array(collect_list(col("vec_id"))).as("members"))
     val refs = emb.where(col("vec_id") % KnnQueryMod =!= 0 && col("n2") > 0)
@@ -610,9 +677,9 @@ object Similarity {
     val cells = Materialize.memoized(spark,
         s"semdedup_cells_${Materialize.dirTag(sfDir)}") {
       corpus(spark, sfDir)
-        .join(broadcast(centroidArray(trainedCentroids(spark, sfDir))))
         .select(col("vec_id"), col("q"), col("n2"),
-          nearestCid(col("cents"), col("q"), col("n2")).as("cid"))
+          nearestCid(trainedCentroidLiteral(spark, sfDir),
+            col("q"), col("n2")).as("cid"))
     }
     // occupancy window partitions on the SAME key the self-join shuffles
     // on, so the cap reuses the exchange rather than adding one
@@ -761,21 +828,22 @@ object Similarity {
     * shuffles is (cid, cos) pairs into a k-cell aggregation. */
   def cellQualityReport(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = corpus(spark, sfDir)
-    val centArr = centroidArray(trainedCentroids(spark, sfDir))
+    val cent = trainedCentroids(spark, sfDir)
     // every vector assigns (matching semanticDedup's occupancy — no
     // n2 filter here); only the COSINE nulls out when either norm is
-    // zero, and min/max ignore nulls
-    emb.join(broadcast(centArr))
+    // zero, and min/max ignore nulls. The assigned centroid's own
+    // vector comes back via a slim k-row broadcast EQUI-join on cid
+    // (each row copies one centroid, not the whole quantizer — the
+    // filter-the-literal-array alternative re-scans k structs per
+    // corpus row through an interpreted HOF)
+    emb
       .select(col("q"), col("n2"),
-        nearestCid(col("cents"), col("q"), col("n2")).as("cid"), col("cents"))
-      // pick the assigned centroid's struct by cid — collect_list's
-      // array order is nondeterministic, so positional indexing is out
-      .select(col("q"), col("n2"), col("cid"),
-        element_at(filter(col("cents"),
-          c => c.getField("cid") === col("cid")), 1).as("cent"))
+        nearestCid(centsLit(cent), col("q"), col("n2")).as("cid"))
+      .join(broadcast(cent.select(col("cid"),
+        col("cq").as("ccq"), col("cn2").as("ccn2"))), Seq("cid"))
       .select(col("cid"),
-        when(col("n2") > 0 && col("cent.cn2") > 0,
-          cosineFrom(dotQ(col("q"), col("cent.cq")), col("n2"), col("cent.cn2")))
+        when(col("n2") > 0 && col("ccn2") > 0,
+          cosineFrom(dotQ(col("q"), col("ccq")), col("n2"), col("ccn2")))
           .as("cos_c"))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"),
@@ -881,16 +949,14 @@ object Similarity {
     * are hash-verified. */
   def knnLabelIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = corpus(spark, sfDir)
-    val centArr = centroidArray(trainedCentroids(spark, sfDir))
+    val cl = trainedCentroidLiteral(spark, sfDir)
     // zero-norm exclusion: same undefined-cosine hazard as [[knnLabel]]
     val refs = emb.where(col("vec_id") % KnnQueryMod =!= 0 && col("n2") > 0)
-      .join(broadcast(centArr))
       .select(col("vec_id"), col("label"), col("q"), col("n2"),
-        nearestCid(col("cents"), col("q"), col("n2")).as("cid"))
+        nearestCid(cl, col("q"), col("n2")).as("cid"))
     val queries = emb.where(col("vec_id") % KnnQueryMod === 0 && col("n2") > 0)
-      .join(broadcast(centArr))
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"),
-        explode(probeCids(col("cents"), col("q"), col("n2"), NumProbes)).as("cid"))
+        explode(probeCids(cl, col("q"), col("n2"), NumProbes)).as("cid"))
     val scored = refs.join(broadcast(queries), "cid")
       .select(col("query_id"),
         cosineFrom(dotQ(col("q"), col("qq")), col("n2"), col("qn2")).as("cos_sim"),
