@@ -20,11 +20,16 @@ object Bench {
     // measures wall-clock, not oracle equality, so knobs are fair
     // here — any override is recorded in the output JSON):
     //   SPARK_GRAFT_CONF="spark.graft.ivf.k=auto"
+    // malformed segments (empty key, no '=') are dropped, not passed to
+    // spark.conf.set where an empty key throws and aborts the bench
     val confOverrides = sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(";")).filter(_.contains("=")).map { kv =>
+      .flatMap(_.split(";")).filter(_.contains("=")).flatMap { kv =>
         val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-        k.trim + "=" + v.trim
+        if (k.trim.isEmpty) None
+        else {
+          spark.conf.set(k.trim, v.trim)
+          Some(k.trim + "=" + v.trim)
+        }
       }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -46,15 +51,28 @@ object Bench {
       val t1 = pass1(n)
       n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // JSON string escape (same contract as Verify's q()): conf override
+    // VALUES are user-supplied and may contain quotes/backslashes that
+    // would otherwise emit invalid JSON; query names are identifiers
+    // but get the same treatment for uniformity.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => q(k) + ":" + v }
       .mkString("{", ",", "}")
     // a failed query is the -1.0 sentinel in the per-query map; it must
     // NOT be summed into the total (it would silently SHRINK it) — the
     // total covers successful queries and failures are listed by name
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val errs = results.collect { case (k, v) if v < 0 => q(k) }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val conf = confOverrides.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val conf = confOverrides.map(q).mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"conf":$conf,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also persist to the repo: the driver captures the stdout tail,

@@ -158,10 +158,20 @@ object GraftConf {
   val DefaultCurriculumBands = 256
   val DefaultSpanWindow = 8
   val DefaultIvfK = 8
-  /** Ceiling for `ivf.k=auto`: the k-means build is O(n·k·dim) per
-    * iteration and the centroid array rides a broadcast, so k is
-    * capped where a 65k-cell × dim array is still comfortably a
-    * few-MB broadcast. Past this, use a multi-level quantizer. */
+  /** Ceiling for `ivf.k=auto`. At the cap, k=65,536 cells × 64 dims of
+    * quantized longs is ~33 MB of centroid data riding each stage as a
+    * plan literal (plus the flattened codegen reference arrays — so
+    * ~2× that in driver/plan memory), and nearestCid costs k·dim ≈
+    * 4.2 M multiply-adds per row. Auto mode hits the cap at n ≈ 4.3 B
+    * vectors (k=⌈√n⌉); at 100 TB-scale corpora (n ≈ 10¹⁰, √n ≈ 10⁵)
+    * the single-level quantizer is already past its comfort zone
+    * BEFORE the cap binds — the escape hatch is a multi-level (IVF of
+    * IVF) quantizer: a ~√k-cell coarse level picks a super-cell, each
+    * super-cell owns its own ~√k sub-centroids, turning the per-row
+    * cost into 2·√k·dim ≈ 33 k mul-adds and the shipped literal into
+    * ~√k rows + one sub-table per hot super-cell (see PLANS.md
+    * "centsLit capacity" note). The cap keeps auto mode inside the
+    * regime where the single-level plan shape is still the right one. */
   val MaxAutoIvfK = 65536
 
   def topK(s: SparkSession): Int = s.conf.get(TopKKey, DefaultTopK.toString).toInt
@@ -238,15 +248,24 @@ object GraftConf {
     * (an explicit k costs no count job). Verify still refuses ANY
     * `ivf.k` override — auto is a serving/bench mode, never the
     * oracle-pinned default. */
+  /** The auto-k formula itself — k=⌈√n⌉ clamped to
+    * [[DefaultIvfK]]..[[MaxAutoIvfK]] — shared by `ivf.k=auto`
+    * resolution and the explicitly-auto bench registration
+    * (`knn_label_ivf_auto`), so the two paths cannot drift. */
+  def autoIvfK(n: Long): Int =
+    math.max(DefaultIvfK.toLong,
+      math.min(MaxAutoIvfK.toLong, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
   def ivfKResolved(s: SparkSession, corpusSize: => Long): Int = {
     val raw = s.conf.get(IvfKKey, DefaultIvfK.toString).trim
     if (raw.equalsIgnoreCase("auto")) {
       val n = corpusSize
       require(n > 0, s"$IvfKKey=auto needs a non-empty corpus, got $n rows")
-      math.max(DefaultIvfK.toLong,
-        math.min(MaxAutoIvfK.toLong, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+      autoIvfK(n)
     } else {
-      val n = raw.toInt
+      val n = scala.util.Try(raw.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"$IvfKKey must be a positive integer or 'auto', got '$raw'"))
       require(n > 0, s"$IvfKKey must be positive or 'auto', got $n")
       n
     }

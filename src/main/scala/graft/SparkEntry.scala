@@ -70,6 +70,10 @@ object SparkEntry {
     "semantic_dedup"      -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "knn_label"           -> ((s, dir) => Similarity.knnLabel(s, dir)),
     "knn_label_ivf"       -> ((s, dir) => Similarity.knnLabelIvf(s, dir)),
+    // the production serving shape (k=⌈√n⌉ pinned in the query, like
+    // span_rate_w50 pins W): driver-tracked so the auto path cannot
+    // silently regress
+    "knn_label_ivf_auto"  -> ((s, dir) => Similarity.knnLabelIvfAuto(s, dir)),
     "cell_quality"        -> ((s, dir) => Similarity.cellQualityReport(s, dir)),
     "ivf_index_incr"      -> ((s, dir) => Similarity.knnCellIndexIncremental(s, dir)),
     "events_hourly"       -> ((s, dir) => EventOps.hourlyEventCounts(s, dir)),
@@ -514,6 +518,7 @@ object SparkEntry {
     "semantic_dedup"      -> Similarity.semanticDedupSql,
     "knn_label"           -> Similarity.knnLabelSql,
     "knn_label_ivf"       -> Similarity.knnLabelIvfSql,
+    "knn_label_ivf_auto"  -> Similarity.knnLabelIvfAutoSql,
     "cell_quality"        -> Similarity.cellQualityReportSql,
     "events_hourly"       -> EventOps.hourlyEventCountsSql,
     "events_hourly_incr"  -> EventOps.hourlyCountsIncrementalSql,

@@ -100,11 +100,35 @@ object Similarity {
     * 200 k-vector table is ~50 MB on disk — one default 128 MB scan
     * split — which would run every downstream n×k×dim kernel pass on
     * ONE core of local[32] (measured, PLANS.md). When the scan plans
-    * fewer splits than the cluster has slots, rebalance once;
-    * at real scale (thousands of splits) the condition is false and no
-    * exchange is added. Round-robin redistribution cannot change any
-    * result: every consumer aggregates with commutative exact
-    * arithmetic or sorts deterministically. */
+    * fewer splits than the cluster has slots AND the table is big
+    * enough that the kernel passes dominate the exchange (the bytes
+    * gate — at fixture scale a sub-MB table on one split finishes a
+    * full kernel pass faster than a 32-way shuffle round-trip,
+    * measured as the r10 1.3–1.7× kNN/ANN drift, PLANS.md), rebalance
+    * once; at real scale (thousands of splits) the split condition is
+    * false and no exchange is added. The bytes gate reads parquet FILE
+    * SIZES (one FS listing, memoized per (session, dir)) — no job, no
+    * RDD materialization on the small-table path. Round-robin
+    * redistribution cannot change any result: every consumer
+    * aggregates with commutative exact arithmetic or sorts
+    * deterministically. */
+  /** Rebalance only pays past this scan size: below it the exchange
+    * costs more than the single-split kernel pass it parallelizes
+    * (r10 drift adjudication, PLANS.md). 16 MB ≈ an eighth of a
+    * default split — sf10's 50 MB table clears it, sf0.1's 780 KB
+    * fixture does not. */
+  private[graft] val RebalanceMinBytes = 16L << 20
+
+  /** Total parquet bytes of the embeddings table — ONE driver-side FS
+    * listing (no job, no RDD). Doubles as the data fingerprint for
+    * [[corpusCount]]'s memo key, so a grown corpus re-counts instead
+    * of serving a stale cached n. */
+  private[graft] def embedBytes(spark: SparkSession, sfDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
   private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
     DotLong.register(spark)
     graft.functions.AnnBuckets.register(spark)
@@ -112,7 +136,8 @@ object Similarity {
     val raw = Tables.embeddings(spark, sfDir)
     val target = spark.sparkContext.defaultParallelism
     val balanced =
-      if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
+      if (embedBytes(spark, sfDir) >= RebalanceMinBytes &&
+          raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
     balanced
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
       .withColumn("n2", dotQ(col("q"), col("q")))
@@ -515,9 +540,14 @@ object Similarity {
   /** Corpus size for `ivf.k=auto` resolution — a parquet-metadata
     * count on the raw embeddings table (no quantization work), memoized
     * in session conf per directory so auto mode costs ONE count job
-    * per (session, dir) however many consumers resolve k. */
+    * per (session, dir) however many consumers resolve k. The memo key
+    * carries the table's on-disk byte fingerprint ([[embedBytes]]):
+    * when data under sfDir grows (the incremental-ingest scenarios),
+    * the fingerprint changes and auto-k re-resolves from a fresh count
+    * instead of the stale cached n. */
   private def corpusCount(spark: SparkSession, sfDir: String): Long = {
-    val memoKey = s"${graft.GraftConf.IvfKKey}.corpusCount:$sfDir"
+    val memoKey =
+      s"${graft.GraftConf.IvfKKey}.corpusCount:$sfDir:${embedBytes(spark, sfDir)}"
     spark.conf.getOption(memoKey).map(_.toLong).getOrElse {
       val n = graft.sources.Tables.embeddings(spark, sfDir).count()
       spark.conf.set(memoKey, n.toString)
@@ -525,8 +555,15 @@ object Similarity {
     }
   }
 
-  private[graft] def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = graft.GraftConf.ivfKResolved(spark, corpusCount(spark, sfDir))
+  private[graft] def trainedCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    trainedCentroidsK(spark, sfDir,
+      graft.GraftConf.ivfKResolved(spark, corpusCount(spark, sfDir)))
+
+  /** [[trainedCentroids]] at an EXPLICIT cell count — the shared body,
+    * and the entry point for registrations that pin k in the query
+    * itself (the `knn_label_ivf_auto` pattern) rather than through the
+    * conf knob. */
+  private[graft] def trainedCentroidsK(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     var inner: DataFrame = null
     val out = Materialize.memoized(spark,
         s"kmeans_cent_${k}_${TrainedIters}_${Materialize.dirTag(sfDir)}") {
@@ -575,7 +612,12 @@ object Similarity {
     * serving index, built once and read by every micro-batch (the
     * streaming twin of [[knnLabelIvf]]'s refs frame). Cell sizes are
     * corpus/k with the trained quantizer; at 100 TB the members arrays
-    * shard by cid across executors like any other keyed frame. */
+    * shard by cid across executors like any other keyed frame.
+    * Members are sorted by vec_id (first struct field, unique) at
+    * build time so the memoized/persisted artifact is CANONICAL —
+    * collect_list alone inherits shuffle arrival order, and a
+    * persisted index whose array order varies run-to-run is a trap
+    * for any future positional consumer. */
   private[graft] def knnCellIndex(spark: SparkSession, sfDir: String): DataFrame =
     Materialize.memoized(spark, s"knn_cell_index_${Materialize.dirTag(sfDir)}") {
       val emb = corpus(spark, sfDir)
@@ -584,7 +626,8 @@ object Similarity {
         .select(col("vec_id"), col("label"), col("q"), col("n2"),
           nearestCid(cl, col("q"), col("n2")).as("cid"))
         .groupBy(col("cid"))
-        .agg(collect_list(struct(col("vec_id"), col("label"), col("q"), col("n2")))
+        .agg(sort_array(
+          collect_list(struct(col("vec_id"), col("label"), col("q"), col("n2"))))
           .as("members"))
     }
 
@@ -732,7 +775,14 @@ object Similarity {
     * pair assigning every vector to its trained cell — the shared
     * oracle prefix of [[ivfTrainedTopKSql]] and [[semanticDedupSql]].
     * Expects the `e` CTE ([[corpusSql]]) in scope. */
-  private def trainedCellsSql: String = {
+  private def trainedCellsSql: String = trainedCellsSqlFor(TrainedK.toString)
+
+  /** [[trainedCellsSql]] with the cell count as an arbitrary SQL
+    * expression — a literal for the pinned default, a COUNT(*) scalar
+    * subquery for the auto rule (both sides of the auto formula are
+    * exact integer math on the row count, so Spark's driver-side
+    * ⌈√n⌉ and DuckDB's replay agree bit-for-bit). */
+  private def trainedCellsSqlFor(kSql: String): String = {
     val dims = Dims
     // one k-means iteration: cIn -> cOut (CTE names), matching
     // kmeansCentroids' assignment/update/keep semantics exactly
@@ -754,7 +804,7 @@ object Similarity {
     val iters = (1 to TrainedIters).map(i => iterSql(i, if (i == 1) "c0" else s"c${i - 1}"))
       .mkString(",\n")
     val cent = s"c$TrainedIters"
-    s"""c0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM e WHERE vec_id BETWEEN 1 AND $TrainedK),
+    s"""c0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM e WHERE vec_id BETWEEN 1 AND ($kSql)),
        |$iters,
        |assigned AS (SELECT e.vec_id, e.label, e.q, e.n2, c.cid,
        |                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -947,9 +997,27 @@ object Similarity {
     * recall is governed by the probe count, and the oracle replays the
     * identical training + probing, so the probed semantics themselves
     * are hash-verified. */
-  def knnLabelIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  def knnLabelIvf(spark: SparkSession, sfDir: String): DataFrame =
+    knnLabelIvfWith(spark, sfDir, trainedCentroidLiteral(spark, sfDir))
+
+  /** [[knnLabelIvf]] in the PRODUCTION serving shape: k derived from
+    * the corpus size by the auto rule ([[graft.GraftConf.autoIvfK]],
+    * k=⌈√n⌉ clamped) with the k pinned IN the query — the same
+    * explicit-parameter pattern as `span_rate_w50`, so the serving
+    * path has a driver-tracked bench number and its own oracle
+    * (the SQL twin computes the identical k from a COUNT(*) scalar
+    * subquery) without touching the oracle-pinned `ivf.k` default.
+    * At sf0.1's 20 k vectors this trains k=142 cells; with k fixed
+    * at the default 8 the probe scan degenerates toward quadratic as
+    * n grows (measured at sf10, PLANS.md) — THIS registration is the
+    * shape a 100 TB deployment runs. */
+  def knnLabelIvfAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = graft.GraftConf.autoIvfK(corpusCount(spark, sfDir))
+    knnLabelIvfWith(spark, sfDir, centsLit(trainedCentroidsK(spark, sfDir, k)))
+  }
+
+  private def knnLabelIvfWith(spark: SparkSession, sfDir: String, cl: Column): DataFrame = {
     val emb = corpus(spark, sfDir)
-    val cl = trainedCentroidLiteral(spark, sfDir)
     // zero-norm exclusion: same undefined-cosine hazard as [[knnLabel]]
     val refs = emb.where(col("vec_id") % KnnQueryMod =!= 0 && col("n2") > 0)
       .select(col("vec_id"), col("label"), col("q"), col("n2"),
@@ -964,9 +1032,21 @@ object Similarity {
     voteTail(scored)
   }
 
-  val knnLabelIvfSql: String =
+  val knnLabelIvfSql: String = knnLabelIvfSqlFor(trainedCellsSql)
+
+  /** SQL twin of [[knnLabelIvfAuto]]: the identical probed search with
+    * the training replayed at k = GREATEST(8, LEAST(65536,
+    * CEIL(SQRT(COUNT(*))))) — the [[graft.GraftConf.autoIvfK]] formula
+    * as exact SQL over the same row count Spark's driver resolves
+    * from (IEEE sqrt is correctly rounded on both engines, so the
+    * ceil agrees even at perfect squares). */
+  val knnLabelIvfAutoSql: String = knnLabelIvfSqlFor(trainedCellsSqlFor(
+    s"SELECT CAST(GREATEST(${graft.GraftConf.DefaultIvfK}, LEAST(${graft.GraftConf.MaxAutoIvfK}, " +
+      "CEIL(SQRT(COUNT(*))))) AS BIGINT) FROM embeddings"))
+
+  private def knnLabelIvfSqlFor(cellsSql: String): String =
     s"""WITH $corpusSql,
-       |$trainedCellsSql,
+       |$cellsSql,
        |qprobes AS (SELECT vec_id AS query_id, cid FROM assigned
        |            WHERE vec_id % $KnnQueryMod = 0 AND n2 > 0 AND rn <= $NumProbes),
        |qv AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM e

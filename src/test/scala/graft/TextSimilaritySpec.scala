@@ -263,6 +263,49 @@ class TextSimilaritySpec extends SparkSpec {
     } finally spark.conf.unset(GraftConf.IvfKKey)
   }
 
+  test("ivf.k rejects unparseable values with the intended message, not a NumberFormatException") {
+    import graft.GraftConf
+    for (bad <- Seq("automatic", "8k", "")) {
+      spark.conf.set(GraftConf.IvfKKey, bad)
+      try {
+        val e = intercept[IllegalArgumentException](
+          GraftConf.ivfKResolved(spark, sys.error("must not count")))
+        assert(e.getMessage.contains(GraftConf.IvfKKey), s"for '$bad': ${e.getMessage}")
+      } finally spark.conf.unset(GraftConf.IvfKKey)
+    }
+    // the clamp bounds of the auto formula itself
+    assert(GraftConf.autoIvfK(1) == GraftConf.DefaultIvfK)
+    assert(GraftConf.autoIvfK(10000) == 100)
+    assert(GraftConf.autoIvfK(Long.MaxValue) == GraftConf.MaxAutoIvfK)
+  }
+
+  test("knn_label_ivf_auto matches a conf-driven auto run (two spellings, one serving path)") {
+    import graft.GraftConf
+    val viaExplicit = Similarity.knnLabelIvfAuto(spark, sf).collect()
+    spark.conf.set(GraftConf.IvfKKey, "auto")
+    try {
+      // the conf-driven auto path trains the same quantizer (shared
+      // k-keyed memo) and must serve identical labels
+      val viaConf = Similarity.knnLabelIvf(spark, sf).collect()
+      assert(viaExplicit.nonEmpty && viaExplicit.sameElements(viaConf))
+    } finally spark.conf.unset(GraftConf.IvfKKey)
+  }
+
+  test("fixture-scale corpus plans no rebalance exchange; members arrays are canonical") {
+    // the bytes gate: sub-MB embedding fixtures must NOT pay a
+    // round-robin exchange before the kernel pass (the r10 1.3-1.7x
+    // kNN/ANN drift) — no shuffle boundary below the quantize project
+    val plan = Similarity.cosineTopK(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("RoundRobinPartitioning"),
+      s"fixture-scale corpus() added a rebalance exchange:\n$plan")
+    // knnCellIndex members are sorted by vec_id at build time (canonical
+    // persisted artifact, not shuffle arrival order)
+    Similarity.knnCellIndex(spark, sf).collect().foreach { r =>
+      val ids = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("members")).map(_.getLong(0))
+      assert(ids == ids.sorted, s"cell ${r.get(0)} members not vec_id-sorted")
+    }
+  }
+
   test("persisted trained index serves identically to the in-session memo") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString + "/idx"
