@@ -33,7 +33,13 @@ object Bench {
       }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // a failed query is the -1 sentinel in the JSON; the CAUSE goes
+          // to stderr (a silent -1 across the board cost r11 a bench run)
+          System.err.println(s"BENCH query failed: ${e.getClass.getName}: ${e.getMessage}")
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Two passes, report the min: the first pass absorbs JVM/codegen/scan
