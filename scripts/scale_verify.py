@@ -9,42 +9,84 @@ dump already completed; the query stays verified at the scales where
 the oracle is tractable (sf0.01 per-round, sf1 full sweep, r10/r11).
 
 Each query runs in a fresh subprocess (DuckDB has no reliable in-process
-interrupt) executing local_verify.py for that single query.
+interrupt) executing local_verify.py for that single query. --jobs N
+runs N such subprocesses concurrently (each is its own DuckDB; results
+print in submission order so the log stays diffable).
 
-Usage: scale_verify.py <sfDir> <outDir> [--timeout SECS] [query ...]
+Exit codes: 0 all pass (timeouts allowed alongside passes), 1 any fail,
+3 nothing passed and at least one timed out (a fully-timed-out sweep
+must not look like success to an exit-status-only caller).
+
+Usage: scale_verify.py <sfDir> <outDir> [--timeout SECS] [--jobs N] [query ...]
 """
 import json, os, subprocess, sys
+from concurrent.futures import ThreadPoolExecutor
+
+
+def opt(args, flag, default, conv):
+    if flag not in args:
+        return default
+    i = args.index(flag)
+    if i + 1 >= len(args):
+        sys.exit(f"error: {flag} requires a value")
+    try:
+        v = conv(args[i + 1])
+    except ValueError:
+        sys.exit(f"error: {flag} expects a number, got '{args[i + 1]}'")
+    del args[i:i + 2]
+    return v
+
 
 def main():
-    args = [a for a in sys.argv[1:]]
-    timeout = 600.0
-    if "--timeout" in args:
-        i = args.index("--timeout")
-        timeout = float(args[i + 1])
-        del args[i:i + 2]
+    args = list(sys.argv[1:])
+    timeout = opt(args, "--timeout", 600.0, float)
+    jobs = opt(args, "--jobs", 1, int)
+    if len(args) < 2:
+        sys.exit(__doc__)
     sf_dir, out_dir = args[0], args[1]
     only = args[2:]
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = only if only else sorted(oracle)
     here = os.path.dirname(os.path.abspath(__file__))
-    n_pass = n_fail = n_timeout = 0
-    for name in names:
+
+    def run_one(name):
         cmd = [sys.executable, os.path.join(here, "local_verify.py"),
                sf_dir, out_dir, name]
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=timeout)
-            line = next((l for l in r.stdout.splitlines()
-                         if l.startswith(("PASS", "FAIL", "ERR"))), "ERR (no output)")
+        except subprocess.TimeoutExpired:
+            return "TIMEOUT", f"TIMEOUT {name} (oracle exceeded {timeout:.0f}s)"
+        line = next((l for l in r.stdout.splitlines()
+                     if l.startswith(("PASS", "FAIL", "ERR"))), None)
+        if line is None:
+            # local_verify crashed before printing (import error, missing
+            # parquet, OOM): name the query and record WHY, not a bare
+            # 'ERR (no output)' (the silent-failure mode r11 fixed in
+            # Bench.timeOnce)
+            tail = "; ".join(r.stderr.strip().splitlines()[-3:]) or "empty stderr"
+            return "ERR", f"ERR  {name} (no output, exit {r.returncode}): {tail}"
+        if not line.startswith("PASS"):
+            tail = "; ".join(r.stderr.strip().splitlines()[-2:])
+            if tail:
+                line += f"  [stderr: {tail}]"
+        return line.split()[0], line
+
+    n_pass = n_fail = n_timeout = 0
+    with ThreadPoolExecutor(max_workers=max(1, jobs)) as ex:
+        for verdict, line in ex.map(run_one, names):
             print(line, flush=True)
-            if line.startswith("PASS"):
+            if verdict == "PASS":
                 n_pass += 1
+            elif verdict == "TIMEOUT":
+                n_timeout += 1
             else:
                 n_fail += 1
-        except subprocess.TimeoutExpired:
-            n_timeout += 1
-            print(f"TIMEOUT {name} (oracle exceeded {timeout:.0f}s)", flush=True)
     print(f"== {n_pass} pass, {n_fail} fail, {n_timeout} oracle-timeout ==")
-    sys.exit(1 if n_fail else 0)
+    if n_fail:
+        sys.exit(1)
+    if n_timeout and not n_pass:
+        sys.exit(3)
+
 
 main()

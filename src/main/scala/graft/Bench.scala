@@ -77,9 +77,29 @@ object Bench {
     // total covers successful queries and failures are listed by name
     val errs = results.collect { case (k, v) if v < 0 => q(k) }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Exact-baseline bucket (PLANS.md r12 bench policy): the two
+    // brute-force kNN registrations are the documented EXACT baselines
+    // the IVF serving path is graded against — O(|Q|·n·dim) by design,
+    // so at sf>=10 they dominate wall-clock quadratically while saying
+    // nothing about the serving path's scaling. They always RUN and are
+    // always reported; SPARK_GRAFT_EXACT_BUCKET=exclude (set for sf>=10
+    // re-cuts) moves them out of the headline "value" into their own
+    // subtotal. Default (driver per-round bench at sf0.1) keeps the
+    // headline all-inclusive so round-over-round totals stay comparable.
+    val exactBaseline = Set("knn_label", "sql_knn_label")
+    val exclude = sys.env.get("SPARK_GRAFT_EXACT_BUCKET").contains("exclude")
+    val exactTotal = results.collect {
+      case (k, v) if exactBaseline(k) && v >= 0 => v }.sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum -
+      (if (exclude) exactTotal else 0.0)
+    val exactJson = {
+      val m = results.collect { case (k, v) if exactBaseline(k) => q(k) + ":" + v }
+        .mkString("{", ",", "}")
+      val policy = if (exclude) "excluded-from-headline" else "included-in-headline"
+      s"""{"queries":$m,"total":$exactTotal,"policy":${q(policy)}}"""
+    }
     val conf = confOverrides.map(q).mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"conf":$conf,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"conf":$conf,"exact_baseline":$exactJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also persist to the repo: the driver captures the stdout tail,
     // which truncates the per-query map once the registry is this big

@@ -120,13 +120,22 @@ object Similarity {
   private[graft] val RebalanceMinBytes = 16L << 20
 
   /** Total parquet bytes of the embeddings table — ONE driver-side FS
-    * listing (no job, no RDD). Doubles as the data fingerprint for
-    * [[corpusCount]]'s memo key, so a grown corpus re-counts instead
-    * of serving a stale cached n. */
+    * listing per (session, dir), memoized in session conf like
+    * [[annPlanes]] (on an object store a recursive listing is a real
+    * per-call cost, and corpus() runs twice per query construction).
+    * Doubles as the data fingerprint for [[corpusCount]]'s memo key;
+    * with the memo that fingerprint is per-SESSION-stable — a corpus
+    * grown mid-session is re-detected only after `spark.conf.unset`,
+    * the same staleness trade-off [[annPlanes]] documents. */
   private[graft] def embedBytes(spark: SparkSession, sfDir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    val memoKey = s"spark.graft.internal.embedBytes:$sfDir"
+    spark.conf.getOption(memoKey).map(_.toLong).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val n = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      spark.conf.set(memoKey, n.toString)
+      n
+    }
   }
 
   private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1012,7 +1021,12 @@ object Similarity {
     * n grows (measured at sf10, PLANS.md) — THIS registration is the
     * shape a 100 TB deployment runs. */
   def knnLabelIvfAuto(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = graft.GraftConf.autoIvfK(corpusCount(spark, sfDir))
+    // same non-empty-corpus guard ivfKResolved enforces for the
+    // conf-driven auto path — an empty embeddings table must fail
+    // here too, not silently train k=8 over an empty seed set
+    val n = corpusCount(spark, sfDir)
+    require(n > 0, s"ivf.k auto serving needs a non-empty corpus, got $n rows")
+    val k = graft.GraftConf.autoIvfK(n)
     knnLabelIvfWith(spark, sfDir, centsLit(trainedCentroidsK(spark, sfDir, k)))
   }
 

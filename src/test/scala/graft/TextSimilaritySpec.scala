@@ -318,6 +318,23 @@ class TextSimilaritySpec extends SparkSpec {
     assert(fromIndex.sameElements(fromMemo))
   }
 
+  test("persisted index serves from a FRESH session without retraining") {
+    import graft.operators.Similarity
+    // the model-store deployment shape: train+save in one session,
+    // serve from the artifact in another that never sees the training
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_xsess").toString + "/idx"
+    Similarity.saveTrainedIndex(spark, sf, dir)
+    val trained = Similarity.ivfTrainedTopK(spark, sf).collect()
+    val serving = spark.newSession() // fresh conf + temp-view catalog, shared context
+    val served = Similarity.ivfTopKFromIndex(serving, sf, dir).collect()
+    assert(served.sameElements(trained))
+    // proof the serving session really served from the artifact: no
+    // k-means memo view was ever registered in it (training would have)
+    val memos = serving.conf.getOption("spark.graft.ckpt.names").getOrElse("")
+    assert(!memos.contains("kmeans_cent"),
+      s"fresh serving session trained its own quantizer: $memos")
+  }
+
   test("ANN top-K is a subset of the corpus ranked no better than brute force") {
     val brute = Similarity.cosineTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
     val ann = Similarity.annTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
