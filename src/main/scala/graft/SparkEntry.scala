@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, DataQuality, Decontamination, DedupOps, EventOps, LayoutOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Sharding, Similarity, SpanDedup, TextAnalysis, TpchComplete, TpchExt}
+import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, DataQuality, Decontamination, DedupOps, EventOps, LayoutOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Retrieval, Sharding, Similarity, SpanDedup, TextAnalysis, TpchComplete, TpchExt}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -463,6 +463,19 @@ object SparkEntry {
     "dq_docs"             -> ((s, dir) => DataQuality.dqDocs(s, dir)),
     "sql_dq_docs"         -> ((s, dir) => {
       graft.sources.Tables.ensureViews(s, dir); s.sql(DataQuality.dqDocsSql)
+    }),
+    "retrieval_bm25"      -> ((s, dir) => Retrieval.bm25TopK(s, dir)),
+    "fuzzy_join_parts"    -> ((s, dir) => Retrieval.fuzzyJoinParts(s, dir)),
+    "fuzzy_join_customers" -> ((s, dir) => Retrieval.fuzzyJoinCustomers(s, dir)),
+    "sql_bm25"            -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_bm25")
+      s.sql("SELECT doc_id, n_terms, score FROM graft_bm25 " +
+        "ORDER BY score DESC, doc_id ASC")
+    }),
+    "sql_fuzzy_parts"     -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_fuzzy_parts")
+      s.sql("SELECT name_a, name_b, dist, n_a, n_b FROM graft_fuzzy_parts " +
+        "ORDER BY name_a ASC, name_b ASC")
     })
   )
 
@@ -683,6 +696,11 @@ object SparkEntry {
     "sql_attribution"     -> EventOps.attributionWindowSql,
     "sql_trailing_range"  -> AnalyticsExt.trailingRangeRevenueSql,
     "dq_docs"             -> DataQuality.dqDocsSql,
-    "sql_dq_docs"         -> DataQuality.dqDocsSql
+    "sql_dq_docs"         -> DataQuality.dqDocsSql,
+    "retrieval_bm25"      -> Retrieval.bm25TopKSql(),
+    "fuzzy_join_parts"    -> Retrieval.fuzzyJoinPartsSql(),
+    "fuzzy_join_customers" -> Retrieval.fuzzyJoinCustomersSql(),
+    "sql_bm25"            -> Retrieval.bm25TopKSql(),
+    "sql_fuzzy_parts"     -> Retrieval.fuzzyJoinPartsSql()
   )
 }

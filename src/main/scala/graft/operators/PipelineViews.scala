@@ -78,7 +78,9 @@ object PipelineViews {
     "graft_zorder"             -> ((s, d) => LayoutOps.zorderLayout(s, d)),
     "graft_session_native"     -> ((s, d) => EventOps.sessionWindowNative(s, d)),
     "graft_attribution"        -> ((s, d) => EventOps.attributionWindow(s, d)),
-    "graft_trailing_range"     -> ((s, d) => AnalyticsExt.trailingRangeRevenue(s, d)))
+    "graft_trailing_range"     -> ((s, d) => AnalyticsExt.trailingRangeRevenue(s, d)),
+    "graft_bm25"               -> ((s, d) => Retrieval.bm25TopK(s, d)),
+    "graft_fuzzy_parts"        -> ((s, d) => Retrieval.fuzzyJoinParts(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 

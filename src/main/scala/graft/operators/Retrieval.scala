@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.sources.Tables
+
+/** Retrieval and entity-resolution operators for a training-data
+  * pipeline: BM25 ranked keyword search over the `documents` corpus and
+  * an edit-distance fuzzy join with SymSpell-style delete-neighborhood
+  * blocking.
+  *
+  * Scale design:
+  *  - BM25 is ONE corpus scan: document length and the query-term
+  *    postings both come out of the same tokenization pass; only tokens
+  *    matching the (tiny, literal) query survive the explode, so the
+  *    token-scale shuffle is |postings of the query terms|, not corpus
+  *    tokens. df and the corpus stats are 1-row/term aggregates joined
+  *    back by broadcast. No self-join, no window over the corpus.
+  *  - The fuzzy join never goes quadratic: each distinct key of length
+  *    L expands to L+1 delete-1 variants, candidate pairs come from an
+  *    equality join on the variant (complete for edit distance <= 1 —
+  *    a substitution at i makes both i-deletions equal; an insertion
+  *    makes one side's deletion equal the other side verbatim), and
+  *    `levenshtein` verifies survivors. Work is O(total key bytes) to
+  *    block plus O(candidates) to verify — the reason this applies to
+  *    KEYS (names, titles, URLs), not document bodies.
+  */
+object Retrieval {
+
+  /** The pinned retrieval query. A handful of literal terms — the
+    * oracle SQL bakes the same list, so it is NOT conf-driven (the
+    * Verify knob guard pattern). */
+  val Bm25Terms: Seq[String] = Seq("join", "window", "scan")
+
+  /** BM25 parameters. k1 is deliberately 1.5 (not the also-classic
+    * 1.2): every constant in the scoring tree — 1.5, 2.5, 0.75, 0.25,
+    * 0.5 — is exactly representable in binary64, so the Spark
+    * expression and the DuckDB oracle evaluate the identical IEEE
+    * operation sequence and the scores hash-match bitwise. */
+  val Bm25K1 = 1.5
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+
+  /** BM25 top-K with RATIONAL idf: score_t = tfnorm_t * idf_t with
+    * idf_t = (N - df_t + 0.5) / (df_t + 0.5) — the classic
+    * Robertson–Spärck Jones odds WITHOUT the logarithm. ln is not
+    * guaranteed correctly rounded (Java Math.log and DuckDB's libm may
+    * differ in the last ulp), so like keywordsPerSource this engine's
+    * scoring stays inside +,-,*,/ where IEEE 754 mandates exact
+    * rounding and the two engines agree bitwise. The log damps idf
+    * monotonically, so single-term rankings are identical; for
+    * multi-term queries this is the documented scoring variant.
+    *
+    * Per-doc summation over matched terms is the one place float
+    * ORDER could diverge between engines, so the sum is a fixed-order
+    * fold: one `sum(CASE term)` column per query term (each sums at
+    * most ONE value — no reorder possible), then a left-associated
+    * `coalesce(c0,0)+coalesce(c1,0)+...` identical in both dialects. */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextOps.tokens(TextOps.normText(col("text"))).as("toks"))
+    val dl = corpus.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+    val tf = corpus
+      .select(col("doc_id"),
+        explode(filter(col("toks"), t => t.isin(Bm25Terms: _*))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val ndD = col("nd").cast("double")
+    val ttD = col("tt").cast("double")
+    val dfD = col("df").cast("double")
+    // identical parse tree to the oracle SQL: avgdl computed once as
+    // tt/nd, dl/avgdl one division, denominator left-associated
+    val contrib =
+      tfD * lit(2.5) / (tfD + lit(1.5) * (lit(0.25) + lit(0.75) * (dlD / (ttD / ndD)))) *
+        ((ndD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), contrib.as("contrib"))
+    val termCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("contrib"))).as(s"c$i")
+    }
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(termCols.head, (termCols.tail :+ count(lit(1)).as("n_terms")): _*)
+    val score = Bm25Terms.indices
+      .map(i => coalesce(col(s"c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    agg.select(col("doc_id"), col("n_terms"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+  }
+
+  def bm25TopKSql(): String = {
+    val norm = TextOps.normTextSql("text")
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val cases = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN term = '$t' THEN contrib END) AS c$i"
+    }.mkString(",\n|               ")
+    val scoreSum = Bm25Terms.indices
+      .map(i => s"COALESCE(c$i, 0.0)").mkString(" + ")
+    s"""WITH corpus AS (SELECT doc_id,
+       |                       list_filter(string_split($norm, ' '), x -> x <> '') AS toks
+       |                FROM documents WHERE text IS NOT NULL),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM corpus),
+       |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tt FROM dl),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, unnest(toks) AS term FROM corpus)
+       |       WHERE term IN ($inList) GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |scored AS (SELECT tf.doc_id, tf.term,
+       |                  CAST(tf.tf AS DOUBLE) * 2.5 /
+       |                  (CAST(tf.tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(stats.tt AS DOUBLE) / CAST(stats.nd AS DOUBLE))))) *
+       |                  ((CAST(stats.nd AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5)) AS contrib
+       |           FROM tf
+       |           JOIN dfreq ON tf.term = dfreq.term
+       |           JOIN dl ON tf.doc_id = dl.doc_id, stats),
+       |agg AS (SELECT doc_id,
+       |               $cases,
+       |               COUNT(*) AS n_terms
+       |        FROM scored GROUP BY doc_id)
+       |SELECT doc_id, n_terms, $scoreSum AS score
+       |FROM agg
+       |ORDER BY score DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
+  }
+
+  /** All delete-1 variants of a key, INCLUDING the key itself (needed
+    * so an insertion pairs the shorter key verbatim with the longer
+    * key's deletion). `sequence` must never see start > stop (it would
+    * count DOWN), so callers filter empty keys first. */
+  private def delete1Variants(s: Column): Column =
+    array_union(array(s),
+      transform(sequence(lit(1), length(s)), i =>
+        concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+
+  /** Candidate pairs (a < b) of `keys` ("name" column) within edit
+    * distance 1, found by equality-joining the delete-1 neighborhoods
+    * — no cartesian anywhere; the self-join shuffles (L+1)·|keys|
+    * variant rows on the variant string and each bucket holds only the
+    * keys one edit apart at that position. */
+  private def fuzzyPairs(keys: DataFrame): DataFrame = {
+    val variants = keys
+      .where(col("name").isNotNull && length(col("name")) > 0)
+      .select(col("name"), explode(delete1Variants(col("name"))).as("v"))
+    variants.as("a")
+      .join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist") <= 1)
+  }
+
+  /** Entity resolution over part names: distinct-name pairs within one
+    * edit, each with its member count — the "merge these two product
+    * listings?" readout. Work is vocabulary-sized (names dedup before
+    * blocking), so a 100 TB corpus with a bounded catalog costs the
+    * same as this fixture. */
+  def fuzzyJoinParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n"))
+    fuzzyPairs(names.select(col("name")))
+      .join(names.withColumnRenamed("name", "name_a").withColumnRenamed("n", "n_a"), "name_a")
+      .join(names.withColumnRenamed("name", "name_b").withColumnRenamed("n", "n_b"), "name_b")
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+      .orderBy(col("name_a").asc, col("name_b").asc)
+  }
+
+  def fuzzyJoinPartsSql(): String =
+    """WITH d AS (SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY p_name)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+      |       a.n AS n_a, b.n AS n_b
+      |FROM d a JOIN d b ON a.name < b.name AND levenshtein(a.name, b.name) <= 1
+      |ORDER BY name_a ASC, name_b ASC""".stripMargin
+
+  /** The same fuzzy join over customer names — unique keys whose
+    * edit-1 pair count GROWS with the table (ids differing in one
+    * digit), exercising the blocking join where the brute-force oracle
+    * is quadratic. The oracle is deliberately the O(n²) formulation: a
+    * different algorithm entirely, so a blocking bug (a missed
+    * neighborhood case) cannot hide in a shared derivation. */
+  def fuzzyJoinCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.customer(spark, sfDir).select(col("c_name").as("name"))
+    fuzzyPairs(names)
+      .select(col("name_a"), col("name_b"), col("dist"))
+      .orderBy(col("name_a").asc, col("name_b").asc)
+  }
+
+  def fuzzyJoinCustomersSql(): String =
+    """SELECT a.c_name AS name_a, b.c_name AS name_b,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY name_a ASC, name_b ASC""".stripMargin
+}

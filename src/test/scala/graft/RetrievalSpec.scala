@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+import graft.sources.Tables
+
+/** BM25 against a full driver-side recompute (exact double equality —
+  * the scoring tree is designed to be bit-stable), and the delete-1
+  * blocking join against brute-force edit distance over every pair. */
+class RetrievalSpec extends SparkSpec {
+
+  private def norm(s: String): Array[String] =
+    s.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", " ").trim
+      .split(" ").filter(_.nonEmpty)
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0); d(0) = j
+      for (i <- 1 to a.length) {
+        val cur = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    d(a.length)
+  }
+
+  test("bm25: top-10 matches a full driver-side recompute bit-exactly") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .collect { case r if !r.isNullAt(1) => r.getLong(0) -> norm(r.getString(1)) }
+    val nd = docs.length.toDouble
+    val tt = docs.map(_._2.length.toLong).sum.toDouble
+    val avgdl = tt / nd
+    val df = Retrieval.Bm25Terms.map(t =>
+      t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val contribs = Retrieval.Bm25Terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) None
+        else Some(tf * 2.5 / (tf + 1.5 * (0.25 + 0.75 * (dl / avgdl))) *
+          ((nd - df(t) + 0.5) / (df(t) + 0.5)))
+      }
+      if (contribs.forall(_.isEmpty)) None
+      else {
+        val score = contribs.map(_.getOrElse(0.0)).reduceLeft(_ + _)
+        Some((id, contribs.count(_.isDefined).toLong, score))
+      }
+    }.sortBy { case (id, _, s) => (-s, id) }.take(Retrieval.Bm25TopK)
+    val got = Retrieval.bm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("fuzzy join: blocking finds EXACTLY the brute-force edit<=1 pairs") {
+    val names = Tables.customer(spark, sf)
+      .select("c_name").collect().map(_.getString(0)).sorted
+    val brute = for {
+      i <- names.indices; j <- (i + 1) until names.length
+      if lev(names(i), names(j)) <= 1
+    } yield (names(i), names(j), lev(names(i), names(j)).toLong)
+    val got = Retrieval.fuzzyJoinCustomers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == brute.sortBy(p => (p._1, p._2)))
+    assert(brute.nonEmpty) // fixture must actually exercise the join
+  }
+
+  test("fuzzy join parts: member counts match groupBy; dist bounded") {
+    val counts = Tables.part(spark, sf).groupBy("p_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Retrieval.fuzzyJoinParts(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("dist") <= 1L))
+    assert(rows.forall(r => r.getAs[Long]("n_a") == counts(r.getString(0)) &&
+      r.getAs[Long]("n_b") == counts(r.getString(1))))
+  }
+
+  test("fuzzy join plan: blocking equality join, never a cartesian") {
+    val plan = Retrieval.fuzzyJoinCustomers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
