@@ -136,7 +136,7 @@ object Retrieval {
     * so an insertion pairs the shorter key verbatim with the longer
     * key's deletion). `sequence` must never see start > stop (it would
     * count DOWN), so callers filter empty keys first. */
-  private def delete1Variants(s: Column): Column =
+  private[graft] def delete1Variants(s: Column): Column =
     array_union(array(s),
       transform(sequence(lit(1), length(s)), i =>
         concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
@@ -146,8 +146,13 @@ object Retrieval {
     * — no cartesian anywhere; the self-join shuffles (L+1)·|keys|
     * variant rows on the variant string and each bucket holds only the
     * keys one edit apart at that position. */
-  private def fuzzyPairs(keys: DataFrame): DataFrame = {
-    val variants = keys
+  private[graft] def fuzzyPairs(keys: DataFrame): DataFrame = {
+    // dedup BEFORE blocking: duplicate keys multiply every variant
+    // bucket by their multiplicity and the raw candidate join goes
+    // quadratic in it (measured: 10× replicated names at sf1 turned
+    // ~1M raw candidates into 108M before this distinct). Pair
+    // semantics are over distinct keys either way.
+    val variants = keys.distinct()
       .where(col("name").isNotNull && length(col("name")) > 0)
       .select(col("name"), explode(delete1Variants(col("name"))).as("v"))
     variants.as("a")
@@ -196,9 +201,10 @@ object Retrieval {
   }
 
   def fuzzyJoinCustomersSql(): String =
-    """SELECT a.c_name AS name_a, b.c_name AS name_b,
-      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-      |FROM customer a JOIN customer b
-      |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+    """WITH d AS (SELECT DISTINCT c_name AS name FROM customer)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      |FROM d a JOIN d b
+      |  ON a.name < b.name AND levenshtein(a.name, b.name) <= 1
       |ORDER BY name_a ASC, name_b ASC""".stripMargin
 }
