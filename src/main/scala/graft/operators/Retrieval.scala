@@ -58,43 +58,49 @@ object Retrieval {
     * most ONE value — no reorder possible), then a left-associated
     * `coalesce(c0,0)+coalesce(c1,0)+...` identical in both dialects. */
   def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = Tables.documents(spark, sfDir)
+    // No explode, no token-scale shuffle: per-row `size(filter(toks,
+    // == term))` computes each term frequency inside whole-stage
+    // codegen, so a doc contributes at most ONE slim posting row
+    // (doc_id, dl, tf per query term). The only corpus-wide exchanges
+    // are two 1-row aggregates (corpus stats, per-term df) — both
+    // broadcast back — and the top-K TakeOrderedAndProject. An earlier
+    // formulation exploded tokens and re-derived df from a second
+    // scan+explode; this shape scans documents twice (stats pass +
+    // postings pass), tokenizing each row once per pass, and shuffles
+    // only K rows.
+    val perDoc = Tables.documents(spark, sfDir)
       .where(col("text").isNotNull)
       .select(col("doc_id"),
         TextOps.tokens(TextOps.normText(col("text"))).as("toks"))
-    val dl = corpus.select(col("doc_id"),
-      size(col("toks")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
-    val tf = corpus
-      .select(col("doc_id"),
-        explode(filter(col("toks"), t => t.isin(Bm25Terms: _*))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val tfD = col("tf").cast("double")
+      .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), tok => tok === t)).cast("long").as(s"tf$i")
+        }: _*)
+    val statsCols = count(lit(1)).as("nd") +: sum(col("dl")).as("tt") +:
+      Bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(statsCols.head, statsCols.tail: _*)
+    val postings = perDoc
+      .where(Bm25Terms.indices.map(i => col(s"tf$i") > 0).reduceLeft(_ || _))
     val dlD = col("dl").cast("double")
     val ndD = col("nd").cast("double")
     val ttD = col("tt").cast("double")
-    val dfD = col("df").cast("double")
     // identical parse tree to the oracle SQL: avgdl computed once as
-    // tt/nd, dl/avgdl one division, denominator left-associated
-    val contrib =
-      tfD * lit(2.5) / (tfD + lit(1.5) * (lit(0.25) + lit(0.75) * (dlD / (ttD / ndD)))) *
-        ((ndD - dfD + lit(0.5)) / (dfD + lit(0.5)))
-    val scored = tf
-      .join(broadcast(df), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("term"), contrib.as("contrib"))
-    val termCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === t, col("contrib"))).as(s"c$i")
+    // tt/nd, dl/avgdl one division, denominator left-associated,
+    // per-term contributions summed in fixed query order
+    def contrib(i: Int): Column = {
+      val tfD = col(s"tf$i").cast("double")
+      val dfD = col(s"df$i").cast("double")
+      when(col(s"tf$i") > 0,
+        tfD * lit(2.5) / (tfD + lit(1.5) * (lit(0.25) + lit(0.75) * (dlD / (ttD / ndD)))) *
+          ((ndD - dfD + lit(0.5)) / (dfD + lit(0.5))))
+        .otherwise(lit(0.0))
     }
-    val agg = scored.groupBy(col("doc_id"))
-      .agg(termCols.head, (termCols.tail :+ count(lit(1)).as("n_terms")): _*)
-    val score = Bm25Terms.indices
-      .map(i => coalesce(col(s"c$i"), lit(0.0)))
-      .reduceLeft(_ + _)
-    agg.select(col("doc_id"), col("n_terms"), score.as("score"))
+    val score = Bm25Terms.indices.map(contrib).reduceLeft(_ + _)
+    val nTerms = Bm25Terms.indices
+      .map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L)).reduceLeft(_ + _)
+    postings.crossJoin(broadcast(stats))
+      .select(col("doc_id"), nTerms.as("n_terms"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(Bm25TopK)
   }
