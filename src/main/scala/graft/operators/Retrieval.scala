@@ -57,53 +57,89 @@ object Retrieval {
     * fold: one `sum(CASE term)` column per query term (each sums at
     * most ONE value — no reorder possible), then a left-associated
     * `coalesce(c0,0)+coalesce(c1,0)+...` identical in both dialects. */
-  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
-    // No explode, no token-scale shuffle: per-row `size(filter(toks,
-    // == term))` computes each term frequency inside whole-stage
-    // codegen, so a doc contributes at most ONE slim posting row
-    // (doc_id, dl, tf per query term). The only corpus-wide exchanges
-    // are two 1-row aggregates (corpus stats, per-term df) — both
-    // broadcast back — and the top-K TakeOrderedAndProject. An earlier
-    // formulation exploded tokens and re-derived df from a second
-    // scan+explode; this shape scans documents twice (stats pass +
-    // postings pass), tokenizing each row once per pass, and shuffles
-    // only K rows.
-    val perDoc = Tables.documents(spark, sfDir)
-      .where(col("text").isNotNull)
+  /** Per-doc projection shared by the batch operator and the streaming
+    * scorer: doc_id, dl (token count), and one tf column per query
+    * term — each computed per-row via `size(filter(toks, == term))`
+    * inside whole-stage codegen, so there is no explode and no
+    * token-scale shuffle anywhere. */
+  private[graft] def bm25PerDoc(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
       .select(col("doc_id"),
         TextOps.tokens(TextOps.normText(col("text"))).as("toks"))
       .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
         Bm25Terms.zipWithIndex.map { case (t, i) =>
           size(filter(col("toks"), tok => tok === t)).cast("long").as(s"tf$i")
         }: _*)
-    val statsCols = count(lit(1)).as("nd") +: sum(col("dl")).as("tt") +:
-      Bm25Terms.indices.map(i =>
-        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
-    val stats = perDoc.agg(statsCols.head, statsCols.tail: _*)
-    val postings = perDoc
-      .where(Bm25Terms.indices.map(i => col(s"tf$i") > 0).reduceLeft(_ || _))
+
+  private[graft] def bm25AnyMatch: Column =
+    Bm25Terms.indices.map(i => col(s"tf$i") > 0).reduceLeft(_ || _)
+
+  /** (n_terms, score) over a [[bm25PerDoc]] row, parameterized by where
+    * the corpus stats come from — broadcast-joined columns in batch,
+    * trained literals in the streaming scorer — so both paths evaluate
+    * the IDENTICAL IEEE tree: avgdl computed once as tt/nd, dl/avgdl
+    * one division, denominator left-associated, per-term contributions
+    * summed in fixed query order. */
+  private[graft] def bm25ScoreCols(nd: Column, tt: Column,
+      df: Int => Column): (Column, Column) = {
     val dlD = col("dl").cast("double")
-    val ndD = col("nd").cast("double")
-    val ttD = col("tt").cast("double")
-    // identical parse tree to the oracle SQL: avgdl computed once as
-    // tt/nd, dl/avgdl one division, denominator left-associated,
-    // per-term contributions summed in fixed query order
+    val ndD = nd.cast("double")
+    val ttD = tt.cast("double")
     def contrib(i: Int): Column = {
       val tfD = col(s"tf$i").cast("double")
-      val dfD = col(s"df$i").cast("double")
+      val dfD = df(i).cast("double")
       when(col(s"tf$i") > 0,
         tfD * lit(2.5) / (tfD + lit(1.5) * (lit(0.25) + lit(0.75) * (dlD / (ttD / ndD)))) *
           ((ndD - dfD + lit(0.5)) / (dfD + lit(0.5))))
         .otherwise(lit(0.0))
     }
-    val score = Bm25Terms.indices.map(contrib).reduceLeft(_ + _)
     val nTerms = Bm25Terms.indices
       .map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L)).reduceLeft(_ + _)
-    postings.crossJoin(broadcast(stats))
+    (nTerms, Bm25Terms.indices.map(contrib).reduceLeft(_ + _))
+  }
+
+  /** Corpus statistics the scorer needs: doc count, total tokens, and
+    * per-term document frequency — ONE 1-row aggregate over
+    * [[bm25PerDoc]]. */
+  private[graft] def bm25Stats(perDoc: DataFrame): DataFrame = {
+    val statsCols = count(lit(1)).as("nd") +: sum(col("dl")).as("tt") +:
+      Bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    perDoc.agg(statsCols.head, statsCols.tail: _*)
+  }
+
+  /** The trained serving artifact for the streaming scorer: corpus
+    * stats collected to the driver (one slim row — the same bounded
+    * collect the IVF centroid literals use). */
+  case class Bm25Index(nd: Long, tt: Long, dfs: Seq[Long])
+
+  def bm25Train(spark: SparkSession, sfDir: String): Bm25Index = {
+    val r = bm25Stats(bm25PerDoc(Tables.documents(spark, sfDir))).collect()(0)
+    Bm25Index(r.getLong(0), r.getLong(1),
+      Bm25Terms.indices.map(i => r.getLong(2 + i)))
+  }
+
+  /** All matching docs with their scores, unordered — the full scoring
+    * frame [[bm25TopK]] ranks. */
+  private[graft] def bm25Scores(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = bm25PerDoc(Tables.documents(spark, sfDir))
+    val stats = bm25Stats(perDoc)
+    val (nTerms, score) = bm25ScoreCols(col("nd"), col("tt"), i => col(s"df$i"))
+    perDoc.where(bm25AnyMatch)
+      .crossJoin(broadcast(stats))
       .select(col("doc_id"), nTerms.as("n_terms"), score.as("score"))
+  }
+
+  /** BM25 top-K: the only corpus-wide exchanges are the 1-row stats
+    * aggregate (broadcast back) and the top-K TakeOrderedAndProject.
+    * An earlier formulation exploded tokens and re-derived df from a
+    * second scan+explode; this shape scans documents twice (stats pass
+    * + postings pass), tokenizing each row once per pass, and shuffles
+    * only K rows. */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Scores(spark, sfDir)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(Bm25TopK)
-  }
 
   def bm25TopKSql(): String = {
     val norm = TextOps.normTextSql("text")

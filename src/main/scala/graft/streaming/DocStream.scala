@@ -81,6 +81,25 @@ object DocStream {
     * alike. Emits match counts and the redacted-text hash alongside the
     * carried metadata; a production variant would carry the redacted
     * text itself in place of the hash. */
+  /** Stateless BM25 scoring at ingest — the text twin of the embedding
+    * stream's trained-centroid serving: corpus statistics (doc count,
+    * total tokens, per-term df) are TRAINED once by the batch side
+    * ([[graft.operators.Retrieval.bm25Train]]) and baked into the
+    * streaming projection as plan literals, so each arriving document
+    * is scored in one codegen'd pass with zero streaming state and no
+    * shuffle. Scores are bit-identical to the batch operator evaluated
+    * with the same stats (shared Column builders), so a relevance gate
+    * at ingest ranks exactly like the oracle-verified batch query. */
+  def bm25ScoreStream(docs: DataFrame,
+      index: graft.operators.Retrieval.Bm25Index): DataFrame = {
+    import graft.operators.Retrieval
+    val perDoc = Retrieval.bm25PerDoc(docs)
+    val (nTerms, score) = Retrieval.bm25ScoreCols(
+      lit(index.nd), lit(index.tt), i => lit(index.dfs(i)))
+    perDoc.where(Retrieval.bm25AnyMatch)
+      .select(col("doc_id"), nTerms.as("n_terms"), score.as("score"))
+  }
+
   def redactStream(docs: DataFrame): DataFrame = {
     val (nEmails, nNums, redHash) = TextAnalysis.redactCols
     docs

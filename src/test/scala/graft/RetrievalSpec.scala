@@ -77,6 +77,25 @@ class RetrievalSpec extends SparkSpec {
       r.getAs[Long]("n_b") == counts(r.getString(1))))
   }
 
+  test("streaming bm25 scorer matches batch scoring bit-exactly for ALL docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25s").toString
+    java.nio.file.Files.copy(java.nio.file.Path.of(s"$sf/documents.parquet"),
+      java.nio.file.Path.of(dir, "documents.parquet"))
+    val idx = Retrieval.bm25Train(spark, sf)
+    val q = graft.streaming.DocStream.bm25ScoreStream(
+      graft.streaming.DocStream.readDocsStream(spark, dir), idx)
+      .writeStream.format("memory").queryName("bm25_stream_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bm25_stream_test")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = Retrieval.bm25Scores(spark, sf)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("fuzzy join plan: blocking equality join, never a cartesian") {
     val plan = Retrieval.fuzzyJoinCustomers(spark, sf)
       .queryExecution.executedPlan.toString
