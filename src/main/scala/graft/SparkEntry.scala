@@ -476,7 +476,8 @@ object SparkEntry {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_fuzzy_parts")
       s.sql("SELECT name_a, name_b, dist, n_a, n_b FROM graft_fuzzy_parts " +
         "ORDER BY name_a ASC, name_b ASC")
-    })
+    }),
+    "entity_resolution"   -> ((s, dir) => Retrieval.entityResolution(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -701,6 +702,7 @@ object SparkEntry {
     "fuzzy_join_parts"    -> Retrieval.fuzzyJoinPartsSql(),
     "fuzzy_join_customers" -> Retrieval.fuzzyJoinCustomersSql(),
     "sql_bm25"            -> Retrieval.bm25TopKSql(),
-    "sql_fuzzy_parts"     -> Retrieval.fuzzyJoinPartsSql()
+    "sql_fuzzy_parts"     -> Retrieval.fuzzyJoinPartsSql(),
+    "entity_resolution"   -> Retrieval.entityResolutionSql()
   )
 }

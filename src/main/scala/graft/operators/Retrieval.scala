@@ -242,6 +242,53 @@ object Retrieval {
       .orderBy(col("name_a").asc, col("name_b").asc)
   }
 
+  /** Entity consolidation: connected components over the fuzzy-pair
+    * graph ([[fuzzyPairs]] edges → [[ClusterOps.componentsOf]] min-label
+    * propagation — label types are generic, so string keys propagate
+    * with lexicographic MIN), giving every distinct part name a
+    * canonical entity id (the lexicographically smallest name reachable
+    * by edit-1 steps) plus member counts. The composition mirrors the
+    * dedup_clusters pipeline with names instead of doc ids: blocking
+    * join for edges, pointer-jumping for components, nothing quadratic.
+    * Oracle replays components by recursive transitive closure — the
+    * same independent-algorithm pattern the cluster oracles use. */
+  def entityResolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_parts"))
+    val edges = fuzzyPairs(names.select(col("name")))
+      .select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))
+    val comp = ClusterOps.componentsOf(spark, edges)
+      .toDF("name", "label")
+    names.join(comp, Seq("name"), "left")
+      .select(col("name"), coalesce(col("label"), col("name")).as("entity_id"),
+        col("n_parts"))
+      .withColumn("entity_size",
+        count(lit(1)).over(Window.partitionBy(col("entity_id"))))
+      .withColumn("is_canonical", col("name") === col("entity_id"))
+      .orderBy(col("name").asc)
+  }
+
+  def entityResolutionSql(): String =
+    """WITH RECURSIVE d AS (SELECT p_name AS name, COUNT(*) AS n_parts
+      |                     FROM part GROUP BY p_name),
+      |edges AS (SELECT a.name AS name_a, b.name AS name_b
+      |          FROM d a JOIN d b
+      |            ON a.name < b.name AND levenshtein(a.name, b.name) <= 1),
+      |sym AS (SELECT name_a AS node, name_b AS nbr FROM edges
+      |        UNION ALL SELECT name_b, name_a FROM edges),
+      |reach AS (SELECT node, node AS r FROM (SELECT DISTINCT node FROM sym) n
+      |          UNION
+      |          SELECT s.node, reach.r FROM sym s JOIN reach ON s.nbr = reach.node),
+      |lab AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+      |ent AS (SELECT d.name, coalesce(l.label, d.name) AS entity_id, d.n_parts
+      |        FROM d LEFT JOIN lab l ON d.name = l.node)
+      |SELECT name, entity_id, n_parts,
+      |       COUNT(*) OVER (PARTITION BY entity_id) AS entity_size,
+      |       name = entity_id AS is_canonical
+      |FROM ent
+      |ORDER BY name ASC""".stripMargin
+
   def fuzzyJoinCustomersSql(): String =
     """WITH d AS (SELECT DISTINCT c_name AS name FROM customer)
       |SELECT a.name AS name_a, b.name AS name_b,

@@ -96,6 +96,29 @@ class RetrievalSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("entity resolution: components equal brute-force transitive closure") {
+    val rows = Retrieval.entityResolution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    val names = rows.map(_._1)
+    // brute-force union-find over ALL edit<=1 name pairs
+    val parent = scala.collection.mutable.Map(names.map(n => n -> n): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (i <- names.indices; j <- (i + 1) until names.length
+         if lev(names(i), names(j)) <= 1) {
+      val (a, b) = (find(names(i)), find(names(j)))
+      if (a != b) parent(if (a < b) b else a) = if (a < b) a else b
+    }
+    // canonical = lexicographic min of each component
+    val canon: Map[String, String] = names.groupBy(find).toSeq.flatMap {
+      case (_, g) => val m = g.min; g.map(_ -> m)
+    }.toMap
+    assert(rows.forall { case (n, ent, size) =>
+      ent == canon(n) && size == canon.values.count(_ == canon(n))
+    })
+    assert(rows.exists(_._3 > 1)) // fixture must contain a real merge
+  }
+
   test("fuzzy join plan: blocking equality join, never a cartesian") {
     val plan = Retrieval.fuzzyJoinCustomers(spark, sf)
       .queryExecution.executedPlan.toString
