@@ -477,7 +477,13 @@ object SparkEntry {
       s.sql("SELECT name_a, name_b, dist, n_a, n_b FROM graft_fuzzy_parts " +
         "ORDER BY name_a ASC, name_b ASC")
     }),
-    "entity_resolution"   -> ((s, dir) => Retrieval.entityResolution(s, dir))
+    "entity_resolution"   -> ((s, dir) => Retrieval.entityResolution(s, dir)),
+    "sim_pq_topk"         -> ((s, dir) => graft.operators.ProductQuant.pqTopK(s, dir)),
+    "sql_pq_topk"         -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_pq_topk")
+      s.sql("SELECT vec_id, label, pq_cos FROM graft_pq_topk " +
+        "ORDER BY pq_cos DESC, vec_id ASC")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -703,6 +709,8 @@ object SparkEntry {
     "fuzzy_join_customers" -> Retrieval.fuzzyJoinCustomersSql(),
     "sql_bm25"            -> Retrieval.bm25TopKSql(),
     "sql_fuzzy_parts"     -> Retrieval.fuzzyJoinPartsSql(),
-    "entity_resolution"   -> Retrieval.entityResolutionSql()
+    "entity_resolution"   -> Retrieval.entityResolutionSql(),
+    "sim_pq_topk"         -> graft.operators.ProductQuant.pqTopKSql,
+    "sql_pq_topk"         -> graft.operators.ProductQuant.pqTopKSql
   )
 }

@@ -80,7 +80,8 @@ object PipelineViews {
     "graft_attribution"        -> ((s, d) => EventOps.attributionWindow(s, d)),
     "graft_trailing_range"     -> ((s, d) => AnalyticsExt.trailingRangeRevenue(s, d)),
     "graft_bm25"               -> ((s, d) => Retrieval.bm25TopK(s, d)),
-    "graft_fuzzy_parts"        -> ((s, d) => Retrieval.fuzzyJoinParts(s, d)))
+    "graft_fuzzy_parts"        -> ((s, d) => Retrieval.fuzzyJoinParts(s, d)),
+    "graft_pq_topk"            -> ((s, d) => ProductQuant.pqTopK(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 

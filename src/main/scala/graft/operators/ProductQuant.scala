@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the memory-compression serving tier
+  * below int8: the 64-dim quantized vector is split into [[PqM]]
+  * subspaces of [[SubDim]] dims, each subspace gets its own
+  * [[PqK]]-code codebook trained by the SAME deterministic integer
+  * k-means the IVF path uses, and a vector is stored as [[PqM]] code
+  * ids (8 bytes here vs 512 for the int-quantized original — the
+  * classic 64× shelf-space drop that makes billion-vector serving fit
+  * in RAM). Queries score by asymmetric distance: the FULL query
+  * against each vector's reconstruction (concatenated code centroids)
+  * — computed here as one integer dot against the reconstruction,
+  * which is exactly the textbook per-subspace LUT sum because the dot
+  * distributes over the block structure.
+  *
+  * Scale design: training is the MLlib-architecture driver loop
+  * (codebooks are PqM·PqK·SubDim = 1,024 longs — plan literals, never
+  * joined), and ALL eight subspaces train in ONE pass per iteration:
+  * each partition folds its rows into a (subspace, code) → (8 sums,
+  * count) map, so an iteration costs one corpus scan regardless of
+  * PqM. Serving is map-side only — per-row code assignment against
+  * literal codebooks, reconstruction via element_at, one broadcast of
+  * the query row, TakeOrderedAndProject. The corpus never shuffles.
+  *
+  * Determinism: init = the first PqK vectors' slices (the IVF c0
+  * rule), assignment = exact integer squared distance with ties to the
+  * smallest code id, update = per-dim integer sums with the
+  * BigDecimal HALF_UP mean Spark's round() and DuckDB's round() share,
+  * empty cells keep their code. The oracle replays the entire
+  * training, per subspace, iteration-unrolled — same pattern as
+  * `ivfTrainedTopKSql`. */
+object ProductQuant {
+
+  val PqM = 8       // subspaces
+  val SubDim = 8    // dims per subspace (PqM * SubDim == Similarity.Dims)
+  val PqK = 16      // codes per codebook
+  val PqIters = 2   // k-means iterations (matches TrainedIters)
+
+  /** Train all [[PqM]] codebooks in one corpus pass per iteration.
+    * Returns codebooks indexed by subspace, each sorted by cid
+    * (cids are exactly 1..PqK — the init vec_ids, stable through
+    * training). */
+  private[graft] def pqTrain(spark: SparkSession, sfDir: String)
+      : IndexedSeq[IndexedSeq[CentLit]] = {
+    val emb = Similarity.corpus(spark, sfDir)
+      .select(col("vec_id"), col("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val initRows = emb.where(col("vec_id").between(1, PqK))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .sortBy(_._1).toIndexedSeq
+    require(initRows.size == PqK,
+      s"PQ init needs vectors 1..$PqK present, got ${initRows.size}")
+    var books: IndexedSeq[IndexedSeq[CentLit]] =
+      IndexedSeq.tabulate(PqM) { s =>
+        initRows.map { case (cid, q) =>
+          val cq = q.slice(s * SubDim, s * SubDim + SubDim)
+          CentLit(cid, cq, cq.map(v => v * v).sum)
+        }
+      }
+    val m = PqM
+    val sub = SubDim
+    for (_ <- 1 to PqIters) {
+      val cidCols = (0 until m).map { s =>
+        val sl = slice(col("q"), s * sub + 1, sub)
+        Similarity.nearestCid(typedlit(books(s)), sl,
+          Similarity.dotQ(sl, sl)).as(s"cid$s")
+      }
+      val assigned = emb.select(cidCols :+ col("q").as("q"): _*)
+      val partials = assigned.queryExecution.toRdd.mapPartitions { it =>
+        // key = subspace * 64 + cid (cid <= PqK << 64, no collision)
+        val acc = scala.collection.mutable.LongMap
+          .empty[(Array[Long], Array[Long])]
+        while (it.hasNext) {
+          val r = it.next()
+          if (!r.isNullAt(m)) {
+            val q = r.getArray(m)
+            var s = 0
+            while (s < m) {
+              val e = acc.getOrElseUpdate(s.toLong * 64 + r.getLong(s),
+                (new Array[Long](sub), new Array[Long](1)))
+              e._2(0) += 1L
+              var j = 0
+              while (j < sub) { e._1(j) += q.getLong(s * sub + j); j += 1 }
+              s += 1
+            }
+          }
+        }
+        acc.iterator.map { case (k, (sums, n)) => (k, sums, n(0)) }
+      }.collect()
+      val sums = scala.collection.mutable.LongMap.empty[(Array[Long], Long)]
+      partials.foreach { case (k, sArr, n) =>
+        val cur = sums.getOrElse(k, (new Array[Long](sub), 0L))
+        var j = 0
+        while (j < sub) { cur._1(j) += sArr(j); j += 1 }
+        sums(k) = (cur._1, cur._2 + n)
+      }
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.map { c =>
+          sums.get(s.toLong * 64 + c.cid) match {
+            case Some((sArr, n)) if n > 0 =>
+              val mq = IndexedSeq.tabulate(sub) { j =>
+                java.math.BigDecimal.valueOf(sArr(j).toDouble / n)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+              }
+              CentLit(c.cid, mq, mq.map(v => v * v).sum)
+            case _ => c // empty cell keeps its code
+          }
+        }
+      }
+    }
+    emb.unpersist()
+    books
+  }
+
+  /** Top-K by PQ-approximated cosine (asymmetric distance: full query
+    * vs each vector's code reconstruction). Where this ranking departs
+    * from `sim_cosine_topk`, that IS the PQ fidelity loss a pipeline
+    * measures before switching serving tiers. */
+  def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val books = pqTrain(spark, sfDir)
+    val codeArrs = books.map(_.sortBy(_.cid).map(_.cq)) // index i-1 ↔ cid i
+    val emb = Similarity.corpus(spark, sfDir)
+    val rq = concat((0 until PqM).map { s =>
+      val sl = slice(col("q"), s * SubDim + 1, SubDim)
+      val cid = Similarity.nearestCid(typedlit(books(s)), sl,
+        Similarity.dotQ(sl, sl))
+      element_at(typedlit(codeArrs(s)), cid.cast("int"))
+    }: _*)
+    val query = emb.where(col("vec_id") === Similarity.QueryVecId)
+      .select(col("q").as("qq"), col("n2").as("qn2"))
+    emb.join(broadcast(query))
+      .where(col("vec_id") =!= Similarity.QueryVecId && col("q").isNotNull)
+      .select(col("vec_id"), col("label"),
+        Similarity.cosineFrom(Similarity.dotQ(rq, col("qq")),
+          Similarity.dotQ(rq, rq), col("qn2")).as("pq_cos"))
+      .orderBy(col("pq_cos").desc, col("vec_id").asc)
+      .limit(Similarity.TopK)
+  }
+
+  private def dot8Sql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${SubDim + 1}), i -> $a[i] * $b[i]))"
+
+  /** Per-subspace training replay: slice → c0 → unrolled iterations →
+    * final assignment → reconstruction rows. Mirrors
+    * `trainedCellsSqlFor`'s correspondence with the driver loop. */
+  private def subTrainSql(s: Int): String = {
+    val lo = s * SubDim + 1
+    val hi = (s + 1) * SubDim
+    def iter(i: Int, cIn: String): String =
+      s"""a${i}_$s AS (SELECT e.vec_id, e.q, c.cid,
+         |               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                                  ORDER BY e.n2 - 2 * ${dot8Sql("e.q", "c.cq")} + c.cn2 ASC,
+         |                                           c.cid ASC) AS rn
+         |        FROM e_$s e, $cIn c),
+         |m${i}_$s AS (SELECT cid, i.range AS pos,
+         |               CAST(round(CAST(SUM(q[i.range]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+         |        FROM (SELECT cid, q FROM a${i}_$s WHERE rn = 1) t, range(1, ${SubDim + 1}) i
+         |        GROUP BY cid, i.range),
+         |cm${i}_$s AS (SELECT cid, list(m ORDER BY pos) AS cq FROM m${i}_$s GROUP BY cid),
+         |c${i}_$s AS (SELECT c.cid, COALESCE(mm.cq, c.cq) AS cq,
+         |               ${dot8Sql("COALESCE(mm.cq, c.cq)", "COALESCE(mm.cq, c.cq)")} AS cn2
+         |        FROM $cIn c LEFT JOIN cm${i}_$s mm ON c.cid = mm.cid)""".stripMargin
+    val iters = (1 to PqIters)
+      .map(i => iter(i, if (i == 1) s"c0_$s" else s"c${i - 1}_$s"))
+      .mkString(",\n")
+    s"""e_$s AS (SELECT vec_id, q[$lo:$hi] AS q,
+       |               ${dot8Sql(s"q[$lo:$hi]", s"q[$lo:$hi]")} AS n2 FROM e),
+       |c0_$s AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM e_$s
+       |          WHERE vec_id BETWEEN 1 AND $PqK),
+       |$iters,
+       |asg_$s AS (SELECT vec_id, cid FROM (
+       |             SELECT e.vec_id, c.cid,
+       |                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                                       ORDER BY e.n2 - 2 * ${dot8Sql("e.q", "c.cq")} + c.cn2 ASC,
+       |                                                c.cid ASC) AS rn
+       |             FROM e_$s e, c${PqIters}_$s c) z WHERE rn = 1),
+       |r_$s AS (SELECT a.vec_id, c.cq FROM asg_$s a
+       |         JOIN c${PqIters}_$s c ON a.cid = c.cid)""".stripMargin
+  }
+
+  val pqTopKSql: String = {
+    val subs = (0 until PqM).map(subTrainSql).mkString(",\n")
+    val joins = (1 until PqM)
+      .map(s => s"JOIN r_$s ON r_0.vec_id = r_$s.vec_id").mkString("\n|")
+    val rqConcat = (0 until PqM).map(s => s"r_$s.cq").mkString(" || ")
+    s"""WITH ${Similarity.corpusSql},
+       |$subs,
+       |recon AS (SELECT r_0.vec_id, $rqConcat AS rq
+       |          FROM r_0
+       |$joins),
+       |qv AS (SELECT q AS qq, n2 AS qn2 FROM e WHERE vec_id = ${Similarity.QueryVecId})
+       |SELECT e.vec_id, e.label,
+       |       ${Similarity.cosineFromSql(
+                  Similarity.dotQSql("recon.rq", "qv.qq"),
+                  Similarity.dotQSql("recon.rq", "recon.rq"), "qv.qn2")} AS pq_cos
+       |FROM recon JOIN e ON recon.vec_id = e.vec_id, qv
+       |WHERE e.vec_id <> ${Similarity.QueryVecId}
+       |ORDER BY pq_cos DESC, e.vec_id ASC
+       |LIMIT ${Similarity.TopK}""".stripMargin
+  }
+}

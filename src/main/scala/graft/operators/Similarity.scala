@@ -138,7 +138,7 @@ object Similarity {
     }
   }
 
-  private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def corpus(spark: SparkSession, sfDir: String): DataFrame = {
     DotLong.register(spark)
     graft.functions.AnnBuckets.register(spark)
     graft.functions.IvfProbes.register(spark)
@@ -231,7 +231,7 @@ object Similarity {
   private[graft] def cosineFromSql(dot: String, n2a: String, n2b: String): String =
     s"CAST($dot AS DOUBLE) / (sqrt(CAST($n2a AS DOUBLE)) * sqrt(CAST($n2b AS DOUBLE)))"
 
-  private val corpusSql =
+  private[graft] val corpusSql =
     s"""e0 AS (SELECT vec_id, label, $quantizeSql AS q FROM embeddings),
        |e AS (SELECT vec_id, label, q, ${dotQSql("q", "q")} AS n2 FROM e0)""".stripMargin
 

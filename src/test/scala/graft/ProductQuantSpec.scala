@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ProductQuant, Similarity}
+import graft.sources.Tables
+
+/** PQ training + serving against a full driver-side replay in plain
+  * Scala (independent of both the Spark expressions and the DuckDB
+  * oracle), exact double equality on the scores. */
+class ProductQuantSpec extends SparkSpec {
+  import ProductQuant.{PqIters, PqK, PqM, SubDim}
+
+  private def quant(e: Seq[Double]): IndexedSeq[Long] =
+    e.map(x => java.math.BigDecimal.valueOf(x * 1000000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toIndexedSeq
+
+  private def corpusLocal(): IndexedSeq[(Long, Any, IndexedSeq[Long])] =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.get(1), quant(r.getSeq[Double](2))))
+      .sortBy(_._1).toIndexedSeq
+
+  private def dot(a: Seq[Long], b: Seq[Long]): Long =
+    a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+
+  /** Replay of pqTrain: returns codebooks (cid → 8-dim code). */
+  private def trainLocal(corpus: IndexedSeq[(Long, Any, IndexedSeq[Long])])
+      : IndexedSeq[IndexedSeq[(Long, IndexedSeq[Long])]] = {
+    var books = IndexedSeq.tabulate(PqM) { s =>
+      corpus.filter(c => c._1 >= 1 && c._1 <= PqK).sortBy(_._1).map { c =>
+        c._1 -> c._3.slice(s * SubDim, s * SubDim + SubDim)
+      }
+    }
+    def assign(book: Seq[(Long, IndexedSeq[Long])], q: Seq[Long]): Long = {
+      val n2 = dot(q, q)
+      book.map { case (cid, cq) =>
+        (n2 - 2 * dot(q, cq) + dot(cq, cq), cid)
+      }.min._2
+    }
+    for (_ <- 1 to PqIters) {
+      books = books.zipWithIndex.map { case (book, s) =>
+        val groups = corpus.groupBy(c =>
+          assign(book, c._3.slice(s * SubDim, s * SubDim + SubDim)))
+        book.map { case (cid, cq) =>
+          groups.get(cid) match {
+            case Some(g) if g.nonEmpty =>
+              val mq = IndexedSeq.tabulate(SubDim) { j =>
+                val sum = g.map(_._3(s * SubDim + j)).sum
+                java.math.BigDecimal.valueOf(sum.toDouble / g.size)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+              }
+              cid -> mq
+            case _ => cid -> cq
+          }
+        }
+      }
+    }
+    books
+  }
+
+  test("pq training matches the driver-side replay code for code") {
+    val books = ProductQuant.pqTrain(spark, sf)
+    val local = trainLocal(corpusLocal())
+    for (s <- 0 until PqM) {
+      val got = books(s).sortBy(_.cid).map(c => c.cid -> c.cq.toIndexedSeq)
+      assert(got == local(s), s"subspace $s codebooks differ")
+    }
+  }
+
+  test("pq top-K scores match the full local replay bit-exactly") {
+    val corpus = corpusLocal()
+    val local = trainLocal(corpus)
+    def assign(book: Seq[(Long, IndexedSeq[Long])], q: Seq[Long]): IndexedSeq[Long] = {
+      val n2 = dot(q, q)
+      book.map { case (cid, cq) => (n2 - 2 * dot(q, cq) + dot(cq, cq), cid) }
+        .min._2 +: IndexedSeq.empty[Long]
+    }
+    val qrow = corpus.find(_._1 == Similarity.QueryVecId).get
+    val qq = qrow._3
+    val qn2 = dot(qq, qq)
+    val expected = corpus.filter(_._1 != Similarity.QueryVecId).map { c =>
+      val rq = (0 until PqM).flatMap { s =>
+        val sl = c._3.slice(s * SubDim, s * SubDim + SubDim)
+        val cid = assign(local(s), sl).head
+        local(s).find(_._1 == cid).get._2
+      }
+      val cos = dot(rq, qq).toDouble /
+        (math.sqrt(dot(rq, rq).toDouble) * math.sqrt(qn2.toDouble))
+      (c._1, c._2, cos)
+    }.sortBy { case (id, _, cos) => (-cos, id) }.take(Similarity.TopK)
+    val got = ProductQuant.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.get(1), r.getDouble(2)))
+    assert(got.toSeq == expected)
+    assert(got.forall(r => math.abs(r._3) <= 1.0000001))
+  }
+}
