@@ -119,6 +119,23 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.exists(_._3 > 1)) // fixture must contain a real merge
   }
 
+  test("ed1 kernel equals capped levenshtein on exhaustive short strings") {
+    // exhaustive over a mixed ASCII/multibyte alphabet, lengths 0..3:
+    // covers equal/sub/insert/delete, repeated chars, and the
+    // non-ASCII fallback path
+    val alphabet = "abÅ"
+    val strings = (0 to 3).flatMap(n =>
+      Seq.fill(n)(alphabet).foldLeft(Seq(""))((acc, cs) =>
+        acc.flatMap(s => cs.map(c => s + c))))
+    for (a <- strings; b <- strings) {
+      val expected = lev(a, b) match { case 0 => 0; case 1 => 1; case _ => -1 }
+      val got = graft.functions.EditWithin1.dist(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(got == expected, s"ed1('$a','$b') = $got, want $expected")
+    }
+  }
+
   test("fuzzy join plan: blocking equality join, never a cartesian") {
     val plan = Retrieval.fuzzyJoinCustomers(spark, sf)
       .queryExecution.executedPlan.toString
