@@ -483,7 +483,8 @@ object SparkEntry {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_pq_topk")
       s.sql("SELECT vec_id, label, pq_cos FROM graft_pq_topk " +
         "ORDER BY pq_cos DESC, vec_id ASC")
-    })
+    }),
+    "sim_ivfpq_topk"      -> ((s, dir) => graft.operators.ProductQuant.ivfPqTopK(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -711,6 +712,7 @@ object SparkEntry {
     "sql_fuzzy_parts"     -> Retrieval.fuzzyJoinPartsSql(),
     "entity_resolution"   -> Retrieval.entityResolutionSql(),
     "sim_pq_topk"         -> graft.operators.ProductQuant.pqTopKSql,
-    "sql_pq_topk"         -> graft.operators.ProductQuant.pqTopKSql
+    "sql_pq_topk"         -> graft.operators.ProductQuant.pqTopKSql,
+    "sim_ivfpq_topk"      -> graft.operators.ProductQuant.ivfPqTopKSql
   )
 }

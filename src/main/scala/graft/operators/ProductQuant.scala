@@ -141,6 +141,48 @@ object ProductQuant {
       .limit(Similarity.TopK)
   }
 
+  /** IVF-PQ: the two serving tiers composed — the trained coarse
+    * quantizer routes the query to its [[Similarity.NumProbes]] nearest
+    * cells, and only the vectors INSIDE probed cells are scored, by PQ
+    * reconstruction. This is the architecture that serves billions of
+    * vectors from RAM: the coarse index prunes the corpus to
+    * ~nProbes/k of its rows, and each candidate costs one table-lookup
+    * reconstruction instead of a full-precision vector read. Cell
+    * assignment and PQ codes are both computed map-side against plan
+    * literals; the only exchanges are the two broadcast query-side
+    * rows and the final top-K. The oracle replays BOTH trainings —
+    * the IVF k-means (`trainedCellsSql`) and all eight PQ codebooks —
+    * in one query and must land on the identical row set and scores. */
+  def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val cl = Similarity.centsLit(Similarity.trainedCentroids(spark, sfDir))
+    val books = pqTrain(spark, sfDir)
+    val codeArrs = books.map(_.sortBy(_.cid).map(_.cq))
+    val emb = Similarity.corpus(spark, sfDir)
+    val cells = emb.select(col("vec_id"), col("label"), col("q"),
+      Similarity.nearestCid(cl, col("q"), col("n2")).as("cid"))
+    val probes = emb.where(col("vec_id") === Similarity.QueryVecId)
+      .select(explode(Similarity.probeCids(cl, col("q"), col("n2"),
+        Similarity.NumProbes)).as("probe_cid"))
+    val query = emb.where(col("vec_id") === Similarity.QueryVecId)
+      .select(col("q").as("qq"), col("n2").as("qn2"))
+    // reconstruction AFTER the probe semi-join: only candidates inside
+    // probed cells pay the code assignment + lookup
+    val rq = concat((0 until PqM).map { s =>
+      val sl = slice(col("q"), s * SubDim + 1, SubDim)
+      val cid = Similarity.nearestCid(typedlit(books(s)), sl,
+        Similarity.dotQ(sl, sl))
+      element_at(typedlit(codeArrs(s)), cid.cast("int"))
+    }: _*)
+    cells.join(broadcast(probes), col("cid") === col("probe_cid"))
+      .join(broadcast(query))
+      .where(col("vec_id") =!= Similarity.QueryVecId && col("q").isNotNull)
+      .select(col("vec_id"), col("label"), col("cid"),
+        Similarity.cosineFrom(Similarity.dotQ(rq, col("qq")),
+          Similarity.dotQ(rq, rq), col("qn2")).as("pq_cos"))
+      .orderBy(col("pq_cos").desc, col("vec_id").asc)
+      .limit(Similarity.TopK)
+  }
+
   private def dot8Sql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, ${SubDim + 1}), i -> $a[i] * $b[i]))"
 
@@ -182,24 +224,50 @@ object ProductQuant {
        |         JOIN c${PqIters}_$s c ON a.cid = c.cid)""".stripMargin
   }
 
-  val pqTopKSql: String = {
+  /** The eight per-subspace training replays + the reconstruction CTE
+    * (`recon`: vec_id → concatenated code centroids). Assumes `e` from
+    * `Similarity.corpusSql` is in scope. */
+  private def pqCtes: String = {
     val subs = (0 until PqM).map(subTrainSql).mkString(",\n")
     val joins = (1 until PqM)
       .map(s => s"JOIN r_$s ON r_0.vec_id = r_$s.vec_id").mkString("\n|")
     val rqConcat = (0 until PqM).map(s => s"r_$s.cq").mkString(" || ")
-    s"""WITH ${Similarity.corpusSql},
-       |$subs,
+    s"""$subs,
        |recon AS (SELECT r_0.vec_id, $rqConcat AS rq
        |          FROM r_0
-       |$joins),
+       |$joins)""".stripMargin
+  }
+
+  private def pqCosSql: String =
+    Similarity.cosineFromSql(
+      Similarity.dotQSql("recon.rq", "qv.qq"),
+      Similarity.dotQSql("recon.rq", "recon.rq"), "qv.qn2")
+
+  val pqTopKSql: String =
+    s"""WITH ${Similarity.corpusSql},
+       |$pqCtes,
        |qv AS (SELECT q AS qq, n2 AS qn2 FROM e WHERE vec_id = ${Similarity.QueryVecId})
-       |SELECT e.vec_id, e.label,
-       |       ${Similarity.cosineFromSql(
-                  Similarity.dotQSql("recon.rq", "qv.qq"),
-                  Similarity.dotQSql("recon.rq", "recon.rq"), "qv.qn2")} AS pq_cos
+       |SELECT e.vec_id, e.label, $pqCosSql AS pq_cos
        |FROM recon JOIN e ON recon.vec_id = e.vec_id, qv
        |WHERE e.vec_id <> ${Similarity.QueryVecId}
        |ORDER BY pq_cos DESC, e.vec_id ASC
        |LIMIT ${Similarity.TopK}""".stripMargin
-  }
+
+  /** [[ivfPqTopK]]'s oracle: BOTH trainings replayed — the IVF
+    * trained-cells CTE chain (cells/assigned) and the PQ codebooks —
+    * then the probed-cell candidate set scored by reconstruction. */
+  val ivfPqTopKSql: String =
+    s"""WITH ${Similarity.corpusSql},
+       |${Similarity.trainedCellsSql},
+       |$pqCtes,
+       |probes AS (SELECT cid AS probe_cid FROM assigned
+       |           WHERE vec_id = ${Similarity.QueryVecId} AND rn <= ${Similarity.NumProbes}),
+       |qv AS (SELECT q AS qq, n2 AS qn2 FROM e WHERE vec_id = ${Similarity.QueryVecId})
+       |SELECT cells.vec_id, cells.label, cells.cid, $pqCosSql AS pq_cos
+       |FROM cells
+       |JOIN probes ON cells.cid = probes.probe_cid
+       |JOIN recon ON cells.vec_id = recon.vec_id, qv
+       |WHERE cells.vec_id <> ${Similarity.QueryVecId}
+       |ORDER BY pq_cos DESC, cells.vec_id ASC
+       |LIMIT ${Similarity.TopK}""".stripMargin
 }

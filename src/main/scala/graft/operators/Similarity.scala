@@ -784,7 +784,7 @@ object Similarity {
     * pair assigning every vector to its trained cell — the shared
     * oracle prefix of [[ivfTrainedTopKSql]] and [[semanticDedupSql]].
     * Expects the `e` CTE ([[corpusSql]]) in scope. */
-  private def trainedCellsSql: String = trainedCellsSqlFor(TrainedK.toString)
+  private[graft] def trainedCellsSql: String = trainedCellsSqlFor(TrainedK.toString)
 
   /** [[trainedCellsSql]] with the cell count as an arbitrary SQL
     * expression — a literal for the pinned default, a COUNT(*) scalar

@@ -94,4 +94,33 @@ class ProductQuantSpec extends SparkSpec {
     assert(got.toSeq == expected)
     assert(got.forall(r => math.abs(r._3) <= 1.0000001))
   }
+
+  test("ivf-pq: scores equal the PQ replay for every returned candidate") {
+    val corpus = corpusLocal()
+    val local = trainLocal(corpus)
+    val qq = corpus.find(_._1 == Similarity.QueryVecId).get._3
+    val qn2 = dot(qq, qq)
+    def pqCos(q: IndexedSeq[Long]): Double = {
+      val rq = (0 until PqM).flatMap { s =>
+        val sl = q.slice(s * SubDim, s * SubDim + SubDim)
+        val n2 = dot(sl, sl)
+        val cid = local(s).map { case (c, cq) =>
+          (n2 - 2 * dot(sl, cq) + dot(cq, cq), c)
+        }.min._2
+        local(s).find(_._1 == cid).get._2
+      }
+      dot(rq, qq).toDouble /
+        (math.sqrt(dot(rq, rq).toDouble) * math.sqrt(qn2.toDouble))
+    }
+    val rows = ProductQuant.ivfPqTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byId = corpus.map(c => c._1 -> c._3).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(3) == pqCos(byId(r.getLong(0))),
+        s"score mismatch for vec ${r.getLong(0)}")
+    }
+    // strictly fewer candidates than the corpus are eligible (probed
+    // cells prune), yet the serving contract still returns TopK rows
+    assert(rows.length == Similarity.TopK)
+  }
 }
