@@ -484,7 +484,8 @@ object SparkEntry {
       s.sql("SELECT vec_id, label, pq_cos FROM graft_pq_topk " +
         "ORDER BY pq_cos DESC, vec_id ASC")
     }),
-    "sim_ivfpq_topk"      -> ((s, dir) => graft.operators.ProductQuant.ivfPqTopK(s, dir))
+    "sim_ivfpq_topk"      -> ((s, dir) => graft.operators.ProductQuant.ivfPqTopK(s, dir)),
+    "sim_pq_recall"       -> ((s, dir) => graft.operators.ProductQuant.pqRecall(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -713,6 +714,7 @@ object SparkEntry {
     "entity_resolution"   -> Retrieval.entityResolutionSql(),
     "sim_pq_topk"         -> graft.operators.ProductQuant.pqTopKSql,
     "sql_pq_topk"         -> graft.operators.ProductQuant.pqTopKSql,
-    "sim_ivfpq_topk"      -> graft.operators.ProductQuant.ivfPqTopKSql
+    "sim_ivfpq_topk"      -> graft.operators.ProductQuant.ivfPqTopKSql,
+    "sim_pq_recall"       -> graft.operators.ProductQuant.pqRecallSql
   )
 }

@@ -183,6 +183,30 @@ object ProductQuant {
       .limit(Similarity.TopK)
   }
 
+  /** Recall@K of the PQ serving tier against the exact brute-force
+    * cosine top-K — the acceptance metric a pipeline gates a serving
+    * rollout on (a compression tier with bad recall is not "done"
+    * no matter how fast it is). One row: k, n_overlap, recall. Both
+    * sides are existing oracled queries; the join is K×K ids. */
+  def pqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = Similarity.cosineTopK(spark, sfDir).select(col("vec_id"))
+    val pq = pqTopK(spark, sfDir).select(col("vec_id"))
+    val overlap = pq.join(exact, "vec_id")
+    overlap.agg(count(lit(1)).as("n_overlap"))
+      .select(lit(Similarity.TopK.toLong).as("k"), col("n_overlap"),
+        (col("n_overlap").cast("double") / Similarity.TopK).as("recall"))
+  }
+
+  // lazy: declared above pqTopKSql/cosineTopKSql in initialization
+  // order; an eager val would read them as null mid-<clinit>
+  lazy val pqRecallSql: String =
+    s"""WITH pq AS (${pqTopKSql.replace("\n", "\n     ")}),
+       |exact AS (${Similarity.cosineTopKSql.replace("\n", "\n     ")})
+       |SELECT CAST(${Similarity.TopK} AS BIGINT) AS k,
+       |       COUNT(*) AS n_overlap,
+       |       CAST(COUNT(*) AS DOUBLE) / ${Similarity.TopK} AS recall
+       |FROM pq JOIN exact ON pq.vec_id = exact.vec_id""".stripMargin
+
   private def dot8Sql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, ${SubDim + 1}), i -> $a[i] * $b[i]))"
 
