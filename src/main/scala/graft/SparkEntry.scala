@@ -485,7 +485,8 @@ object SparkEntry {
         "ORDER BY pq_cos DESC, vec_id ASC")
     }),
     "sim_ivfpq_topk"      -> ((s, dir) => graft.operators.ProductQuant.ivfPqTopK(s, dir)),
-    "sim_pq_recall"       -> ((s, dir) => graft.operators.ProductQuant.pqRecall(s, dir))
+    "sim_pq_recall"       -> ((s, dir) => graft.operators.ProductQuant.pqRecall(s, dir)),
+    "pq_encode"           -> ((s, dir) => graft.operators.ProductQuant.pqEncode(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -715,6 +716,7 @@ object SparkEntry {
     "sim_pq_topk"         -> graft.operators.ProductQuant.pqTopKSql,
     "sql_pq_topk"         -> graft.operators.ProductQuant.pqTopKSql,
     "sim_ivfpq_topk"      -> graft.operators.ProductQuant.ivfPqTopKSql,
-    "sim_pq_recall"       -> graft.operators.ProductQuant.pqRecallSql
+    "sim_pq_recall"       -> graft.operators.ProductQuant.pqRecallSql,
+    "pq_encode"           -> graft.operators.ProductQuant.pqEncodeSql
   )
 }

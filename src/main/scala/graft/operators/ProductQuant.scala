@@ -183,6 +183,55 @@ object ProductQuant {
       .limit(Similarity.TopK)
   }
 
+  /** Per-subspace code-id columns over a frame carrying a quantized
+    * `q` column — shared by the batch encoder, the serving scorers,
+    * and the streaming encoder (identical expressions → identical
+    * codes). */
+  private[graft] def pqCodeCols(
+      books: IndexedSeq[IndexedSeq[CentLit]]): IndexedSeq[Column] =
+    (0 until PqM).map { s =>
+      val sl = slice(col("q"), s * SubDim + 1, SubDim)
+      Similarity.nearestCid(typedlit(books(s)), sl, Similarity.dotQ(sl, sl))
+    }
+
+  /** Reconstruction column from precomputed code columns c0..c7. */
+  private[graft] def pqReconFromCodes(
+      books: IndexedSeq[IndexedSeq[CentLit]]): Column = {
+    val codeArrs = books.map(_.sortBy(_.cid).map(_.cq))
+    concat((0 until PqM).map(s =>
+      element_at(typedlit(codeArrs(s)), col(s"c$s").cast("int"))): _*)
+  }
+
+  /** Batch PQ encoding — the index-build output: each vector's eight
+    * code ids (the 8-byte stored representation) plus the integer
+    * squared norm of its reconstruction (precomputed so serving never
+    * touches the codebooks for norms). Entirely map-side. */
+  def pqEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val books = pqTrain(spark, sfDir)
+    val emb = Similarity.corpus(spark, sfDir)
+    val codes = pqCodeCols(books)
+    emb.where(col("q").isNotNull)
+      .select(col("vec_id") +: codes.zipWithIndex.map {
+        case (c, i) => c.as(s"c$i") }: _*)
+      .withColumn("rq_n2",
+        Similarity.dotQ(pqReconFromCodes(books), pqReconFromCodes(books)))
+      .orderBy(col("vec_id").asc)
+  }
+
+  lazy val pqEncodeSql: String = {
+    val codeJoins = (1 until PqM)
+      .map(s => s"JOIN asg_$s a$s ON a0.vec_id = a$s.vec_id").mkString("\n|")
+    val codeCols = (0 until PqM).map(s => s"a$s.cid AS c$s").mkString(", ")
+    s"""WITH ${Similarity.corpusSql},
+       |$pqCtes
+       |SELECT a0.vec_id, $codeCols,
+       |       CAST(${Similarity.dotQSql("recon.rq", "recon.rq")} AS BIGINT) AS rq_n2
+       |FROM asg_0 a0
+       |$codeJoins
+       |JOIN recon ON a0.vec_id = recon.vec_id
+       |ORDER BY a0.vec_id ASC""".stripMargin
+  }
+
   /** Recall@K of the PQ serving tier against the exact brute-force
     * cosine top-K — the acceptance metric a pipeline gates a serving
     * rollout on (a compression tier with bad recall is not "done"

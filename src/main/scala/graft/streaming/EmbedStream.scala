@@ -115,4 +115,30 @@ object EmbedStream {
           }
       }
   }
+
+  /** Streaming PQ encoding — the index-build INGEST path: arriving
+    * vectors are coded against the batch-trained codebooks
+    * ([[graft.operators.ProductQuant.pqTrain]]) riding as plan
+    * literals, emitting the 8-code stored representation plus the
+    * reconstruction norm. Stateless, no shuffle; shares the code-id
+    * Column builders with the batch encoder so streamed codes are
+    * identical to `pq_encode`'s (spec-pinned). A deployment appends
+    * these rows to the serving index the way `knnCellIndexIncremental`
+    * grows the IVF posting lists. */
+  def pqEncodeStream(embStream: DataFrame, spark: SparkSession,
+                     sfDir: String): DataFrame = {
+    import graft.operators.ProductQuant
+    graft.functions.DotLong.register(spark)
+    graft.functions.IvfProbes.register(spark)
+    val books = ProductQuant.pqTrain(spark, sfDir)
+    val codes = ProductQuant.pqCodeCols(books)
+    embStream
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .select(col("vec_id") +: codes.zipWithIndex.map {
+        case (c, i) => c.as(s"c$i") }: _*)
+      .withColumn("rq_n2",
+        Similarity.dotQ(ProductQuant.pqReconFromCodes(books),
+          ProductQuant.pqReconFromCodes(books)))
+  }
 }

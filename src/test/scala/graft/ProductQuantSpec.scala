@@ -123,4 +123,21 @@ class ProductQuantSpec extends SparkSpec {
     // cells prune), yet the serving contract still returns TopK rows
     assert(rows.length == Similarity.TopK)
   }
+
+  test("streaming pq encoder emits the batch encoder's codes exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqenc").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf/embeddings.parquet"),
+      java.nio.file.Path.of(dir, "embeddings.parquet"))
+    val q = graft.streaming.EmbedStream.pqEncodeStream(
+      graft.streaming.EmbedStream.readEmbeddingsStream(spark, dir), spark, sf)
+      .writeStream.format("memory").queryName("pq_encode_stream_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("pq_encode_stream_test")
+      .orderBy("vec_id").collect().map(_.toSeq)
+    val batch = ProductQuant.pqEncode(spark, sf)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
 }
