@@ -106,6 +106,10 @@ object EditWithin1 {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("ed1"),
       new ExpressionInfo(classOf[EditWithin1].getName, "ed1"),
-      (exprs: Seq[Expression]) => EditWithin1(exprs.head, exprs(1)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"ed1 requires exactly 2 arguments, got ${exprs.length}")
+        EditWithin1(exprs.head, exprs(1))
+      })
   }
 }

@@ -229,7 +229,8 @@ object Retrieval {
   }
 
   def fuzzyJoinPartsSql(): String =
-    """WITH d AS (SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY p_name)
+    """WITH d AS (SELECT p_name AS name, COUNT(*) AS n FROM part
+      |           WHERE p_name IS NOT NULL AND p_name <> '' GROUP BY p_name)
       |SELECT a.name AS name_a, b.name AS name_b,
       |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
       |       a.n AS n_a, b.n AS n_b
@@ -262,6 +263,7 @@ object Retrieval {
   def entityResolution(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val names = Tables.part(spark, sfDir)
+      .where(col("p_name").isNotNull && length(col("p_name")) > 0)
       .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_parts"))
     val edges = fuzzyPairs(names.select(col("name")))
       .select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))
@@ -278,7 +280,9 @@ object Retrieval {
 
   def entityResolutionSql(): String =
     """WITH RECURSIVE d AS (SELECT p_name AS name, COUNT(*) AS n_parts
-      |                     FROM part GROUP BY p_name),
+      |                     FROM part
+      |                     WHERE p_name IS NOT NULL AND p_name <> ''
+      |                     GROUP BY p_name),
       |edges AS (SELECT a.name AS name_a, b.name AS name_b
       |          FROM d a JOIN d b
       |            ON a.name < b.name AND levenshtein(a.name, b.name) <= 1),
@@ -297,7 +301,8 @@ object Retrieval {
       |ORDER BY name ASC""".stripMargin
 
   def fuzzyJoinCustomersSql(): String =
-    """WITH d AS (SELECT DISTINCT c_name AS name FROM customer)
+    """WITH d AS (SELECT DISTINCT c_name AS name FROM customer
+      |           WHERE c_name IS NOT NULL AND c_name <> '')
       |SELECT a.name AS name_a, b.name AS name_b,
       |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
       |FROM d a JOIN d b

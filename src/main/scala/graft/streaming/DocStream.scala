@@ -81,6 +81,15 @@ object DocStream {
     * alike. Emits match counts and the redacted-text hash alongside the
     * carried metadata; a production variant would carry the redacted
     * text itself in place of the hash. */
+  def redactStream(docs: DataFrame): DataFrame = {
+    val (nEmails, nNums, redHash) = TextAnalysis.redactCols
+    docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("lang"),
+        nEmails.as("n_emails"), nNums.as("n_longnums"),
+        redHash.as("redacted_hash"))
+  }
+
   /** Stateless BM25 scoring at ingest — the text twin of the embedding
     * stream's trained-centroid serving: corpus statistics (doc count,
     * total tokens, per-term df) are TRAINED once by the batch side
@@ -98,15 +107,6 @@ object DocStream {
       lit(index.nd), lit(index.tt), i => lit(index.dfs(i)))
     perDoc.where(Retrieval.bm25AnyMatch)
       .select(col("doc_id"), nTerms.as("n_terms"), score.as("score"))
-  }
-
-  def redactStream(docs: DataFrame): DataFrame = {
-    val (nEmails, nNums, redHash) = TextAnalysis.redactCols
-    docs
-      .where(col("text").isNotNull)
-      .select(col("doc_id"), col("source"), col("lang"),
-        nEmails.as("n_emails"), nNums.as("n_longnums"),
-        redHash.as("redacted_hash"))
   }
 
   /** One near-dedup signature row per streamed document. */

@@ -56,7 +56,7 @@ object FuzzyScaleEvidence {
         s""""variant_buckets":${b.getLong(0)},"max_occ":${b.getLong(1)},""" +
         s""""raw_candidate_pairs":${b.getLong(2)},"distinct_candidate_pairs":$distinctCand,""" +
         s""""verified_pairs":$verified,""" +
-        s""""brute_force_pairs":${nKeys * (nKeys - 1) / 2}}""")
+        s""""brute_force_pairs":${nDistinct * (nDistinct - 1) / 2}}""")
     spark.stop()
   }
 }
