@@ -486,7 +486,9 @@ object SparkEntry {
     }),
     "sim_ivfpq_topk"      -> ((s, dir) => graft.operators.ProductQuant.ivfPqTopK(s, dir)),
     "sim_pq_recall"       -> ((s, dir) => graft.operators.ProductQuant.pqRecall(s, dir)),
-    "pq_encode"           -> ((s, dir) => graft.operators.ProductQuant.pqEncode(s, dir))
+    "pq_encode"           -> ((s, dir) => graft.operators.ProductQuant.pqEncode(s, dir)),
+    "sim_ann_recall"      -> ((s, dir) => Similarity.annRecall(s, dir)),
+    "sim_ivf_recall"      -> ((s, dir) => Similarity.ivfRecall(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -717,6 +719,8 @@ object SparkEntry {
     "sql_pq_topk"         -> graft.operators.ProductQuant.pqTopKSql,
     "sim_ivfpq_topk"      -> graft.operators.ProductQuant.ivfPqTopKSql,
     "sim_pq_recall"       -> graft.operators.ProductQuant.pqRecallSql,
-    "pq_encode"           -> graft.operators.ProductQuant.pqEncodeSql
+    "pq_encode"           -> graft.operators.ProductQuant.pqEncodeSql,
+    "sim_ann_recall"      -> Similarity.annRecallSql,
+    "sim_ivf_recall"      -> Similarity.ivfRecallSql
   )
 }

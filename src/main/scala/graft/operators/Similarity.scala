@@ -1108,4 +1108,31 @@ object Similarity {
        |      FROM votes)
        |WHERE vr = 1
        |ORDER BY query_id ASC""".stripMargin
+
+  /** Recall@K of an approximate serving tier against the exact
+    * brute-force cosine top-K — the acceptance metric a serving
+    * rollout gates on (PQ's twin lives in `ProductQuant.pqRecall`).
+    * One row: k, n_overlap, recall. */
+  private def recallOf(approx: DataFrame, exact: DataFrame): DataFrame =
+    approx.select(col("vec_id")).join(exact.select(col("vec_id")), "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(TopK.toLong).as("k"), col("n_overlap"),
+        (col("n_overlap").cast("double") / TopK).as("recall"))
+
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallOf(annTopK(spark, sfDir), cosineTopK(spark, sfDir))
+
+  def ivfRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallOf(ivfTrainedTopK(spark, sfDir), cosineTopK(spark, sfDir))
+
+  private def recallSqlOf(approxSql: String): String =
+    s"""WITH approx AS (${approxSql.replace("\n", "\n     ")}),
+       |exact AS (${cosineTopKSql.replace("\n", "\n     ")})
+       |SELECT CAST($TopK AS BIGINT) AS k,
+       |       COUNT(*) AS n_overlap,
+       |       CAST(COUNT(*) AS DOUBLE) / $TopK AS recall
+       |FROM approx JOIN exact ON approx.vec_id = exact.vec_id""".stripMargin
+
+  lazy val annRecallSql: String = recallSqlOf(annTopKSql)
+  lazy val ivfRecallSql: String = recallSqlOf(ivfTrainedTopKSql)
 }
