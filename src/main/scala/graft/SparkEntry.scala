@@ -488,7 +488,8 @@ object SparkEntry {
     "sim_pq_recall"       -> ((s, dir) => graft.operators.ProductQuant.pqRecall(s, dir)),
     "pq_encode"           -> ((s, dir) => graft.operators.ProductQuant.pqEncode(s, dir)),
     "sim_ann_recall"      -> ((s, dir) => Similarity.annRecall(s, dir)),
-    "sim_ivf_recall"      -> ((s, dir) => Similarity.ivfRecall(s, dir))
+    "sim_ivf_recall"      -> ((s, dir) => Similarity.ivfRecall(s, dir)),
+    "sim_ivfpq_recall"    -> ((s, dir) => graft.operators.ProductQuant.ivfPqRecall(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -721,6 +722,7 @@ object SparkEntry {
     "sim_pq_recall"       -> graft.operators.ProductQuant.pqRecallSql,
     "pq_encode"           -> graft.operators.ProductQuant.pqEncodeSql,
     "sim_ann_recall"      -> Similarity.annRecallSql,
-    "sim_ivf_recall"      -> Similarity.ivfRecallSql
+    "sim_ivf_recall"      -> Similarity.ivfRecallSql,
+    "sim_ivfpq_recall"    -> graft.operators.ProductQuant.ivfPqRecallSql
   )
 }

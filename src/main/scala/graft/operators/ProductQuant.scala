@@ -272,6 +272,26 @@ object ProductQuant {
 
   // lazy: declared above pqTopKSql/cosineTopKSql in initialization
   // order; an eager val would read them as null mid-<clinit>
+  /** Recall@K of the composed IVF-PQ tier — both losses at once (cell
+    * pruning + code reconstruction), the number a rollout compares
+    * against [[pqRecall]] and `sim_ivf_recall` to see which loss
+    * dominates. */
+  def ivfPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = Similarity.cosineTopK(spark, sfDir).select(col("vec_id"))
+    ivfPqTopK(spark, sfDir).select(col("vec_id")).join(exact, "vec_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(Similarity.TopK.toLong).as("k"), col("n_overlap"),
+        (col("n_overlap").cast("double") / Similarity.TopK).as("recall"))
+  }
+
+  lazy val ivfPqRecallSql: String =
+    s"""WITH approx AS (${ivfPqTopKSql.replace("\n", "\n     ")}),
+       |exact AS (${Similarity.cosineTopKSql.replace("\n", "\n     ")})
+       |SELECT CAST(${Similarity.TopK} AS BIGINT) AS k,
+       |       COUNT(*) AS n_overlap,
+       |       CAST(COUNT(*) AS DOUBLE) / ${Similarity.TopK} AS recall
+       |FROM approx JOIN exact ON approx.vec_id = exact.vec_id""".stripMargin
+
   lazy val pqRecallSql: String =
     s"""WITH pq AS (${pqTopKSql.replace("\n", "\n     ")}),
        |exact AS (${Similarity.cosineTopKSql.replace("\n", "\n     ")})
