@@ -194,9 +194,7 @@ object Retrieval {
     // quadratic in it (measured: 10× replicated names at sf1 turned
     // ~1M raw candidates into 108M before this distinct). Pair
     // semantics are over distinct keys either way.
-    val variants = keys.distinct()
-      .where(col("name").isNotNull && length(col("name")) > 0)
-      .select(col("name"), explode(delete1Variants(col("name"))).as("v"))
+    val variants = variantRows(keys.distinct())
     // verify BEFORE dedup with the codegen'd two-pointer ED≤1 kernel
     // ([[graft.functions.EditWithin1]] — ~40× the thresholded
     // levenshtein on this stream), so the distinct shuffles only the
@@ -212,6 +210,21 @@ object Retrieval {
       .where(col("dist") >= 0)
       .distinct()
   }
+
+  /** Stateless delete-1 variant rows for a key frame — the streaming
+    * half of the continuous-variants → periodic-blocking architecture
+    * (the fuzzy analogue of `DocStream.signatureStream`): fuzzy
+    * matching needs the cross-corpus equality join no bounded stream
+    * state can hold, so an ingest stream emits each arriving key's
+    * O(L) variant rows continuously and a periodic BATCH job runs the
+    * verified blocking join over the accumulated variant table,
+    * touching ~L·(L+1) bytes per key instead of re-deriving variants
+    * from the source table. Works identically on batch and streaming
+    * frames (pure projection — spec-pinned equal). */
+  def variantRows(keys: DataFrame): DataFrame =
+    keys
+      .where(col("name").isNotNull && length(col("name")) > 0)
+      .select(col("name"), explode(delete1Variants(col("name"))).as("v"))
 
   /** Entity resolution over part names: distinct-name pairs within one
     * edit, each with its member count — the "merge these two product

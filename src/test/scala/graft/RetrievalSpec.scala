@@ -136,6 +136,30 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("streaming variant emitter matches the batch projection exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fvar").toString
+    java.nio.file.Files.copy(java.nio.file.Path.of(s"$sf/customer.parquet"),
+      java.nio.file.Path.of(dir, "customer.parquet"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", LongType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .select(col("c_name").as("name"))
+    val q = Retrieval.variantRows(stream)
+      .writeStream.format("memory").queryName("fuzzy_variant_stream_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("fuzzy_variant_stream_test")
+      .orderBy("name", "v").collect().map(r => (r.getString(0), r.getString(1)))
+    val batch = Retrieval.variantRows(
+      Tables.customer(spark, sf).select(col("c_name").as("name")))
+      .orderBy("name", "v").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("fuzzy join plan: blocking equality join, never a cartesian") {
     val plan = Retrieval.fuzzyJoinCustomers(spark, sf)
       .queryExecution.executedPlan.toString
