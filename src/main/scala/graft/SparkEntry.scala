@@ -489,7 +489,12 @@ object SparkEntry {
     "pq_encode"           -> ((s, dir) => graft.operators.ProductQuant.pqEncode(s, dir)),
     "sim_ann_recall"      -> ((s, dir) => Similarity.annRecall(s, dir)),
     "sim_ivf_recall"      -> ((s, dir) => Similarity.ivfRecall(s, dir)),
-    "sim_ivfpq_recall"    -> ((s, dir) => graft.operators.ProductQuant.ivfPqRecall(s, dir))
+    "sim_ivfpq_recall"    -> ((s, dir) => graft.operators.ProductQuant.ivfPqRecall(s, dir)),
+    "sql_entities"        -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_entities")
+      s.sql("SELECT name, entity_id, n_parts, entity_size, is_canonical " +
+        "FROM graft_entities ORDER BY name ASC")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -723,6 +728,7 @@ object SparkEntry {
     "pq_encode"           -> graft.operators.ProductQuant.pqEncodeSql,
     "sim_ann_recall"      -> Similarity.annRecallSql,
     "sim_ivf_recall"      -> Similarity.ivfRecallSql,
-    "sim_ivfpq_recall"    -> graft.operators.ProductQuant.ivfPqRecallSql
+    "sim_ivfpq_recall"    -> graft.operators.ProductQuant.ivfPqRecallSql,
+    "sql_entities"        -> Retrieval.entityResolutionSql()
   )
 }

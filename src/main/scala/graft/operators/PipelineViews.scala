@@ -81,7 +81,8 @@ object PipelineViews {
     "graft_trailing_range"     -> ((s, d) => AnalyticsExt.trailingRangeRevenue(s, d)),
     "graft_bm25"               -> ((s, d) => Retrieval.bm25TopK(s, d)),
     "graft_fuzzy_parts"        -> ((s, d) => Retrieval.fuzzyJoinParts(s, d)),
-    "graft_pq_topk"            -> ((s, d) => ProductQuant.pqTopK(s, d)))
+    "graft_pq_topk"            -> ((s, d) => ProductQuant.pqTopK(s, d)),
+    "graft_entities"           -> ((s, d) => Retrieval.entityResolution(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 
