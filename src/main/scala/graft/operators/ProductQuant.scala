@@ -8,22 +8,24 @@ import org.apache.spark.sql.functions._
   * subspaces of [[SubDim]] dims, each subspace gets its own
   * [[PqK]]-code codebook trained by the SAME deterministic integer
   * k-means the IVF path uses, and a vector is stored as [[PqM]] code
-  * ids (8 bytes here vs 512 for the int-quantized original — the
-  * classic 64× shelf-space drop that makes billion-vector serving fit
-  * in RAM). Queries score by asymmetric distance: the FULL query
+  * ids (16 one-byte codes vs 512 bytes for the int-quantized
+  * original — the 32× shelf-space drop, FAISS's standard PQ16x8
+  * layout, that makes billion-vector serving fit in RAM). Queries
+  * score by asymmetric distance: the FULL query
   * against each vector's reconstruction (concatenated code centroids)
   * — computed here as one integer dot against the reconstruction,
   * which is exactly the textbook per-subspace LUT sum because the dot
   * distributes over the block structure.
   *
   * Scale design: training is the MLlib-architecture driver loop
-  * (codebooks are PqM·PqK·SubDim = 1,024 longs — plan literals, never
-  * joined), and ALL eight subspaces train in ONE pass per iteration:
-  * each partition folds its rows into a (subspace, code) → (8 sums,
-  * count) map, so an iteration costs one corpus scan regardless of
-  * PqM. Serving is map-side only — per-row code assignment against
-  * literal codebooks, reconstruction via element_at, one broadcast of
-  * the query row, TakeOrderedAndProject. The corpus never shuffles.
+  * (codebooks are PqM·PqK·SubDim = 16,384 longs ≈ 128 KB — plan
+  * literals, never joined), and ALL [[PqM]] subspaces train in ONE
+  * pass per iteration: each partition folds its rows into a
+  * (subspace, code) → (dim sums, count) map, so an iteration costs
+  * one corpus scan regardless of PqM. Serving is map-side only —
+  * per-row code assignment against literal codebooks, reconstruction
+  * via element_at, one broadcast of the query row,
+  * TakeOrderedAndProject. The corpus never shuffles.
   *
   * Determinism: init = the first PqK vectors' slices (the IVF c0
   * rule), assignment = exact integer squared distance with ties to the
@@ -34,10 +36,14 @@ import org.apache.spark.sql.functions._
   * `ivfTrainedTopKSql`. */
 object ProductQuant {
 
-  val PqM = 8       // subspaces
-  val SubDim = 8    // dims per subspace (PqM * SubDim == Similarity.Dims)
-  val PqK = 16      // codes per codebook
+  val PqM = 16      // subspaces
+  val SubDim = 4    // dims per subspace (PqM * SubDim == Similarity.Dims)
+  val PqK = 256     // codes per codebook — the standard 8-bit codebook
   val PqIters = 2   // k-means iterations (matches TrainedIters)
+  /** LongMap key stride for (subspace, cid) packing — must exceed PqK
+    * (cids are 1..PqK); a stride below PqK+1 silently merges cells
+    * across subspaces. */
+  private val KeyStride = 512L
 
   /** Train all [[PqM]] codebooks in one corpus pass per iteration.
     * Returns codebooks indexed by subspace, each sorted by cid
@@ -48,7 +54,7 @@ object ProductQuant {
     // memoized like the IVF quantizer (trainedCentroidsK): five
     // registrations consume these codebooks, and without the memo one
     // bench pass retrained the identical books once per query. The
-    // memoized frame is 128 slim rows; training is deterministic, so
+    // memoized frame is PqM·PqK slim rows; training is deterministic, so
     // the memo is exact, and Materialize.reset (bench pass-2 hygiene)
     // drops it with every other checkpoint memo.
     val memo = Materialize.memoized(spark,
@@ -72,7 +78,11 @@ object ProductQuant {
     val emb = Similarity.corpus(spark, sfDir)
       .select(col("vec_id"), col("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val initRows = emb.where(col("vec_id").between(1, PqK))
+    // q IS NOT NULL mirrors the SQL replay's e_/c0_ CTEs: a null
+    // embedding among vectors 1..PqK fails the require below loudly
+    // instead of NPE-ing at q.slice (ADVICE r12)
+    val initRows = emb.where(col("vec_id").between(1, PqK) &&
+        col("q").isNotNull)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1))
       .sortBy(_._1).toIndexedSeq
@@ -95,7 +105,7 @@ object ProductQuant {
       }
       val assigned = emb.select(cidCols :+ col("q").as("q"): _*)
       val partials = assigned.queryExecution.toRdd.mapPartitions { it =>
-        // key = subspace * 64 + cid (cid <= PqK << 64, no collision)
+        // key = subspace * KeyStride + cid (KeyStride > PqK: no collision)
         val acc = scala.collection.mutable.LongMap
           .empty[(Array[Long], Array[Long])]
         while (it.hasNext) {
@@ -104,7 +114,7 @@ object ProductQuant {
             val q = r.getArray(m)
             var s = 0
             while (s < m) {
-              val e = acc.getOrElseUpdate(s.toLong * 64 + r.getLong(s),
+              val e = acc.getOrElseUpdate(s.toLong * KeyStride + r.getLong(s),
                 (new Array[Long](sub), new Array[Long](1)))
               e._2(0) += 1L
               var j = 0
@@ -124,7 +134,7 @@ object ProductQuant {
       }
       books = books.zipWithIndex.map { case (book, s) =>
         book.map { c =>
-          sums.get(s.toLong * 64 + c.cid) match {
+          sums.get(s.toLong * KeyStride + c.cid) match {
             case Some((sArr, n)) if n > 0 =>
               val mq = IndexedSeq.tabulate(sub) { j =>
                 java.math.BigDecimal.valueOf(sArr(j).toDouble / n)
@@ -175,7 +185,7 @@ object ProductQuant {
     * assignment and PQ codes are both computed map-side against plan
     * literals; the only exchanges are the two broadcast query-side
     * rows and the final top-K. The oracle replays BOTH trainings —
-    * the IVF k-means (`trainedCellsSql`) and all eight PQ codebooks —
+    * the IVF k-means (`trainedCellsSql`) and all [[PqM]] PQ codebooks —
     * in one query and must land on the identical row set and scores. */
   def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val cl = Similarity.centsLit(Similarity.trainedCentroids(spark, sfDir))
@@ -226,8 +236,8 @@ object ProductQuant {
       element_at(typedlit(codeArrs(s)), col(s"c$s").cast("int"))): _*)
   }
 
-  /** Batch PQ encoding — the index-build output: each vector's eight
-    * code ids (the 8-byte stored representation) plus the integer
+  /** Batch PQ encoding — the index-build output: each vector's [[PqM]]
+    * code ids (the PqM-byte stored representation) plus the integer
     * squared norm of its reconstruction (precomputed so serving never
     * touches the codebooks for norms). Entirely map-side. */
   def pqEncode(spark: SparkSession, sfDir: String): DataFrame = {
@@ -342,7 +352,7 @@ object ProductQuant {
        |         JOIN c${PqIters}_$s c ON a.cid = c.cid)""".stripMargin
   }
 
-  /** The eight per-subspace training replays + the reconstruction CTE
+  /** The [[PqM]] per-subspace training replays + the reconstruction CTE
     * (`recon`: vec_id → concatenated code centroids). Assumes `e` from
     * `Similarity.corpusSql` is in scope. */
   private def pqCtes: String = {
