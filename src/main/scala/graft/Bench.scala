@@ -77,16 +77,20 @@ object Bench {
     // total covers successful queries and failures are listed by name
     val errs = results.collect { case (k, v) if v < 0 => q(k) }
       .mkString("[", ",", "]")
-    // Exact-baseline bucket (PLANS.md r12 bench policy): the two
-    // brute-force kNN registrations are the documented EXACT baselines
-    // the IVF serving path is graded against — O(|Q|·n·dim) by design,
-    // so at sf>=10 they dominate wall-clock quadratically while saying
-    // nothing about the serving path's scaling. They always RUN and are
-    // always reported; SPARK_GRAFT_EXACT_BUCKET=exclude (set for sf>=10
-    // re-cuts) moves them out of the headline "value" into their own
-    // subtotal. Default (driver per-round bench at sf0.1) keeps the
-    // headline all-inclusive so round-over-round totals stay comparable.
-    val exactBaseline = Set("knn_label", "sql_knn_label")
+    // Exact/super-linear-baseline bucket (PLANS.md r12 bench policy,
+    // widened r13): registrations that are super-linear at scale BY
+    // DESIGN — the two brute-force kNN baselines (O(|Q|·n·dim)) and
+    // the FIXED-k=8 IVF route (n/8 vectors per probed cell grows
+    // linearly with the corpus; `knn_label_ivf_auto` is the √n-flat
+    // scale shape and stays in the headline). These are the documented
+    // baselines the serving paths are graded AGAINST — at sf>=10 they
+    // dominate wall-clock while saying nothing about the serving
+    // paths' scaling. They always RUN and are always reported;
+    // SPARK_GRAFT_EXACT_BUCKET=exclude (set for sf>=10 re-cuts) moves
+    // them out of the headline "value" into their own subtotal.
+    // Default (driver per-round bench at sf0.1) keeps the headline
+    // all-inclusive so round-over-round totals stay comparable.
+    val exactBaseline = Set("knn_label", "sql_knn_label", "knn_label_ivf")
     val exclude = sys.env.get("SPARK_GRAFT_EXACT_BUCKET").contains("exclude")
     val exactTotal = results.collect {
       case (k, v) if exactBaseline(k) && v >= 0 => v }.sum

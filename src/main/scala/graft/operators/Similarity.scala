@@ -280,8 +280,34 @@ object Similarity {
     val emb = corpus(spark, sfDir)
     val planes = annPlanes(spark, sfDir)
     val buckets = bucketRows(emb, planes)
+    // Multi-probe (Lv et al., VLDB'07): probe the query's own bucket
+    // PLUS every bucket within Hamming distance ≤ 2 (each sign bit
+    // flipped once, each pair flipped once) in each table —
+    // 1 + planes + C(planes,2) probes/table instead of 1. On weakly
+    // clustered data a near neighbor disagrees with the query on one
+    // or two planes per table far more often than on zero, so this
+    // buys the recall of ~planes²× more tables WITHOUT growing the
+    // index or the corpus-side work: the probe list is query-side
+    // only (grows O(log² n) with the corpus via the plane count),
+    // candidates stay tables·probes·occupancy — at n = 10⁹ that is
+    // 4·211·32 ≈ 27 k candidates scored, vs the corpus's 10⁹.
+    // Measured at sf0.1 (6 planes, true top-10 at cosine ≈ 0.31, i.e.
+    // near-random data): recall@10 0.0 (single-probe) → 0.4
+    // (Hamming ≤ 1) → 1.0 (Hamming ≤ 2; sf0.01 also 1.0 — at fixture
+    // scale the probe set covers most buckets, at 10⁹ rows it covers
+    // ~27 k of them). The PAIRWISE path
+    // ([[candidatePairs]]) deliberately stays single-probe: its
+    // consumers look for near-duplicates, whose tiny angles make
+    // zero-disagreement collisions the common case.
+    val flips: Seq[Column] = {
+      val one = (0 until planes).map(p => lit(1L << p))
+      val two = for { i <- 0 until planes; j <- i + 1 until planes }
+        yield lit((1L << i) | (1L << j))
+      (one ++ two).map(m => col("bucket").bitwiseXOR(m))
+    }
     val qb = buckets.where(col("vec_id") === QueryVecId)
-      .select(col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+      .select(col("tbl").as("qtbl"),
+        explode(array(col("bucket") +: flips: _*)).as("qbucket"))
     val cand = buckets.join(broadcast(qb),
         col("tbl") === col("qtbl") && col("bucket") === col("qbucket"))
       .where(col("vec_id") =!= QueryVecId)
@@ -299,8 +325,16 @@ object Similarity {
   val annTopKSql: String =
     s"""WITH $annSqlPrefix,
        |qb AS (SELECT tbl, bucket FROM eb WHERE vec_id = $QueryVecId),
+       |qp AS (SELECT tbl, bucket FROM qb
+       |       UNION
+       |       SELECT qb.tbl, xor(qb.bucket, CAST(1 AS BIGINT) << p.range) AS bucket
+       |       FROM qb, range($AnnMaxPlanes) p, nn WHERE p.range < nn.planes
+       |       UNION
+       |       SELECT qb.tbl, xor(qb.bucket, (CAST(1 AS BIGINT) << i.range) | (CAST(1 AS BIGINT) << j.range)) AS bucket
+       |       FROM qb, range($AnnMaxPlanes) i, range($AnnMaxPlanes) j, nn
+       |       WHERE i.range < j.range AND j.range < nn.planes),
        |cand AS (SELECT DISTINCT eb.vec_id
-       |         FROM eb JOIN qb ON eb.tbl = qb.tbl AND eb.bucket = qb.bucket
+       |         FROM eb JOIN qp ON eb.tbl = qp.tbl AND eb.bucket = qp.bucket
        |         WHERE eb.vec_id <> $QueryVecId),
        |qv AS (SELECT q AS qq, n2 AS qn2 FROM e WHERE vec_id = $QueryVecId)
        |SELECT e.vec_id, e.label, ${cosineFromSql(dotQSql("e.q", "qv.qq"), "e.n2", "qv.qn2")} AS cos_sim
