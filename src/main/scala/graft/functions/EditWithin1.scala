@@ -22,12 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * verify stage of `fuzzy_join_customers` dropped from ~4 s to noise
   * at sf0.1).
   *
-  * Character semantics: matches levenshtein's CHAR distance. Both
-  * sides pure ASCII (numBytes == numChars) → byte two-pointer;
-  * otherwise falls back to a String-based two-pointer over UTF-16
-  * chars. (Names with astral-plane chars would count surrogate pairs
-  * as two units where char-counting levenshtein counts code points —
-  * the same trade Spark's own UTF8String.levenshteinDistance makes.)
+  * Character semantics: matches levenshtein's CODE-POINT distance
+  * exactly. Both sides pure ASCII (numBytes == numChars) → byte
+  * two-pointer; otherwise the fallback materializes the code-point
+  * arrays first (UTF8String.levenshteinDistance counts code points,
+  * so a UTF-16 char walk would count an astral char as two units and
+  * diverge from the oracle on non-BMP keys — ADVICE r12).
   */
 case class EditWithin1(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -70,9 +70,9 @@ object EditWithin1 {
         (i, j) => org.apache.spark.unsafe.Platform.getByte(ba, oa + i) ==
           org.apache.spark.unsafe.Platform.getByte(bb, ob + j))
     } else {
-      val sa = a.toString
-      val sb = b.toString
-      distGeneric(sa.length, sb.length, (i, j) => sa.charAt(i) == sb.charAt(j))
+      val ca = a.toString.codePoints().toArray
+      val cb = b.toString.codePoints().toArray
+      distGeneric(ca.length, cb.length, (i, j) => ca(i) == cb(j))
     }
   }
 

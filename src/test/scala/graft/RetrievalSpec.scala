@@ -13,7 +13,11 @@ class RetrievalSpec extends SparkSpec {
     s.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", " ").trim
       .split(" ").filter(_.nonEmpty)
 
-  private def lev(a: String, b: String): Int = {
+  /** Code-point levenshtein — the unit UTF8String.levenshteinDistance
+    * counts (a UTF-16 walk would count astral chars as two units). */
+  private def lev(as: String, bs: String): Int = {
+    val a = as.codePoints().toArray
+    val b = bs.codePoints().toArray
     val d = Array.tabulate(a.length + 1)(i => i)
     for (j <- 1 to b.length) {
       var prev = d(0); d(0) = j
@@ -120,10 +124,12 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("ed1 kernel equals capped levenshtein on exhaustive short strings") {
-    // exhaustive over a mixed ASCII/multibyte alphabet, lengths 0..3:
-    // covers equal/sub/insert/delete, repeated chars, and the
-    // non-ASCII fallback path
-    val alphabet = "abÅ"
+    // exhaustive over a mixed ASCII/BMP-multibyte/astral alphabet,
+    // lengths 0..3: covers equal/sub/insert/delete, repeated chars,
+    // the non-ASCII fallback, and supplementary-plane code points
+    // (surrogate PAIRS in UTF-16 — one code point each; a UTF-16 walk
+    // would disagree with levenshtein here, ADVICE r12)
+    val alphabet = Seq("a", "b", "Å", "𝕏") // 𝕏 U+1D54F
     val strings = (0 to 3).flatMap(n =>
       Seq.fill(n)(alphabet).foldLeft(Seq(""))((acc, cs) =>
         acc.flatMap(s => cs.map(c => s + c))))
@@ -134,6 +140,11 @@ class RetrievalSpec extends SparkSpec {
         org.apache.spark.unsafe.types.UTF8String.fromString(b))
       assert(got == expected, s"ed1('$a','$b') = $got, want $expected")
     }
+    // the exact ADVICE shape: one astral char vs empty string is
+    // distance 1 (one code point), not 2
+    assert(graft.functions.EditWithin1.dist(
+      org.apache.spark.unsafe.types.UTF8String.fromString("𝕏"),
+      org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8) == 1)
   }
 
   test("streaming variant emitter matches the batch projection exactly") {
