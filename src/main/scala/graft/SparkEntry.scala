@@ -465,6 +465,7 @@ object SparkEntry {
       graft.sources.Tables.ensureViews(s, dir); s.sql(DataQuality.dqDocsSql)
     }),
     "retrieval_bm25"      -> ((s, dir) => Retrieval.bm25TopK(s, dir)),
+    "retrieval_bm25_multi" -> ((s, dir) => Retrieval.bm25MultiTopK(s, dir)),
     "fuzzy_join_parts"    -> ((s, dir) => Retrieval.fuzzyJoinParts(s, dir)),
     "fuzzy_join_customers" -> ((s, dir) => Retrieval.fuzzyJoinCustomers(s, dir)),
     "sql_bm25"            -> ((s, dir) => {
@@ -716,6 +717,7 @@ object SparkEntry {
     "dq_docs"             -> DataQuality.dqDocsSql,
     "sql_dq_docs"         -> DataQuality.dqDocsSql,
     "retrieval_bm25"      -> Retrieval.bm25TopKSql(),
+    "retrieval_bm25_multi" -> Retrieval.bm25MultiTopKSql(),
     "fuzzy_join_parts"    -> Retrieval.fuzzyJoinPartsSql(),
     "fuzzy_join_customers" -> Retrieval.fuzzyJoinCustomersSql(),
     "sql_bm25"            -> Retrieval.bm25TopKSql(),

@@ -33,6 +33,21 @@ object Retrieval {
     * Verify knob guard pattern). */
   val Bm25Terms: Seq[String] = Seq("join", "window", "scan")
 
+  /** The pinned query BATCH for the multi-query surface — real
+    * retrieval serves a queries table, not one query. Query 1 is the
+    * original pinned query (its multi-path scores are bit-identical
+    * to [[bm25TopK]]'s — spec-pinned). Like [[Bm25Terms]], the batch
+    * is literal on both engines. */
+  val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Bm25Terms,
+    2L -> Seq("hash", "merge", "sort"),
+    3L -> Seq("stream", "batch", "filter", "group"))
+
+  /** Union of every query's terms, first-appearance order — the
+    * column set of the multi-query per-doc projection. */
+  private[graft] val Bm25AllTerms: Seq[String] =
+    Bm25Queries.flatMap(_._2).distinct
+
   /** BM25 parameters. k1 is deliberately 1.5 (not the also-classic
     * 1.2): every constant in the scoring tree — 1.5, 2.5, 0.75, 0.25,
     * 0.5 — is exactly representable in binary64, so the Spark
@@ -63,11 +78,14 @@ object Retrieval {
     * inside whole-stage codegen, so there is no explode and no
     * token-scale shuffle anywhere. */
   private[graft] def bm25PerDoc(docs: DataFrame): DataFrame =
+    bm25PerDocFor(docs, Bm25Terms)
+
+  private[graft] def bm25PerDocFor(docs: DataFrame, terms: Seq[String]): DataFrame =
     docs.where(col("text").isNotNull)
       .select(col("doc_id"),
         TextOps.tokens(TextOps.normText(col("text"))).as("toks"))
       .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
-        Bm25Terms.zipWithIndex.map { case (t, i) =>
+        terms.zipWithIndex.map { case (t, i) =>
           size(filter(col("toks"), tok => tok === t)).cast("long").as(s"tf$i")
         }: _*)
 
@@ -81,6 +99,15 @@ object Retrieval {
     * one division, denominator left-associated, per-term contributions
     * summed in fixed query order. */
   private[graft] def bm25ScoreCols(nd: Column, tt: Column,
+      df: Int => Column): (Column, Column) =
+    bm25ScoreColsIdx(Bm25Terms.indices, nd, tt, df)
+
+  /** Same score/n_terms tree over an explicit list of tf/df column
+    * indices, summed LEFT-ASSOCIATED in the given order — the
+    * multi-query path passes each query's term indices into the
+    * all-terms projection; the fixed fold order is what keeps the
+    * cross-engine hash match bitwise. */
+  private[graft] def bm25ScoreColsIdx(idx: Seq[Int], nd: Column, tt: Column,
       df: Int => Column): (Column, Column) = {
     val dlD = col("dl").cast("double")
     val ndD = nd.cast("double")
@@ -93,17 +120,20 @@ object Retrieval {
           ((ndD - dfD + lit(0.5)) / (dfD + lit(0.5))))
         .otherwise(lit(0.0))
     }
-    val nTerms = Bm25Terms.indices
+    val nTerms = idx
       .map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L)).reduceLeft(_ + _)
-    (nTerms, Bm25Terms.indices.map(contrib).reduceLeft(_ + _))
+    (nTerms, idx.map(contrib).reduceLeft(_ + _))
   }
 
   /** Corpus statistics the scorer needs: doc count, total tokens, and
     * per-term document frequency — ONE 1-row aggregate over
     * [[bm25PerDoc]]. */
-  private[graft] def bm25Stats(perDoc: DataFrame): DataFrame = {
+  private[graft] def bm25Stats(perDoc: DataFrame): DataFrame =
+    bm25StatsFor(perDoc, Bm25Terms.size)
+
+  private[graft] def bm25StatsFor(perDoc: DataFrame, nTerms: Int): DataFrame = {
     val statsCols = count(lit(1)).as("nd") +: sum(col("dl")).as("tt") +:
-      Bm25Terms.indices.map(i =>
+      (0 until nTerms).map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     perDoc.agg(statsCols.head, statsCols.tail: _*)
   }
@@ -172,6 +202,86 @@ object Retrieval {
        |SELECT doc_id, n_terms, $scoreSum AS score
        |FROM agg
        |ORDER BY score DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
+  }
+
+  /** Multi-query BM25: the whole pinned query batch served in ONE
+    * corpus pass. The per-doc projection carries one tf column per
+    * DISTINCT term across all queries ([[Bm25AllTerms]]) — the
+    * broadcast-queries plan shape: corpus stats stay a single 1-row
+    * aggregate, each document emits one (query_id, n_terms, score)
+    * struct per query from the SAME row (array+explode, map-side),
+    * and the only shuffles are the 1-row stats broadcast and the
+    * per-query top-K window (partitioned by query_id over matched
+    * docs only). At 100 TB this is Q× scoring arithmetic on one scan,
+    * NOT Q corpus scans; a thousand-query batch would swap the
+    * unrolled columns for an explode-join on term with a broadcast
+    * df map, same exchanges. Scores are bit-identical to the
+    * single-query operator for the shared query (spec-pinned):
+    * identical IEEE tree per term, identical left-associated
+    * query-order fold. */
+  def bm25MultiTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = bm25PerDocFor(Tables.documents(spark, sfDir), Bm25AllTerms)
+    val stats = bm25StatsFor(perDoc, Bm25AllTerms.size)
+    val anyAll = Bm25AllTerms.indices.map(i => col(s"tf$i") > 0).reduceLeft(_ || _)
+    val qStructs = Bm25Queries.map { case (qid, terms) =>
+      val idx = terms.map(Bm25AllTerms.indexOf)
+      val (nt, sc) = bm25ScoreColsIdx(idx, col("nd"), col("tt"), i => col(s"df$i"))
+      struct(lit(qid).as("query_id"), nt.as("n_terms"), sc.as("score"))
+    }
+    perDoc.where(anyAll)
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), explode(array(qStructs: _*)).as("qs"))
+      .select(col("qs.query_id").as("query_id"), col("doc_id"),
+        col("qs.n_terms").as("n_terms"), col("qs.score").as("score"))
+      .where(col("n_terms") > 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .where(col("rn") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("query_id").asc, col("score").desc, col("doc_id").asc)
+  }
+
+  /** [[bm25MultiTopK]]'s oracle: per-doc tf columns over the all-terms
+    * union, one UNION ALL branch per query with the SAME contrib tree
+    * and left-associated fold order as the Spark side, ROW_NUMBER
+    * top-K per query. */
+  def bm25MultiTopKSql(): String = {
+    val norm = TextOps.normTextSql("text")
+    val tfCols = Bm25AllTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n|             ")
+    val dfCols = Bm25AllTerms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    def contrib(i: Int): String =
+      s"CASE WHEN tf$i > 0 THEN CAST(tf$i AS DOUBLE) * 2.5 / " +
+        s"(CAST(tf$i AS DOUBLE) + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(stats.tt AS DOUBLE) / CAST(stats.nd AS DOUBLE))))) * " +
+        s"((CAST(stats.nd AS DOUBLE) - CAST(stats.df$i AS DOUBLE) + 0.5) / (CAST(stats.df$i AS DOUBLE) + 0.5)) ELSE 0.0 END"
+    val branches = Bm25Queries.map { case (qid, terms) =>
+      val idx = terms.map(Bm25AllTerms.indexOf)
+      val nTerms = idx.map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      val score = idx.map(contrib).mkString(" + ")
+      val anyQ = idx.map(i => s"tf$i > 0").mkString(" OR ")
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+         |              CAST($nTerms AS BIGINT) AS n_terms,
+         |              $score AS score
+         |       FROM pd, stats WHERE $anyQ""".stripMargin
+    }.mkString("\n|       UNION ALL\n|       ")
+    s"""WITH corpus AS (SELECT doc_id,
+       |                       list_filter(string_split($norm, ' '), x -> x <> '') AS toks
+       |                FROM documents WHERE text IS NOT NULL),
+       |pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |             $tfCols
+       |       FROM corpus),
+       |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tt, $dfCols FROM pd),
+       |scored AS ($branches),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                     ORDER BY score DESC, doc_id ASC) AS rn
+       |           FROM scored)
+       |SELECT query_id, doc_id, n_terms, score FROM ranked
+       |WHERE rn <= $Bm25TopK
+       |ORDER BY query_id ASC, score DESC, doc_id ASC""".stripMargin
   }
 
   /** All delete-1 variants of a key, INCLUDING the key itself (needed

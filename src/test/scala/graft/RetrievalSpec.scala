@@ -59,6 +59,24 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("bm25 multi-query: shared query bit-equals the single-query path; " +
+      "every query serves real rows") {
+    val multi = Retrieval.bm25MultiTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // query 1 IS Bm25Terms: the all-terms projection must not perturb
+    // a single bit of its scores (same tf/df columns, same fold order)
+    val q1 = multi.filter(_._1 == 1L).map(t => (t._2, t._3, t._4))
+    val single = Retrieval.bm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(q1.toSeq == single.toSeq)
+    // the batch genuinely fans out: every pinned query returns TopK
+    // rows and at least two queries disagree on their top document
+    val byQ = multi.groupBy(_._1)
+    assert(byQ.keySet == Retrieval.Bm25Queries.map(_._1).toSet)
+    assert(byQ.values.forall(_.length == Retrieval.Bm25TopK))
+    assert(byQ.values.map(_.head._2).toSet.size > 1)
+  }
+
   test("fuzzy join: blocking finds EXACTLY the brute-force edit<=1 pairs") {
     val names = Tables.customer(spark, sf)
       .select("c_name").collect().map(_.getString(0)).sorted
