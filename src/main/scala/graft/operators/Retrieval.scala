@@ -298,25 +298,38 @@ object Retrieval {
     * — no cartesian anywhere; the self-join shuffles (L+1)·|keys|
     * variant rows on the variant string and each bucket holds only the
     * keys one edit apart at that position. */
-  private[graft] def fuzzyPairs(keys: DataFrame): DataFrame = {
+  private[graft] def fuzzyPairs(keys: DataFrame): DataFrame =
     // dedup BEFORE blocking: duplicate keys multiply every variant
     // bucket by their multiplicity and the raw candidate join goes
     // quadratic in it (measured: 10× replicated names at sf1 turned
     // ~1M raw candidates into 108M before this distinct). Pair
     // semantics are over distinct keys either way.
-    val variants = variantRows(keys.distinct())
-    // verify BEFORE dedup with the codegen'd two-pointer ED≤1 kernel
-    // ([[graft.functions.EditWithin1]] — ~40× the thresholded
-    // levenshtein on this stream), so the distinct shuffles only the
-    // verified pairs (262 k at sf0.1) instead of every candidate
-    // (956 k). 0 is impossible on distinct keys, so surviving
-    // dist ≡ 1, the unbounded-oracle value.
-    graft.functions.EditWithin1.register(keys.sparkSession)
-    variants.as("a")
-      .join(variants.as("b"),
-        col("a.v") === col("b.v") && col("a.name") < col("b.name"))
-      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
-        call_function("ed1", col("a.name"), col("b.name")).cast("long").as("dist"))
+    fuzzyPairsFromVariants(variantRows(keys.distinct()))
+
+  /** The periodic-BATCH half of the continuous-variants architecture:
+    * the verified blocking join over a (name, v) variant table — the
+    * frame [[variantRows]] computes in batch or a streaming ingest
+    * accumulates into a store. Callers feeding an append-accumulated
+    * store must `distinct()` it first (re-ingested keys otherwise
+    * multiply their buckets — the same quadratic-in-multiplicity
+    * failure the key-side distinct above guards; spec-pinned equal to
+    * the one-shot join). Verify runs BEFORE dedup with the codegen'd
+    * two-pointer ED≤1 kernel ([[graft.functions.EditWithin1]] — ~40×
+    * the thresholded levenshtein on this stream), so the distinct
+    * shuffles only the verified pairs (262 k at sf0.1) instead of
+    * every candidate (956 k). 0 is impossible on distinct keys, so
+    * surviving dist ≡ 1, the unbounded-oracle value. */
+  def fuzzyPairsFromVariants(variants: DataFrame): DataFrame = {
+    graft.functions.EditWithin1.register(variants.sparkSession)
+    // per-side column renames (not plan aliases): a table-backed input
+    // (e.g. the stream-accumulated store) carries the same attribute
+    // ids on both sides of the self-join, and alias-qualified refs
+    // against those are ambiguous
+    val a = variants.select(col("name").as("name_a"), col("v").as("va"))
+    val b = variants.select(col("name").as("name_b"), col("v").as("vb"))
+    a.join(b, col("va") === col("vb") && col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        call_function("ed1", col("name_a"), col("name_b")).cast("long").as("dist"))
       .where(col("dist") >= 0)
       .distinct()
   }

@@ -187,6 +187,19 @@ class RetrievalSpec extends SparkSpec {
       Tables.customer(spark, sf).select(col("c_name").as("name")))
       .orderBy("name", "v").collect().map(r => (r.getString(0), r.getString(1)))
     assert(streamed.nonEmpty && streamed.sameElements(batch))
+    // ... and the FULL loop (the architecture end-to-end): the
+    // periodic-batch blocking join over the stream-accumulated variant
+    // store reproduces the one-shot fuzzy join exactly. The store is
+    // distinct()ed first — the documented contract for append
+    // accumulation (re-ingested keys would multiply their buckets).
+    val looped = Retrieval.fuzzyPairsFromVariants(
+        spark.table("fuzzy_variant_stream_test").distinct())
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val oneShot = Retrieval.fuzzyJoinCustomers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(looped.nonEmpty && looped.sameElements(oneShot))
   }
 
   test("fuzzy join plan: blocking equality join, never a cartesian") {
