@@ -143,16 +143,22 @@ object Retrieval {
     * collect the IVF centroid literals use). */
   case class Bm25Index(nd: Long, tt: Long, dfs: Seq[Long])
 
-  def bm25Train(spark: SparkSession, sfDir: String): Bm25Index = {
-    val r = bm25Stats(bm25PerDoc(Tables.documents(spark, sfDir))).collect()(0)
+  def bm25Train(spark: SparkSession, sfDir: String): Bm25Index =
+    bm25TrainOf(Tables.documents(spark, sfDir))
+
+  private[graft] def bm25TrainOf(docs: DataFrame): Bm25Index = {
+    val r = bm25Stats(bm25PerDoc(docs)).collect()(0)
     Bm25Index(r.getLong(0), r.getLong(1),
       Bm25Terms.indices.map(i => r.getLong(2 + i)))
   }
 
   /** All matching docs with their scores, unordered — the full scoring
     * frame [[bm25TopK]] ranks. */
-  private[graft] def bm25Scores(spark: SparkSession, sfDir: String): DataFrame = {
-    val perDoc = bm25PerDoc(Tables.documents(spark, sfDir))
+  private[graft] def bm25Scores(spark: SparkSession, sfDir: String): DataFrame =
+    bm25ScoresOf(Tables.documents(spark, sfDir))
+
+  private[graft] def bm25ScoresOf(docs: DataFrame): DataFrame = {
+    val perDoc = bm25PerDoc(docs)
     val stats = bm25Stats(perDoc)
     val (nTerms, score) = bm25ScoreCols(col("nd"), col("tt"), i => col(s"df$i"))
     perDoc.where(bm25AnyMatch)

@@ -118,6 +118,45 @@ class RetrievalSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("bm25 staleness contract: drift is exactly the stats literals; " +
+      "retrain restores batch equality; rate-preserving append bounds drift") {
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    // corpus-doubling append: every doc re-ingested under a shifted id.
+    // Term RATES are preserved exactly (avgdl = tt/nd is unchanged), so
+    // tf normalization stays exact and ONLY the idf literals drift.
+    val appended = docs.unionByName(
+      docs.select((col("doc_id") + lit(maxId + 1)).as("doc_id"), col("text")))
+    val stale = Retrieval.bm25Train(spark, sf)          // pre-append stats
+    val fresh = Retrieval.bm25TrainOf(appended)         // retrained
+    def served(idx: Retrieval.Bm25Index) =
+      graft.streaming.DocStream.bm25ScoreStream(appended, idx)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val staleServed = served(stale)
+    val freshServed = served(fresh)
+    // retrain ⇒ the stateless scorer is bit-identical to the batch
+    // corpus-stats scorer over the grown corpus (different plan: the
+    // batch side derives stats in-query and broadcast-joins them)
+    val batchFresh = Retrieval.bm25ScoresOf(appended)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(freshServed.nonEmpty && freshServed.sameElements(batchFresh))
+    // staleness never changes WHICH docs match or how many terms —
+    // tf/dl come from the row itself; only scores move
+    assert(staleServed.map(t => (t._1, t._2)).toSeq ==
+      freshServed.map(t => (t._1, t._2)).toSeq)
+    // drift is real but bounded by the idf perturbation O(1/df_t):
+    // under doubling, measured ≈ 0.2 % relative at the suite fixture
+    // (df_t ≈ 10² docs ⇒ bound ≈ 0.5 %)
+    val drifts = staleServed.zip(freshServed).map { case (s, f) =>
+      math.abs(s._3 - f._3) / math.abs(f._3)
+    }
+    assert(drifts.max > 0.0, "doubling must move idf — a zero drift means the test is vacuous")
+    assert(drifts.max < 0.005, s"doubling drift ${drifts.max} exceeds the O(1/df) bound")
+  }
+
   test("entity resolution: components equal brute-force transitive closure") {
     val rows = Retrieval.entityResolution(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
