@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, DataQuality, Decontamination, DedupOps, EventOps, LayoutOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Retrieval, Sharding, Similarity, SpanDedup, TextAnalysis, TpchComplete, TpchExt}
+import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, DataQuality, Decontamination, DedupOps, EventOps, GraphRank, LayoutOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Retrieval, Sharding, Similarity, SpanDedup, TextAnalysis, TpchComplete, TpchExt}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -495,7 +495,9 @@ object SparkEntry {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_entities")
       s.sql("SELECT name, entity_id, n_parts, entity_size, is_canonical " +
         "FROM graft_entities ORDER BY name ASC")
-    })
+    }),
+    "retrieval_bm25_join" -> ((s, dir) => Retrieval.bm25JoinTopK(s, dir)),
+    "events_pagerank"     -> ((s, dir) => GraphRank.pagerank(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -731,6 +733,8 @@ object SparkEntry {
     "sim_ann_recall"      -> Similarity.annRecallSql,
     "sim_ivf_recall"      -> Similarity.ivfRecallSql,
     "sim_ivfpq_recall"    -> graft.operators.ProductQuant.ivfPqRecallSql,
-    "sql_entities"        -> Retrieval.entityResolutionSql()
+    "sql_entities"        -> Retrieval.entityResolutionSql(),
+    "retrieval_bm25_join" -> Retrieval.bm25MultiTopKSql(),
+    "events_pagerank"     -> GraphRank.pagerankSql()
   )
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** PageRank over the within-session click graph — the crawl/quality
+  * prioritization signal a training-data pipeline derives from
+  * behavioral logs (rank pages/items by where session traffic
+  * concentrates, then use the rank as a curation weight).
+  *
+  * Graph: nodes are the `props.$.k` item vocabulary (100 values at
+  * every fixture scale — vocabulary-sized, corpus-independent, like
+  * the dedup name universe); a directed edge (src → dst, weight w)
+  * counts consecutive same-session event pairs whose items were
+  * src then dst, sessions cut by the same gap rule as
+  * [[EventOps.sessionize]]. Self-loops kept (an item followed by
+  * itself is a real transition).
+  *
+  * Recurrence (damped, weighted, NO dangling-mass redistribution — the
+  * documented "lost mass" variant, pinned so both engines compute the
+  * identical value):
+  *
+  *   r_{t+1}(v) = (1-d)/N + d * SUM_{(u,v) in E} r_t(u) * w(u,v)/outw(u)
+  *
+  * d = 0.85, r_0 = 1/N, [[PageRankIters]] fixed iterations, unrolled on
+  * both engines (no convergence test — a data-dependent stopping rule
+  * would make the row values depend on float comparisons).
+  *
+  * Bit-exactness discipline (the BM25/k-means recipe): edge weights and
+  * out-weights are exact BIGINTs; every float op is mandated-exact IEEE
+  * +,-,*,/ arranged in the identical tree on both engines; and the one
+  * float sum whose ORDER an engine could choose — the per-destination
+  * incoming sum — is a left-associated fold over contributions sorted
+  * by source id (`aggregate(array_sort(collect_list(struct(src, c))))`
+  * here, `list_reduce(list(c ORDER BY src))` in DuckDB; the 0.0 seed
+  * vs first-element seed difference is exact because contributions are
+  * strictly positive).
+  *
+  * Scale: every frame after the one events scan is vocabulary-sized
+  * (N nodes, ≤N² edges) — each iteration is a node-keyed join + a
+  * grouped fold, 10 iterations = 10 narrow shuffles of ~N rows
+  * regardless of corpus size; a web-scale (corpus-sized) node set
+  * would run the SAME plan with the joins sharded on node id. Each
+  * iteration's rank frame is `localCheckpoint`ed so the unrolled loop
+  * doesn't stack 10 window+join trees into one analysis pass.
+  */
+object GraphRank {
+
+  val PageRankDamping = 0.85
+  val PageRankIters = 10
+
+  /** (src, dst, w) same-session consecutive-item transition counts,
+    * plus the node frame — shared edge derivation (the
+    * [[EventOps.sessionTransitions]] lag/gap machinery keyed on the
+    * extracted item id instead of the event type). */
+  private[graft] def itemEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = graft.GraftConf.sessionGapMinutes(spark).toLong * 60L * 1000000L
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val us = unix_micros(col("ts"))
+    val newSession = when(lag(us, 1).over(byTs).isNull || us - lag(us, 1).over(byTs) > gapUs, 1L)
+      .otherwise(0L)
+    Tables.events(spark, sfDir)
+      .where(col("ts").isNotNull && col("user_id").isNotNull && col("props").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+      .withColumn("session_id", sum(newSession).over(byTs))
+      .withColumn("src", lag(col("item"), 1).over(byTs))
+      .withColumn("prev_session", lag(col("session_id"), 1).over(byTs))
+      .where(col("src").isNotNull && col("prev_session") === col("session_id"))
+      .groupBy(col("src"), col("item").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** (node, pagerank) for every item in the transition graph, node asc. */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = itemEdges(spark, sfDir).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val stats = nodes.agg(count(lit(1)).as("n"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val ndD = col("n").cast("double")
+    var ranks = nodes.crossJoin(broadcast(stats))
+      .select(col("node"), (lit(1.0) / ndD).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PageRankIters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outw, Seq("src"))
+        .select(col("dst"), col("src"),
+          ((col("r") * col("w").cast("double")) / col("outw").cast("double")).as("c"))
+      val incoming = contribs.groupBy(col("dst"))
+        .agg(aggregate(array_sort(collect_list(struct(col("src"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+      ranks = nodes
+        .join(incoming.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("node"),
+          (lit(0.15) / ndD + lit(0.85) * coalesce(col("s"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("r").as("pagerank"))
+      .orderBy(col("node").asc)
+  }
+
+  /** [[pagerank]]'s oracle: the same gap-rule edge derivation the
+    * sessionTransitions oracle pins (exact-µs arithmetic), then the
+    * power iteration UNROLLED into one CTE per step — `list(c ORDER BY
+    * src)` + `list_reduce` is the fixed-order fold. */
+  def pagerankSql(gapMinutes: Int = graft.GraftConf.DefaultSessionGap): String = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val iterCtes = (1 to PageRankIters).map { i =>
+      s"""c$i AS (SELECT e.dst,
+         |           list_reduce(list((r.r * CAST(e.w AS DOUBLE)) / CAST(o.outw AS DOUBLE) ORDER BY e.src),
+         |                       (x, y) -> x + y) AS s
+         |    FROM edges e
+         |    JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN outw o ON e.src = o.src
+         |    GROUP BY e.dst),
+         |r$i AS (SELECT n.node,
+         |           (0.15 / CAST(stats.n AS DOUBLE)) + 0.85 * COALESCE(c.s, 0.0) AS r
+         |    FROM nodes n LEFT JOIN c$i c ON n.node = c.dst, stats)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ordered AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+       |                        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+       |                        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us,
+       |                        LAG(CAST(json_extract_string(props, '$$.k') AS BIGINT))
+       |                          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS src
+       |                 FROM events
+       |                 WHERE ts IS NOT NULL AND user_id IS NOT NULL AND props IS NOT NULL
+       |                   AND json_extract_string(props, '$$.k') IS NOT NULL),
+       |edges AS (SELECT src, item AS dst, COUNT(*) AS w
+       |          FROM ordered
+       |          WHERE src IS NOT NULL
+       |            AND prev_us IS NOT NULL AND us - prev_us <= $gapUs
+       |          GROUP BY src, item),
+       |nodes AS (SELECT DISTINCT node FROM
+       |            (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |stats AS (SELECT COUNT(*) AS n FROM nodes),
+       |outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+       |r0 AS (SELECT node, 1.0 / CAST(stats.n AS DOUBLE) AS r FROM nodes, stats),
+       |$iterCtes
+       |SELECT node, r AS pagerank FROM r$PageRankIters ORDER BY node ASC""".stripMargin
+  }
+}

@@ -290,6 +290,79 @@ object Retrieval {
        |ORDER BY query_id ASC, score DESC, doc_id ASC""".stripMargin
   }
 
+  /** Multi-query BM25, EXPLODE-JOIN formulation — the thousand-query
+    * scale path [[bm25MultiTopK]]'s doc promises. The unrolled-columns
+    * plan carries one tf column per distinct term, which is right for a
+    * pinned handful but means a Q·T-column projection for a large query
+    * batch; here the query batch is a broadcast (query_id, pos, term)
+    * FRAME, so growing the batch grows a broadcast table, not the plan.
+    *
+    * Shape: one corpus pass computes (doc_id, dl, matched-tokens) with
+    * the term filter applied INSIDE the token array before the explode
+    * (`filter(toks, isin)` — only query-term postings are ever
+    * exploded, so the token-scale shuffle is |postings|, not corpus
+    * tokens); tf = count per (doc, term); df is a |terms|-row aggregate
+    * of that postings frame broadcast back; corpus stats stay the same
+    * 1-row aggregate. Scoring joins postings to the broadcast query
+    * frame on term and folds per (query_id, doc_id).
+    *
+    * Bit-exactness: the per-term contribution is the IDENTICAL IEEE
+    * tree as [[bm25ScoreColsIdx]], and the per-query sum — the one
+    * place a groupBy could reorder floats — is a left-associated fold
+    * over the collected contributions SORTED by the term's position in
+    * the query (`aggregate(array_sort(...))`, 0.0 seed). The unrolled
+    * path folds zeros for unmatched terms in between; since every
+    * contribution and every partial sum is > 0, adding 0.0 is an exact
+    * IEEE identity and the two paths are bit-identical (spec-pinned
+    * against [[bm25MultiTopK]]; same oracle). */
+  def bm25JoinTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val queriesDf = Bm25Queries
+      .flatMap { case (qid, terms) =>
+        terms.zipWithIndex.map { case (t, pos) => (qid, pos, t) } }
+      .toDF("query_id", "pos", "term")
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextOps.tokens(TextOps.normText(col("text"))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        filter(col("toks"),
+          tok => Bm25AllTerms.map(t => tok === t).reduceLeft(_ || _)).as("matched"))
+    // 1-row corpus stats over ALL docs (nd, tt) — same aggregate the
+    // unrolled path broadcasts.
+    val stats = base.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+    val postings = base.where(size(col("matched")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("matched")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val dlD = col("dl").cast("double")
+    val ndD = col("nd").cast("double")
+    val ttD = col("tt").cast("double")
+    val contrib =
+      tfD * lit(2.5) / (tfD + lit(1.5) * (lit(0.25) + lit(0.75) * (dlD / (ttD / ndD)))) *
+        ((ndD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val scored = postings
+      .join(broadcast(queriesDf), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("pos"), contrib.as("contrib"))
+    scored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .where(col("rn") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("query_id").asc, col("score").desc, col("doc_id").asc)
+  }
+
   /** All delete-1 variants of a key, INCLUDING the key itself (needed
     * so an insertion pairs the shorter key verbatim with the longer
     * key's deletion). `sequence` must never see start > stop (it would

@@ -77,6 +77,19 @@ class RetrievalSpec extends SparkSpec {
     assert(byQ.values.map(_.head._2).toSet.size > 1)
   }
 
+  test("bm25 explode-join path bit-equals the unrolled multi-query path") {
+    // different plan entirely — broadcast query frame + postings join +
+    // src-sorted fold vs unrolled tf columns + fixed-order CASE sum —
+    // yet every (query, doc, n_terms, score) row must match bitwise
+    // (the fold-order contract: zeros interleaved vs omitted is an
+    // exact IEEE identity on strictly positive contributions)
+    val multi = Retrieval.bm25MultiTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val joined = Retrieval.bm25JoinTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(joined.toSeq == multi.toSeq)
+  }
+
   test("fuzzy join: blocking finds EXACTLY the brute-force edit<=1 pairs") {
     val names = Tables.customer(spark, sf)
       .select("c_name").collect().map(_.getString(0)).sorted
