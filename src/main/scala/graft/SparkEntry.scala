@@ -497,7 +497,11 @@ object SparkEntry {
         "FROM graft_entities ORDER BY name ASC")
     }),
     "retrieval_bm25_join" -> ((s, dir) => Retrieval.bm25JoinTopK(s, dir)),
-    "events_pagerank"     -> ((s, dir) => GraphRank.pagerank(s, dir))
+    "events_pagerank"     -> ((s, dir) => GraphRank.pagerank(s, dir)),
+    "sql_pagerank"        -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_pagerank")
+      s.sql("SELECT node, pagerank FROM graft_pagerank ORDER BY node ASC")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -735,6 +739,7 @@ object SparkEntry {
     "sim_ivfpq_recall"    -> graft.operators.ProductQuant.ivfPqRecallSql,
     "sql_entities"        -> Retrieval.entityResolutionSql(),
     "retrieval_bm25_join" -> Retrieval.bm25MultiTopKSql(),
-    "events_pagerank"     -> GraphRank.pagerankSql()
+    "events_pagerank"     -> GraphRank.pagerankSql(),
+    "sql_pagerank"        -> GraphRank.pagerankSql()
   )
 }

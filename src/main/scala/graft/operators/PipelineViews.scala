@@ -82,7 +82,8 @@ object PipelineViews {
     "graft_bm25"               -> ((s, d) => Retrieval.bm25TopK(s, d)),
     "graft_fuzzy_parts"        -> ((s, d) => Retrieval.fuzzyJoinParts(s, d)),
     "graft_pq_topk"            -> ((s, d) => ProductQuant.pqTopK(s, d)),
-    "graft_entities"           -> ((s, d) => Retrieval.entityResolution(s, d)))
+    "graft_entities"           -> ((s, d) => Retrieval.entityResolution(s, d)),
+    "graft_pagerank"           -> ((s, d) => GraphRank.pagerank(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 
