@@ -497,6 +497,7 @@ object SparkEntry {
         "FROM graft_entities ORDER BY name ASC")
     }),
     "retrieval_bm25_join" -> ((s, dir) => Retrieval.bm25JoinTopK(s, dir)),
+    "retrieval_bm25_maxp" -> ((s, dir) => Retrieval.bm25MaxP(s, dir)),
     "events_pagerank"     -> ((s, dir) => GraphRank.pagerank(s, dir)),
     "sql_pagerank"        -> ((s, dir) => {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_pagerank")
@@ -739,6 +740,7 @@ object SparkEntry {
     "sim_ivfpq_recall"    -> graft.operators.ProductQuant.ivfPqRecallSql,
     "sql_entities"        -> Retrieval.entityResolutionSql(),
     "retrieval_bm25_join" -> Retrieval.bm25MultiTopKSql(),
+    "retrieval_bm25_maxp" -> Retrieval.bm25MaxPSql(),
     "events_pagerank"     -> GraphRank.pagerankSql(),
     "sql_pagerank"        -> GraphRank.pagerankSql()
   )

@@ -150,27 +150,49 @@ object ProductQuant {
     books
   }
 
+  /** The memoized PQ index — encode-once/serve-many, the shape a real
+    * deployment stores: per vector its [[PqM]] code ids, its coarse
+    * (trained-IVF) cell, its code reconstruction `rq`, and the
+    * reconstruction's integer squared norm. All six PQ-family
+    * registrations serve from this one table, so the 16 × [[PqK]]-entry
+    * codebook literals are built into exactly ONE plan per session (the
+    * index build) instead of being re-converted and re-analyzed on
+    * every serving call — the serving plans carry only slim columns.
+    * The index is corpus-sized but narrow (codes + one 64-long array),
+    * which is precisely the RAM footprint argument for PQ at 10⁹ rows. */
+  private[graft] def pqIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val coarseK = graft.GraftConf.ivfKResolved(spark,
+      Similarity.corpusCount(spark, sfDir))
+    Materialize.memoized(spark,
+        s"pq_index_${PqK}_${PqIters}_k${coarseK}_${Materialize.dirTag(sfDir)}") {
+      val books = pqTrain(spark, sfDir)
+      val cl = Similarity.centsLit(Similarity.trainedCentroids(spark, sfDir))
+      val emb = Similarity.corpus(spark, sfDir)
+      val codes = pqCodeCols(books)
+      emb.where(col("q").isNotNull)
+        .select(Seq(col("vec_id"), col("label"),
+            Similarity.nearestCid(cl, col("q"), col("n2")).as("cid")) ++
+          codes.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
+        .withColumn("rq", pqReconFromCodes(books))
+        .withColumn("rq_n2", Similarity.dotQ(col("rq"), col("rq")))
+    }
+  }
+
   /** Top-K by PQ-approximated cosine (asymmetric distance: full query
     * vs each vector's code reconstruction). Where this ranking departs
     * from `sim_cosine_topk`, that IS the PQ fidelity loss a pipeline
-    * measures before switching serving tiers. */
+    * measures before switching serving tiers. Serves from [[pqIndex]];
+    * the only codebook-literal plan in the session is the index build. */
   def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val books = pqTrain(spark, sfDir)
-    val codeArrs = books.map(_.sortBy(_.cid).map(_.cq)) // index i-1 ↔ cid i
-    val emb = Similarity.corpus(spark, sfDir)
-    val rq = concat((0 until PqM).map { s =>
-      val sl = slice(col("q"), s * SubDim + 1, SubDim)
-      val cid = Similarity.nearestCid(typedlit(books(s)), sl,
-        Similarity.dotQ(sl, sl))
-      element_at(typedlit(codeArrs(s)), cid.cast("int"))
-    }: _*)
-    val query = emb.where(col("vec_id") === Similarity.QueryVecId)
+    val idx = pqIndex(spark, sfDir)
+    val query = Similarity.corpus(spark, sfDir)
+      .where(col("vec_id") === Similarity.QueryVecId)
       .select(col("q").as("qq"), col("n2").as("qn2"))
-    emb.join(broadcast(query))
-      .where(col("vec_id") =!= Similarity.QueryVecId && col("q").isNotNull)
+    idx.join(broadcast(query))
+      .where(col("vec_id") =!= Similarity.QueryVecId)
       .select(col("vec_id"), col("label"),
-        Similarity.cosineFrom(Similarity.dotQ(rq, col("qq")),
-          Similarity.dotQ(rq, rq), col("qn2")).as("pq_cos"))
+        Similarity.cosineFrom(Similarity.dotQ(col("rq"), col("qq")),
+          col("rq_n2"), col("qn2")).as("pq_cos"))
       .orderBy(col("pq_cos").desc, col("vec_id").asc)
       .limit(Similarity.TopK)
   }
@@ -182,37 +204,29 @@ object ProductQuant {
     * vectors from RAM: the coarse index prunes the corpus to
     * ~nProbes/k of its rows, and each candidate costs one table-lookup
     * reconstruction instead of a full-precision vector read. Cell
-    * assignment and PQ codes are both computed map-side against plan
-    * literals; the only exchanges are the two broadcast query-side
+    * assignment and PQ codes are precomputed once into [[pqIndex]];
+    * the only exchanges at serve time are the two broadcast query-side
     * rows and the final top-K. The oracle replays BOTH trainings —
     * the IVF k-means (`trainedCellsSql`) and all [[PqM]] PQ codebooks —
     * in one query and must land on the identical row set and scores. */
   def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = pqIndex(spark, sfDir)
     val cl = Similarity.centsLit(Similarity.trainedCentroids(spark, sfDir))
-    val books = pqTrain(spark, sfDir)
-    val codeArrs = books.map(_.sortBy(_.cid).map(_.cq))
     val emb = Similarity.corpus(spark, sfDir)
-    val cells = emb.select(col("vec_id"), col("label"), col("q"),
-      Similarity.nearestCid(cl, col("q"), col("n2")).as("cid"))
     val probes = emb.where(col("vec_id") === Similarity.QueryVecId)
       .select(explode(Similarity.probeCids(cl, col("q"), col("n2"),
         Similarity.NumProbes)).as("probe_cid"))
     val query = emb.where(col("vec_id") === Similarity.QueryVecId)
       .select(col("q").as("qq"), col("n2").as("qn2"))
-    // reconstruction AFTER the probe semi-join: only candidates inside
-    // probed cells pay the code assignment + lookup
-    val rq = concat((0 until PqM).map { s =>
-      val sl = slice(col("q"), s * SubDim + 1, SubDim)
-      val cid = Similarity.nearestCid(typedlit(books(s)), sl,
-        Similarity.dotQ(sl, sl))
-      element_at(typedlit(codeArrs(s)), cid.cast("int"))
-    }: _*)
-    cells.join(broadcast(probes), col("cid") === col("probe_cid"))
+    // the prebuilt index already carries each vector's coarse cell and
+    // reconstruction — serving is a probe semi-join plus one dot per
+    // survivor, with no codebook literal anywhere in the plan
+    idx.join(broadcast(probes), col("cid") === col("probe_cid"))
       .join(broadcast(query))
-      .where(col("vec_id") =!= Similarity.QueryVecId && col("q").isNotNull)
+      .where(col("vec_id") =!= Similarity.QueryVecId)
       .select(col("vec_id"), col("label"), col("cid"),
-        Similarity.cosineFrom(Similarity.dotQ(rq, col("qq")),
-          Similarity.dotQ(rq, rq), col("qn2")).as("pq_cos"))
+        Similarity.cosineFrom(Similarity.dotQ(col("rq"), col("qq")),
+          col("rq_n2"), col("qn2")).as("pq_cos"))
       .orderBy(col("pq_cos").desc, col("vec_id").asc)
       .limit(Similarity.TopK)
   }
@@ -240,17 +254,11 @@ object ProductQuant {
     * code ids (the PqM-byte stored representation) plus the integer
     * squared norm of its reconstruction (precomputed so serving never
     * touches the codebooks for norms). Entirely map-side. */
-  def pqEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    val books = pqTrain(spark, sfDir)
-    val emb = Similarity.corpus(spark, sfDir)
-    val codes = pqCodeCols(books)
-    emb.where(col("q").isNotNull)
-      .select(col("vec_id") +: codes.zipWithIndex.map {
-        case (c, i) => c.as(s"c$i") }: _*)
-      .withColumn("rq_n2",
-        Similarity.dotQ(pqReconFromCodes(books), pqReconFromCodes(books)))
+  def pqEncode(spark: SparkSession, sfDir: String): DataFrame =
+    pqIndex(spark, sfDir)
+      .select(col("vec_id") +:
+        (0 until PqM).map(i => col(s"c$i")) :+ col("rq_n2"): _*)
       .orderBy(col("vec_id").asc)
-  }
 
   lazy val pqEncodeSql: String = {
     val codeJoins = (1 until PqM)
@@ -269,16 +277,12 @@ object ProductQuant {
   /** Recall@K of the PQ serving tier against the exact brute-force
     * cosine top-K — the acceptance metric a pipeline gates a serving
     * rollout on (a compression tier with bad recall is not "done"
-    * no matter how fast it is). One row: k, n_overlap, recall. Both
-    * sides are existing oracled queries; the join is K×K ids. */
-  def pqRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val exact = Similarity.cosineTopK(spark, sfDir).select(col("vec_id"))
-    val pq = pqTopK(spark, sfDir).select(col("vec_id"))
-    val overlap = pq.join(exact, "vec_id")
-    overlap.agg(count(lit(1)).as("n_overlap"))
-      .select(lit(Similarity.TopK.toLong).as("k"), col("n_overlap"),
-        (col("n_overlap").cast("double") / Similarity.TopK).as("recall"))
-  }
+    * no matter how fast it is). One row: k, n_overlap, recall,
+    * first_hit_rank, rr (see `Similarity.recallOf`). Both sides are
+    * existing oracled queries; the join is K×K ids. */
+  def pqRecall(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.recallOf(pqTopK(spark, sfDir),
+      Similarity.cosineTopK(spark, sfDir), "pq_cos")
 
   // lazy: declared above pqTopKSql/cosineTopKSql in initialization
   // order; an eager val would read them as null mid-<clinit>
@@ -286,29 +290,15 @@ object ProductQuant {
     * pruning + code reconstruction), the number a rollout compares
     * against [[pqRecall]] and `sim_ivf_recall` to see which loss
     * dominates. */
-  def ivfPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val exact = Similarity.cosineTopK(spark, sfDir).select(col("vec_id"))
-    ivfPqTopK(spark, sfDir).select(col("vec_id")).join(exact, "vec_id")
-      .agg(count(lit(1)).as("n_overlap"))
-      .select(lit(Similarity.TopK.toLong).as("k"), col("n_overlap"),
-        (col("n_overlap").cast("double") / Similarity.TopK).as("recall"))
-  }
+  def ivfPqRecall(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.recallOf(ivfPqTopK(spark, sfDir),
+      Similarity.cosineTopK(spark, sfDir), "pq_cos")
 
   lazy val ivfPqRecallSql: String =
-    s"""WITH approx AS (${ivfPqTopKSql.replace("\n", "\n     ")}),
-       |exact AS (${Similarity.cosineTopKSql.replace("\n", "\n     ")})
-       |SELECT CAST(${Similarity.TopK} AS BIGINT) AS k,
-       |       COUNT(*) AS n_overlap,
-       |       CAST(COUNT(*) AS DOUBLE) / ${Similarity.TopK} AS recall
-       |FROM approx JOIN exact ON approx.vec_id = exact.vec_id""".stripMargin
+    Similarity.recallSqlOf(ivfPqTopKSql, "pq_cos")
 
   lazy val pqRecallSql: String =
-    s"""WITH pq AS (${pqTopKSql.replace("\n", "\n     ")}),
-       |exact AS (${Similarity.cosineTopKSql.replace("\n", "\n     ")})
-       |SELECT CAST(${Similarity.TopK} AS BIGINT) AS k,
-       |       COUNT(*) AS n_overlap,
-       |       CAST(COUNT(*) AS DOUBLE) / ${Similarity.TopK} AS recall
-       |FROM pq JOIN exact ON pq.vec_id = exact.vec_id""".stripMargin
+    Similarity.recallSqlOf(pqTopKSql, "pq_cos")
 
   private def dot8Sql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, ${SubDim + 1}), i -> $a[i] * $b[i]))"

@@ -363,6 +363,98 @@ object Retrieval {
       .orderBy(col("query_id").asc, col("score").desc, col("doc_id").asc)
   }
 
+  /** Passage-level BM25 with MaxP document pooling (Dai & Callan,
+    * SIGIR'19 — the standard recipe for retrieving LONG documents):
+    * documents are split into overlapping chunks ([[Chunking.chunkCols]],
+    * the same derivation `chunk_documents` registers), each chunk is
+    * scored as its own BM25 unit against chunk-level corpus stats
+    * (nd = chunk count, avgdl = average chunk length, df = chunks
+    * containing the term), and a document's score is its BEST chunk's
+    * score. Whole-document BM25 dilutes a strong passage inside a long
+    * document through the length normalizer; MaxP is how a pipeline
+    * retrieves the document anyway and knows WHICH passage matched
+    * (`best_chunk` is the provenance a RAG consumer reads).
+    *
+    * Scale: chunking is a generator inside whole-stage codegen
+    * (~len/stride rows per doc, no cross-document state), stats stay a
+    * 1-row broadcast, and the per-document argmax window runs over
+    * MATCHED chunks only, partitioned by doc_id — no single-partition
+    * window, no corpus-scale shuffle. Bit-exactness: per-chunk scores
+    * use the same fixed-order fold as [[bm25TopK]]; MAX pooling and
+    * the (score DESC, chunk_id ASC) argmax tiebreak are
+    * order-independent. */
+  def bm25MaxP(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = Chunking.chunkCols(Tables.documents(spark, sfDir))
+    val perChunk = chunks
+      .select(col("doc_id"), col("chunk_id"),
+        TextOps.tokens(TextOps.normText(col("chunk_text"))).as("toks"))
+      .select(Seq(col("doc_id"), col("chunk_id"),
+          size(col("toks")).cast("long").as("dl")) ++
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), tok => tok === t)).cast("long").as(s"tf$i")
+        }: _*)
+    val stats = bm25StatsFor(perChunk, Bm25Terms.size)
+    val (nTerms, score) = bm25ScoreCols(col("nd"), col("tt"), i => col(s"df$i"))
+    perChunk.where(bm25AnyMatch)
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("chunk_id"),
+        nTerms.as("n_terms"), score.as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("chunk_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("chunk_id").as("best_chunk"),
+        col("n_terms"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+  }
+
+  /** [[bm25MaxP]]'s oracle: the `chunk_documents` chunk derivation
+    * (defaults baked — the chunk knobs are Verify-guarded), the same
+    * per-chunk tf/score tree as [[bm25TopKSql]], ROW_NUMBER argmax per
+    * document, top-K documents. */
+  def bm25MaxPSql(): String = {
+    val w = graft.GraftConf.DefaultChunkSize
+    val s = graft.GraftConf.DefaultChunkStride
+    val norm = TextOps.normTextSql("chunk_text")
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n|             ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    def contrib(i: Int): String =
+      s"CASE WHEN tf$i > 0 THEN CAST(tf$i AS DOUBLE) * 2.5 / " +
+        s"(CAST(tf$i AS DOUBLE) + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(stats.tt AS DOUBLE) / CAST(stats.nd AS DOUBLE))))) * " +
+        s"((CAST(stats.nd AS DOUBLE) - CAST(stats.df$i AS DOUBLE) + 0.5) / (CAST(stats.df$i AS DOUBLE) + 0.5)) ELSE 0.0 END"
+    val nTerms = Bm25Terms.indices
+      .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val scoreSum = Bm25Terms.indices.map(contrib).mkString(" + ")
+    val anyQ = Bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""WITH toks0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |               FROM documents),
+       |chunks AS (SELECT doc_id, start_tok // $s AS chunk_id,
+       |                  array_to_string(t[start_tok + 1 : start_tok + least($w, len(t) - start_tok)], ' ') AS chunk_text
+       |           FROM (SELECT doc_id, t, unnest(range(0, len(t), $s)) AS start_tok
+       |                 FROM toks0 WHERE len(t) > 0)),
+       |pc AS (SELECT doc_id, chunk_id, CAST(len(toks) AS BIGINT) AS dl,
+       |             $tfCols
+       |       FROM (SELECT doc_id, chunk_id,
+       |                    list_filter(string_split($norm, ' '), x -> x <> '') AS toks
+       |             FROM chunks)),
+       |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tt, $dfCols FROM pc),
+       |scored AS (SELECT doc_id, chunk_id,
+       |                  CAST($nTerms AS BIGINT) AS n_terms,
+       |                  $scoreSum AS score
+       |           FROM pc, stats WHERE $anyQ),
+       |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                   ORDER BY score DESC, chunk_id ASC) AS rn
+       |         FROM scored)
+       |SELECT doc_id, chunk_id AS best_chunk, n_terms, score
+       |FROM best WHERE rn = 1
+       |ORDER BY score DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
+  }
+
   /** All delete-1 variants of a key, INCLUDING the key itself (needed
     * so an insertion pairs the shorter key verbatim with the longer
     * key's deletion). `sequence` must never see start > stop (it would

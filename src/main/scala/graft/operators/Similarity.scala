@@ -588,7 +588,7 @@ object Similarity {
     * when data under sfDir grows (the incremental-ingest scenarios),
     * the fingerprint changes and auto-k re-resolves from a fresh count
     * instead of the stale cached n. */
-  private def corpusCount(spark: SparkSession, sfDir: String): Long = {
+  private[graft] def corpusCount(spark: SparkSession, sfDir: String): Long = {
     val memoKey =
       s"${graft.GraftConf.IvfKKey}.corpusCount:$sfDir:${embedBytes(spark, sfDir)}"
     spark.conf.getOption(memoKey).map(_.toLong).getOrElse {
@@ -1143,29 +1143,51 @@ object Similarity {
        |WHERE vr = 1
        |ORDER BY query_id ASC""".stripMargin
 
-  /** Recall@K of an approximate serving tier against the exact
-    * brute-force cosine top-K — the acceptance metric a serving
-    * rollout gates on (PQ's twin lives in `ProductQuant.pqRecall`).
-    * One row: k, n_overlap, recall. */
-  private def recallOf(approx: DataFrame, exact: DataFrame): DataFrame =
-    approx.select(col("vec_id")).join(exact.select(col("vec_id")), "vec_id")
-      .agg(count(lit(1)).as("n_overlap"))
+  /** Recall@K AND reciprocal rank of an approximate serving tier
+    * against the exact brute-force cosine top-K — the acceptance
+    * metrics a serving rollout gates on (PQ's twin lives in
+    * `ProductQuant.pqRecall`). Recall counts set overlap; RR is
+    * rank-sensitive — 1/rank of the tier's FIRST true hit in its own
+    * returned order, so a tier that buries its only true neighbor at
+    * rank 10 scores 0.1 where recall alone would hide the difference.
+    * One row: k, n_overlap, recall, first_hit_rank, rr (rank/rr NULL
+    * when nothing overlaps). RR stays inside exact-rounded IEEE
+    * division — no transcendental (the reason this is RR and not an
+    * NDCG log-discount: cross-engine log is not bitwise-pinned). */
+  private[graft] def recallOf(approx: DataFrame, exact: DataFrame,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col("vec_id").asc)
+    approx.select(col("vec_id"), col(scoreCol))
+      .withColumn("rn", row_number().over(w))
+      .join(exact.select(col("vec_id")), "vec_id")
+      .agg(count(lit(1)).as("n_overlap"),
+        min(col("rn")).cast("long").as("first_hit_rank"))
       .select(lit(TopK.toLong).as("k"), col("n_overlap"),
-        (col("n_overlap").cast("double") / TopK).as("recall"))
+        (col("n_overlap").cast("double") / TopK).as("recall"),
+        col("first_hit_rank"),
+        (lit(1.0) / col("first_hit_rank").cast("double")).as("rr"))
+  }
 
   def annRecall(spark: SparkSession, sfDir: String): DataFrame =
-    recallOf(annTopK(spark, sfDir), cosineTopK(spark, sfDir))
+    recallOf(annTopK(spark, sfDir), cosineTopK(spark, sfDir), "cos_sim")
 
   def ivfRecall(spark: SparkSession, sfDir: String): DataFrame =
-    recallOf(ivfTrainedTopK(spark, sfDir), cosineTopK(spark, sfDir))
+    recallOf(ivfTrainedTopK(spark, sfDir), cosineTopK(spark, sfDir), "cos_sim")
 
-  private def recallSqlOf(approxSql: String): String =
+  private[graft] def recallSqlOf(approxSql: String,
+      scoreCol: String = "cos_sim"): String =
     s"""WITH approx AS (${approxSql.replace("\n", "\n     ")}),
-       |exact AS (${cosineTopKSql.replace("\n", "\n     ")})
+       |exact AS (${cosineTopKSql.replace("\n", "\n     ")}),
+       |ranked AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY $scoreCol DESC, vec_id ASC) AS rn
+       |           FROM approx),
+       |hits AS (SELECT rn FROM ranked JOIN exact ON ranked.vec_id = exact.vec_id)
        |SELECT CAST($TopK AS BIGINT) AS k,
        |       COUNT(*) AS n_overlap,
-       |       CAST(COUNT(*) AS DOUBLE) / $TopK AS recall
-       |FROM approx JOIN exact ON approx.vec_id = exact.vec_id""".stripMargin
+       |       CAST(COUNT(*) AS DOUBLE) / $TopK AS recall,
+       |       MIN(rn) AS first_hit_rank,
+       |       CAST(1 AS DOUBLE) / CAST(MIN(rn) AS DOUBLE) AS rr
+       |FROM hits""".stripMargin
 
   lazy val annRecallSql: String = recallSqlOf(annTopKSql)
   lazy val ivfRecallSql: String = recallSqlOf(ivfTrainedTopKSql)

@@ -90,6 +90,53 @@ class RetrievalSpec extends SparkSpec {
     assert(joined.toSeq == multi.toSeq)
   }
 
+  test("bm25 MaxP: top-10 docs match a driver-side chunk-and-pool replay " +
+      "bit-exactly") {
+    val w = GraftConf.DefaultChunkSize
+    val s = GraftConf.DefaultChunkStride
+    // chunk derivation: RAW whitespace tokens (chunk_documents), then
+    // BM25 normalization INSIDE each chunk — same two-stage tokenize
+    val chunks = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .collect { case r if !r.isNullAt(1) =>
+        r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty) }
+      .filter(_._2.nonEmpty)
+      .flatMap { case (id, t) =>
+        (0 until t.length by s).zipWithIndex.map { case (start, cid) =>
+          (id, cid.toLong, norm(t.slice(start, start + w).mkString(" "))) }
+      }
+    val nd = chunks.length.toDouble
+    val tt = chunks.map(_._3.length.toLong).sum.toDouble
+    val avgdl = tt / nd
+    val df = Retrieval.Bm25Terms.map(t =>
+      t -> chunks.count(_._3.contains(t)).toDouble).toMap
+    val scored = chunks.flatMap { case (id, cid, toks) =>
+      val dl = toks.length.toDouble
+      val contribs = Retrieval.Bm25Terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) None
+        else Some(tf * 2.5 / (tf + 1.5 * (0.25 + 0.75 * (dl / avgdl))) *
+          ((nd - df(t) + 0.5) / (df(t) + 0.5)))
+      }
+      if (contribs.forall(_.isEmpty)) None
+      else Some((id, cid, contribs.count(_.isDefined).toLong,
+        contribs.map(_.getOrElse(0.0)).reduceLeft(_ + _)))
+    }
+    val expected = scored.groupBy(_._1).values
+      .map(_.minBy { case (_, cid, _, sc) => (-sc, cid) })  // MaxP argmax
+      .toSeq.sortBy { case (id, _, _, sc) => (-sc, id) }
+      .take(Retrieval.Bm25TopK)
+      .map { case (id, cid, nt, sc) => (id, cid, nt, sc) }
+    val got = Retrieval.bm25MaxP(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == expected)
+    // MaxP is passage-level by construction: every pooled score must be
+    // >= what the same chunk stats give any OTHER chunk of that doc
+    val byDoc = scored.groupBy(_._1)
+    got.foreach { case (id, _, _, sc) =>
+      assert(byDoc(id).forall(_._4 <= sc)) }
+  }
+
   test("fuzzy join: blocking finds EXACTLY the brute-force edit<=1 pairs") {
     val names = Tables.customer(spark, sf)
       .select("c_name").collect().map(_.getString(0)).sorted
