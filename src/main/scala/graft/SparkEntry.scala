@@ -498,6 +498,7 @@ object SparkEntry {
     }),
     "retrieval_bm25_join" -> ((s, dir) => Retrieval.bm25JoinTopK(s, dir)),
     "retrieval_bm25_maxp" -> ((s, dir) => Retrieval.bm25MaxP(s, dir)),
+    "retrieval_hard_negs" -> ((s, dir) => Retrieval.bm25HardNegatives(s, dir)),
     "events_pagerank"     -> ((s, dir) => GraphRank.pagerank(s, dir)),
     "sql_pagerank"        -> ((s, dir) => {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_pagerank")
@@ -741,6 +742,7 @@ object SparkEntry {
     "sql_entities"        -> Retrieval.entityResolutionSql(),
     "retrieval_bm25_join" -> Retrieval.bm25MultiTopKSql(),
     "retrieval_bm25_maxp" -> Retrieval.bm25MaxPSql(),
+    "retrieval_hard_negs" -> Retrieval.bm25HardNegativesSql(),
     "events_pagerank"     -> GraphRank.pagerankSql(),
     "sql_pagerank"        -> GraphRank.pagerankSql()
   )

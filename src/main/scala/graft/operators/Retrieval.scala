@@ -225,7 +225,16 @@ object Retrieval {
     * single-query operator for the shared query (spec-pinned):
     * identical IEEE tree per term, identical left-associated
     * query-order fold. */
-  def bm25MultiTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  def bm25MultiTopK(spark: SparkSession, sfDir: String): DataFrame =
+    bm25MultiRanked(spark, sfDir)
+      .where(col("rn") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("query_id").asc, col("score").desc, col("doc_id").asc)
+
+  /** The multi-query scored-and-ranked frame [[bm25MultiTopK]] and
+    * [[bm25HardNegatives]] share: every (query, matched-doc) pair with
+    * its score and per-query rank. */
+  private[graft] def bm25MultiRanked(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perDoc = bm25PerDocFor(Tables.documents(spark, sfDir), Bm25AllTerms)
     val stats = bm25StatsFor(perDoc, Bm25AllTerms.size)
@@ -244,16 +253,56 @@ object Retrieval {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("doc_id").asc)))
+  }
+
+  /** Hard-negative mining for contrastive training pairs (the DPR /
+    * sentence-transformers recipe): per query, the top-ranked document
+    * is the positive and ranks 2..K are the "hard" negatives — lexically
+    * close enough to score high, labeled with how far below the
+    * positive they fall (`margin`, the number a triplet-loss sampler
+    * thresholds on). BM25-mined hard negatives are the standard
+    * bootstrap for training dense retrievers. Scale: everything is the
+    * [[bm25MultiRanked]] plan (one corpus pass + per-query window over
+    * matched docs) plus a per-query MAX window over at most K rows;
+    * margin = max(score) - score is order-independent exact IEEE. */
+  def bm25HardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bm25MultiRanked(spark, sfDir)
       .where(col("rn") <= Bm25TopK)
-      .select(col("query_id"), col("doc_id"), col("n_terms"), col("score"))
-      .orderBy(col("query_id").asc, col("score").desc, col("doc_id").asc)
+      .withColumn("pos_score",
+        max(col("score")).over(Window.partitionBy(col("query_id"))))
+      .where(col("rn") >= 2)
+      .select(col("query_id"), col("doc_id"),
+        col("rn").cast("long").as("neg_rank"), col("score"),
+        (col("pos_score") - col("score")).as("margin"))
+      .orderBy(col("query_id").asc, col("neg_rank").asc)
   }
 
   /** [[bm25MultiTopK]]'s oracle: per-doc tf columns over the all-terms
     * union, one UNION ALL branch per query with the SAME contrib tree
     * and left-associated fold order as the Spark side, ROW_NUMBER
     * top-K per query. */
-  def bm25MultiTopKSql(): String = {
+  def bm25MultiTopKSql(): String =
+    s"""${bm25MultiRankedCtes()}
+       |SELECT query_id, doc_id, n_terms, score FROM ranked
+       |WHERE rn <= $Bm25TopK
+       |ORDER BY query_id ASC, score DESC, doc_id ASC""".stripMargin
+
+  /** [[bm25HardNegatives]]'s oracle: the shared ranked CTEs, a
+    * per-query MAX window for the positive's score, ranks 2..K. */
+  def bm25HardNegativesSql(): String =
+    s"""${bm25MultiRankedCtes()},
+       |sel AS (SELECT query_id, doc_id, rn, score,
+       |               MAX(score) OVER (PARTITION BY query_id) AS pos_score
+       |        FROM ranked WHERE rn <= $Bm25TopK)
+       |SELECT query_id, doc_id, rn AS neg_rank, score,
+       |       pos_score - score AS margin
+       |FROM sel WHERE rn >= 2
+       |ORDER BY query_id ASC, neg_rank ASC""".stripMargin
+
+  /** The shared CTE prefix of the multi-query oracles, ending at the
+    * `ranked` frame ([[bm25MultiRanked]]'s twin). */
+  private def bm25MultiRankedCtes(): String = {
     val norm = TextOps.normTextSql("text")
     val tfCols = Bm25AllTerms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
@@ -284,10 +333,7 @@ object Retrieval {
        |scored AS ($branches),
        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |                     ORDER BY score DESC, doc_id ASC) AS rn
-       |           FROM scored)
-       |SELECT query_id, doc_id, n_terms, score FROM ranked
-       |WHERE rn <= $Bm25TopK
-       |ORDER BY query_id ASC, score DESC, doc_id ASC""".stripMargin
+       |           FROM scored)""".stripMargin
   }
 
   /** Multi-query BM25, EXPLODE-JOIN formulation — the thousand-query

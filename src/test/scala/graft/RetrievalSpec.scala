@@ -137,6 +137,30 @@ class RetrievalSpec extends SparkSpec {
       assert(byDoc(id).forall(_._4 <= sc)) }
   }
 
+  test("hard negatives are exactly ranks 2..K of the multi-query top-K, " +
+      "with margin = positive score - score") {
+    val topk = Retrieval.bm25MultiTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val byQuery = topk.groupBy(_._1).map { case (qid, rows) =>
+      // top-K comes back (score DESC, doc_id ASC) per query — rank = position
+      qid -> rows.map { case (_, doc, s) => (doc, s) }
+    }
+    val expected = byQuery.toSeq.sortBy(_._1).flatMap { case (qid, docs) =>
+      val pos = docs.head._2
+      docs.zipWithIndex.drop(1).map { case ((doc, s), i) =>
+        (qid, doc, (i + 1).toLong, s, pos - s) }
+    }
+    val got = Retrieval.bm25HardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == expected)
+    // margins are non-negative and non-decreasing down each query's list
+    got.groupBy(_._1).values.foreach { rows =>
+      val ms = rows.sortBy(_._3).map(_._5)
+      assert(ms.forall(_ >= 0.0) && (ms, ms.drop(1)).zipped.forall(_ <= _))
+    }
+  }
+
   test("fuzzy join: blocking finds EXACTLY the brute-force edit<=1 pairs") {
     val names = Tables.customer(spark, sf)
       .select("c_name").collect().map(_.getString(0)).sorted
