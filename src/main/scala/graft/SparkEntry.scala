@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsExt, BloomJoin, Chunking, ClusterOps, Curation, DataQuality, Decontamination, DedupOps, EventOps, GraphRank, LayoutOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Retrieval, Sharding, Similarity, SpanDedup, TextAnalysis, TpchComplete, TpchExt}
+import graft.operators.{AnalyticsExt, BloomJoin, Bpe, Chunking, ClusterOps, CoOccur, Curation, DataQuality, Decontamination, DedupOps, EventOps, GraphRank, LayoutOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Retrieval, Sharding, Similarity, SpanDedup, TextAnalysis, TpchComplete, TpchExt}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -503,6 +503,21 @@ object SparkEntry {
     "sql_pagerank"        -> ((s, dir) => {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_pagerank")
       s.sql("SELECT node, pagerank FROM graft_pagerank ORDER BY node ASC")
+    }),
+    "graph_triangles"     -> ((s, dir) => GraphRank.triangles(s, dir)),
+    "skipgram_pairs"      -> ((s, dir) => CoOccur.skipgramPairs(s, dir)),
+    "skipgram_pmi"        -> ((s, dir) => CoOccur.skipgramPmi(s, dir)),
+    "sql_skipgrams"       -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_skipgrams")
+      s.sql("SELECT center, context, cnt FROM graft_skipgrams " +
+        "ORDER BY center ASC, context ASC")
+    }),
+    "bpe_merges"          -> ((s, dir) => Bpe.merges(s, dir)),
+    "bpe_vocab"           -> ((s, dir) => Bpe.vocab(s, dir)),
+    "bpe_encode"          -> ((s, dir) => Bpe.encode(s, dir)),
+    "sql_bpe_merges"      -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_bpe_merges")
+      s.sql("SELECT step, lhs, rhs, pair_count FROM graft_bpe_merges ORDER BY step ASC")
     })
   )
 
@@ -744,6 +759,14 @@ object SparkEntry {
     "retrieval_bm25_maxp" -> Retrieval.bm25MaxPSql(),
     "retrieval_hard_negs" -> Retrieval.bm25HardNegativesSql(),
     "events_pagerank"     -> GraphRank.pagerankSql(),
-    "sql_pagerank"        -> GraphRank.pagerankSql()
+    "sql_pagerank"        -> GraphRank.pagerankSql(),
+    "graph_triangles"     -> GraphRank.trianglesSql(),
+    "skipgram_pairs"      -> CoOccur.skipgramPairsSql(),
+    "skipgram_pmi"        -> CoOccur.skipgramPmiSql(),
+    "sql_skipgrams"       -> CoOccur.skipgramPairsSql(),
+    "bpe_merges"          -> Bpe.mergesSql(),
+    "bpe_vocab"           -> Bpe.vocabSql(),
+    "bpe_encode"          -> Bpe.encodeSql(),
+    "sql_bpe_merges"      -> Bpe.mergesSql()
   )
 }

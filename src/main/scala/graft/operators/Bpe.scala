@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.sources.Tables
+
+/** Byte-pair-encoding tokenizer TRAINING over `documents` — the
+  * vocabulary-learning step every LLM data pipeline runs before
+  * tokenizing a corpus (Sennrich et al., ACL'16 word-level BPE):
+  * greedily merge the most frequent adjacent symbol pair, [[Merges]]
+  * times, starting from per-character symbols.
+  *
+  * Scale shape — the key property of word-level BPE is that after ONE
+  * corpus scan (the word-frequency aggregate), training never touches
+  * the corpus again: every merge iteration runs over the WORD TYPE
+  * table (vocabulary-sized — tens of millions of rows at 100 TB, not
+  * trillions), weighting each candidate pair by the word's corpus
+  * count. Per iteration: one vocabulary-sized pair aggregate (partial
+  * map-side), one 1-row argmax collect (the merge decision — the same
+  * bounded driver collect as k-means centroids), and one map-side
+  * `replace` applying the merge. [[Merges]] iterations = [[Merges]]
+  * narrow vocabulary-sized shuffles, corpus-size-independent.
+  * Encoding ([[encode]]) never re-runs merges over corpus tokens: the
+  * trained word→segmentation table broadcasts and corpus words join
+  * it — one broadcast hash join, zero added shuffles.
+  *
+  * Pinned representation (identical on both engines so the oracle can
+  * replay training exactly): a word's symbol sequence is the string
+  * `·s1··s2··…··sn·` — every symbol wrapped in `·` (U+00B7, not in
+  * the corpus alphabet; [[graft.sources.Tables]] fixtures are
+  * lowercase ASCII). Wrapping each symbol in its OWN marker pair
+  * makes merge application a plain left-to-right `replace(seq,
+  * "·a··b·", "·ab·")`: adjacent occurrences don't share a separator
+  * char, so non-overlapping replace-all consumes `a b a b` into
+  * `ab ab` — the canonical leftmost-first BPE merge order. The
+  * initial sequence is `regexp_replace(word, "(.)", "·$1·")` on both
+  * engines.
+  *
+  * Determinism: pair counts are exact int64 sums of int64 word
+  * counts; the per-iteration argmax tiebreaks (count desc, left asc,
+  * right asc) on binary string order — no floats anywhere in
+  * training.
+  */
+object Bpe {
+
+  /** Number of merge rules to learn. Real tokenizers learn 30k-50k;
+    * the constant is small because the oracle replays training as
+    * [[Merges]] unrolled CTE triples (the PageRank-oracle discipline:
+    * no data-dependent stopping, identical on both engines). */
+  val Merges = 12
+
+  private val M = "·" // symbol marker
+
+  private def wrapped(word: Column): Column =
+    regexp_replace(word, "(.)", s"$M$$1$M")
+
+  /** Symbols of a wrapped sequence: strip the outer markers, split on
+    * the doubled inner marker. */
+  private def symsOf(seq: Column): Column =
+    split(seq.substr(lit(2), length(seq) - 2), s"$M$M")
+
+  /** (word, cnt) corpus word-frequency table — the single corpus scan
+    * of BPE training. */
+  private def wordCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull)
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** The merge-learning loop over any (word, cnt) frame — split out so
+    * the merge/representation machinery is testable on controlled
+    * vocabularies (overlap semantics, tiebreaks) independent of the
+    * documents fixture. Returns the learned (step, lhs, rhs,
+    * pair_count) rules and the final word\u2192sequence frame. */
+  private[graft] def trainLoop(wc: DataFrame, nMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var v = wc
+      .select(col("word"), col("cnt"), wrapped(col("word")).as("seq"))
+      .localCheckpoint(true)
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val syms = symsOf(col("seq"))
+      val best = v
+        .where(size(syms) >= 2)
+        .select(col("cnt"), explode(transform(sequence(lit(1), size(syms) - 1), i =>
+          struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect() // 1 row: the merge decision (bounded)
+      require(best.nonEmpty,
+        s"BPE pairs exhausted at step $step \u2014 corpus too small for nMerges=$nMerges")
+      val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      learned += ((step, a, b, c))
+      val prev = v
+      v = v.select(col("word"), col("cnt"),
+          replace(col("seq"), lit(s"$M$a$M$M$b$M"), lit(s"$M$a$b$M")).as("seq"))
+        .localCheckpoint(true)
+      Materialize.free(prev)
+    }
+    (learned.result(), v)
+  }
+
+  /** Trained state: the merge table (step, lhs, rhs, pair_count) as
+    * local rows, plus the final word→sequence vocabulary frame.
+    * Memoized per (sfDir) — all three surfaces ([[merges]], [[vocab]],
+    * [[encode]]) consume one training run, like IVF/PQ/PageRank. */
+  private def train(spark: SparkSession, sfDir: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+    val vKey = s"bpe_vocab_${Merges}_${Materialize.dirTag(sfDir)}"
+    val mKey = s"spark.graft.bpe.merges.${Materialize.dirTag(sfDir)}"
+    val vocabDf = Materialize.memoized(spark, vKey) {
+      val (learned, v) = trainLoop(wordCounts(spark, sfDir), Merges)
+      spark.conf.set(mKey, learned
+        .map { case (s, a, b, c) => s"$s\u0001$a\u0001$b\u0001$c" }.mkString("\u0002"))
+      v
+    }
+    val ms = spark.conf.get(mKey).split("\u0002").toSeq.map { r =>
+      val f = r.split("\u0001"); (f(0).toInt, f(1), f(2), f(3).toLong)
+    }
+    (ms, vocabDf)
+  }
+
+  /** (step, lhs, rhs, pair_count): the learned merge rules in learning
+    * order — the tokenizer artifact a training pipeline ships. */
+  def merges(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ms, _) = train(spark, sfDir)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ms.map { case (s, a, b, c) => Row(s.toLong, a, b, c) }, 1),
+      StructType(Seq(StructField("step", LongType), StructField("lhs", StringType),
+        StructField("rhs", StringType), StructField("pair_count", LongType))))
+      .orderBy(col("step").asc)
+  }
+
+  /** (symbol, occurrences): corpus-weighted counts of the post-merge
+    * symbol vocabulary (token frequency under the trained tokenizer),
+    * symbol asc. */
+  def vocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, v) = train(spark, sfDir)
+    v.select(col("cnt"), explode(symsOf(col("seq"))).as("symbol"))
+      .groupBy(col("symbol")).agg(sum(col("cnt")).as("occurrences"))
+      .orderBy(col("symbol").asc)
+  }
+
+  /** (doc_id, n_words, n_bpe_tokens): per-document token counts under
+    * the trained tokenizer — the corpus ENCODE path. The trained
+    * word→segmentation table broadcasts (vocabulary-sized) and corpus
+    * words hash-join it; no merge rule ever re-applies per corpus
+    * token. */
+  def encode(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, v) = train(spark, sfDir)
+    val wordLen = broadcast(v.select(col("word"), size(symsOf(col("seq"))).as("n_syms")))
+    Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), explode(graft.functions.TextOps.tokens(col("text"))).as("word"))
+      .join(wordLen, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Training replay: w (word counts), v0 (wrapped chars), then per
+    * step i: p_i (pair counts) → m_i (argmax) → v_i (merge applied). */
+  private def trainCte: String = {
+    val head =
+      s"""w AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |       SELECT unnest(string_split(text, ' ')) AS w
+         |       FROM documents WHERE text IS NOT NULL) WHERE w <> '' GROUP BY w),
+         |v0 AS (SELECT word, cnt, regexp_replace(word, '(.)', '$M\\1$M', 'g') AS seq FROM w)""".stripMargin
+    val steps = (1 to Merges).map { i =>
+      s"""p$i AS (SELECT syms[j] AS a, syms[j + 1] AS b, SUM(cnt) AS c
+         |        FROM (SELECT cnt, string_split(seq[2:-2], '$M$M') AS syms FROM v${i - 1}),
+         |             unnest(range(1, len(syms))) AS r(j)
+         |        GROUP BY 1, 2),
+         |m$i AS (SELECT a, b, CAST(c AS BIGINT) AS c FROM p$i
+         |        ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |v$i AS (SELECT word, cnt,
+         |               replace(seq, '$M' || m.a || '$M$M' || m.b || '$M',
+         |                            '$M' || m.a || m.b || '$M') AS seq
+         |        FROM v${i - 1}, m$i m)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + steps
+  }
+
+  /** [[merges]]'s oracle: the full unrolled training replay. */
+  def mergesSql(): String = {
+    val rows = (1 to Merges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, c AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"WITH ${trainCte}\n$rows\nORDER BY step ASC"
+  }
+
+  /** [[vocab]]'s oracle: symbol counts off the final replayed state. */
+  def vocabSql(): String =
+    s"""WITH ${trainCte}
+       |SELECT s AS symbol, CAST(SUM(cnt) AS BIGINT) AS occurrences
+       |FROM (SELECT cnt, unnest(string_split(seq[2:-2], '$M$M')) AS s FROM v$Merges)
+       |GROUP BY s ORDER BY symbol ASC""".stripMargin
+
+  /** [[encode]]'s oracle: corpus words joined to the replayed final
+    * segmentation. */
+  def encodeSql(): String =
+    s"""WITH ${trainCte},
+       |toks AS (SELECT doc_id, w AS word FROM (
+       |           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |           FROM documents WHERE text IS NOT NULL) WHERE w <> ''),
+       |wl AS (SELECT word, len(string_split(seq[2:-2], '$M$M')) AS n_syms FROM v$Merges)
+       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(wl.n_syms) AS BIGINT) AS n_bpe_tokens
+       |FROM toks t JOIN wl ON wl.word = t.word
+       |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin
+}

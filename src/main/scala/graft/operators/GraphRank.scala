@@ -116,6 +116,101 @@ object GraphRank {
     ranks.select(col("node"), col("r").as("pagerank"))
   }
 
+  /** Within-session consecutive-item transition graph as an
+    * `ordered`/`edges` CTE pair — the shared oracle-side edge
+    * derivation for [[pagerankSql]] and [[trianglesSql]], pinned to
+    * the same gap rule (exact-µs arithmetic) the sessionTransitions
+    * oracle uses. */
+  private def edgesCte(gapUs: Long): String =
+    s"""ordered AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+       |                        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+       |                        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us,
+       |                        LAG(CAST(json_extract_string(props, '$$.k') AS BIGINT))
+       |                          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS src
+       |                 FROM events
+       |                 WHERE ts IS NOT NULL AND user_id IS NOT NULL AND props IS NOT NULL
+       |                   AND json_extract_string(props, '$$.k') IS NOT NULL),
+       |edges AS (SELECT src, item AS dst, COUNT(*) AS w
+       |          FROM ordered
+       |          WHERE src IS NOT NULL
+       |            AND prev_us IS NOT NULL AND us - prev_us <= $gapUs
+       |          GROUP BY src, item)""".stripMargin
+
+  /** Per-node triangle counts over the UNDIRECTED item graph (edge
+    * direction and weight dropped; self-loops dropped): (node,
+    * triangles) for every node in at least one triangle, node asc.
+    *
+    * Algorithm: degree-ordered edge orientation (each undirected edge
+    * points from its lower-(degree, id) endpoint to the higher), then
+    * wedge join + closure check — every triangle is enumerated exactly
+    * once, at its lowest-ordered vertex (the standard distributed
+    * triangle-enumeration shape, Suri & Vassilvitskii, WWW'11: max
+    * oriented out-degree is O(sqrt m) however skewed the raw degrees,
+    * so the wedge join's fan-out per node is bounded and a
+    * celebrity-hub node cannot quadratic-blow the join the way a raw
+    * a<b orientation can). Here the graph is vocabulary-sized, so
+    * every frame after the one events scan is tiny; at a web-scale
+    * node set the same three self-joins shard on node id. */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesOf(itemEdges(spark, sfDir))
+
+  /** Triangle core over any (src, dst, *) edge frame — split out so the
+    * wedge-join machinery is testable on graphs with known triangle
+    * structure independent of the events fixture. */
+  private[graft] def trianglesOf(edges: DataFrame): DataFrame = {
+    val und = edges
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val aFirst = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      .withColumn("a_first",
+        col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+    val o = aFirst.select(
+      when(col("a_first"), col("a")).otherwise(col("b")).as("u"),
+      when(col("a_first"), col("b")).otherwise(col("a")).as("v"),
+      when(col("a_first"), col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(true)
+    val o1 = o.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val o2 = o.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val tri = o1.join(o2, Seq("u"))
+      .where(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      .orderBy(col("node").asc)
+  }
+
+  /** [[triangles]]'s oracle: identical orientation and wedge-closure
+    * joins (row-value comparisons pin the (degree, id) order). */
+  def trianglesSql(gapMinutes: Int = graft.GraftConf.DefaultSessionGap): String = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    s"""WITH ${edgesCte(gapUs)},
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |        FROM edges WHERE src <> dst),
+       |deg AS (SELECT node, COUNT(*) AS d
+       |        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+       |        GROUP BY node),
+       |o AS (SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS u,
+       |             CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS v,
+       |             CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS dv
+       |      FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+       |tri AS (SELECT o1.u, o1.v AS x, o2.v AS y
+       |        FROM o o1 JOIN o o2 ON o1.u = o2.u AND ((o1.dv, o1.v) < (o2.dv, o2.v))
+       |        JOIN o oc ON oc.u = o1.v AND oc.v = o2.v)
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+       |FROM (SELECT u AS node FROM tri
+       |      UNION ALL SELECT x FROM tri
+       |      UNION ALL SELECT y FROM tri)
+       |GROUP BY node ORDER BY node ASC""".stripMargin
+  }
+
   /** [[pagerank]]'s oracle: the same gap-rule edge derivation the
     * sessionTransitions oracle pins (exact-µs arithmetic), then the
     * power iteration UNROLLED into one CTE per step — `list(c ORDER BY
@@ -134,19 +229,7 @@ object GraphRank {
          |           (0.15 / CAST(stats.n AS DOUBLE)) + 0.85 * COALESCE(c.s, 0.0) AS r
          |    FROM nodes n LEFT JOIN c$i c ON n.node = c.dst, stats)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ordered AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
-       |                        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
-       |                        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us,
-       |                        LAG(CAST(json_extract_string(props, '$$.k') AS BIGINT))
-       |                          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS src
-       |                 FROM events
-       |                 WHERE ts IS NOT NULL AND user_id IS NOT NULL AND props IS NOT NULL
-       |                   AND json_extract_string(props, '$$.k') IS NOT NULL),
-       |edges AS (SELECT src, item AS dst, COUNT(*) AS w
-       |          FROM ordered
-       |          WHERE src IS NOT NULL
-       |            AND prev_us IS NOT NULL AND us - prev_us <= $gapUs
-       |          GROUP BY src, item),
+    s"""WITH ${edgesCte(gapUs)},
        |nodes AS (SELECT DISTINCT node FROM
        |            (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
        |stats AS (SELECT COUNT(*) AS n FROM nodes),

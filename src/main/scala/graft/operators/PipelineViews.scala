@@ -83,7 +83,10 @@ object PipelineViews {
     "graft_fuzzy_parts"        -> ((s, d) => Retrieval.fuzzyJoinParts(s, d)),
     "graft_pq_topk"            -> ((s, d) => ProductQuant.pqTopK(s, d)),
     "graft_entities"           -> ((s, d) => Retrieval.entityResolution(s, d)),
-    "graft_pagerank"           -> ((s, d) => GraphRank.pagerank(s, d)))
+    "graft_pagerank"           -> ((s, d) => GraphRank.pagerank(s, d)),
+    "graft_triangles"          -> ((s, d) => GraphRank.triangles(s, d)),
+    "graft_skipgrams"          -> ((s, d) => CoOccur.skipgramPairs(s, d)),
+    "graft_bpe_merges"         -> ((s, d) => Bpe.merges(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 

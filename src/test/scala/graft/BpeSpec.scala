@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+import graft.sources.Tables
+
+/** BPE training/encode against an independent driver-side replay —
+  * list-of-symbols merge application (scan-and-merge over token
+  * vectors), a different algorithm than the engine's wrapped-string
+  * `replace` representation. */
+class BpeSpec extends SparkSpec {
+
+  /** Reference implementation: greedy BPE over a (word -> count) map
+    * using symbol VECTORS, leftmost-first non-overlapping merges. */
+  private def refBpe(wc: Map[String, Long], n: Int): (Seq[(Int, String, String, Long)], Map[String, Vector[String]]) = {
+    var segs: Map[String, Vector[String]] = wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to n) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- segs; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + wc(w)
+      }
+      val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      learned += ((step, a, b, c))
+      segs = segs.map { case (w, syms) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2 // leftmost-first, non-overlapping
+          } else { out += syms(i); i += 1 }
+        }
+        w -> out.result()
+      }
+    }
+    (learned.result(), segs)
+  }
+
+  private def fixtureWordCounts(): Map[String, Long] =
+    Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+
+  test("bpe_merges: learned rules equal the vector-replay reference on the fixture") {
+    val (expected, _) = refBpe(fixtureWordCounts(), Bpe.Merges)
+    val got = Bpe.merges(spark, sf).collect()
+      .map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("bpe_vocab: symbol occurrences equal the reference final segmentation") {
+    val wc = fixtureWordCounts()
+    val (_, segs) = refBpe(wc, Bpe.Merges)
+    val expected = segs.toSeq
+      .flatMap { case (w, syms) => syms.map(_ -> wc(w)) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val got = Bpe.vocab(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // total symbol mass only shrinks vs characters (each merge joins two)
+    val charMass = wc.map { case (w, c) => w.length * c }.sum
+    assert(got.values.sum <= charMass)
+  }
+
+  test("bpe_encode: per-doc token counts equal reference retokenization") {
+    val wc = fixtureWordCounts()
+    val (_, segs) = refBpe(wc, Bpe.Merges)
+    val docs = Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val expected = docs.map { case (id, ws) =>
+      (id, ws.length.toLong, ws.map(w => segs(w).length.toLong).sum)
+    }.sortBy(_._1).toSeq
+    val got = Bpe.encode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("merge application is leftmost-first non-overlapping (aaaa/aaa shapes)") {
+    import spark.implicits._
+    val wc = Seq(("aaaa", 10L), ("aaa", 7L), ("ab", 1L)).toDF("word", "cnt")
+    // pair (a,a): aaaa has 3 adjacent occurrences but only 2 disjoint;
+    // counting is positional (3*10 + 2*7 = 44), application is disjoint.
+    val (learned, v) = Bpe.trainLoop(wc, 1)
+    assert(learned.head._2 == "a" && learned.head._3 == "a" && learned.head._4 == 44L)
+    val segs = v.collect().map(r => r.getString(0) ->
+      r.getString(2).stripPrefix("·").stripSuffix("·").split("··").toSeq).toMap
+    assert(segs("aaaa") == Seq("aa", "aa"))
+    assert(segs("aaa") == Seq("aa", "a"))
+    assert(segs("ab") == Seq("a", "b"))
+  }
+
+  test("tiebreaks are (count desc, lhs asc, rhs asc)") {
+    import spark.implicits._
+    // abba: pairs (a,b), (b,b), (b,a) each occur once -> (a,b) wins on lhs asc
+    val wc = Seq(("abba", 1L)).toDF("word", "cnt")
+    val (learned, _) = Bpe.trainLoop(wc, 1)
+    assert((learned.head._2, learned.head._3) == ("a", "b"))
+    // bbba: (b,b) x2 beats (b,a) x1 on count before any tiebreak
+    val wc2 = Seq(("bbba", 1L)).toDF("word", "cnt")
+    val (learned2, v2) = Bpe.trainLoop(wc2, 1)
+    assert((learned2.head._2, learned2.head._3, learned2.head._4) == ("b", "b", 2L))
+    val seg2 = v2.collect().head.getString(2)
+    assert(seg2 == "·bb··b··a·")
+  }
+}
