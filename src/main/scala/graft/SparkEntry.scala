@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsExt, BloomJoin, Bpe, Chunking, ClusterOps, CoOccur, Curation, DataQuality, Decontamination, DedupOps, EventOps, GraphRank, LayoutOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Retrieval, Sharding, Similarity, SpanDedup, TextAnalysis, TpchComplete, TpchExt}
+import graft.operators.{AnalyticsExt, BloomJoin, Bpe, Chunking, ClusterOps, CoOccur, Curation, DataQuality, Decontamination, DedupOps, EventOps, GraphRank, HeavyHitters, LayoutOps, Multimodal, Packing, QualityFilters, Quantization, RankSetOps, RefQueries, Retrieval, Sharding, Similarity, SpanDedup, TextAnalysis, TpchComplete, TpchExt}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -518,6 +518,17 @@ object SparkEntry {
     "sql_bpe_merges"      -> ((s, dir) => {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_bpe_merges")
       s.sql("SELECT step, lhs, rhs, pair_count FROM graft_bpe_merges ORDER BY step ASC")
+    }),
+    "heavy_tokens"        -> ((s, dir) => HeavyHitters.heavyTokens(s, dir)),
+    "heavy_brands"        -> ((s, dir) => HeavyHitters.heavyBrands(s, dir)),
+    "sql_heavy_tokens"    -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_heavy_tokens")
+      s.sql("SELECT tok, cnt FROM graft_heavy_tokens ORDER BY cnt DESC, tok ASC")
+    }),
+    "graph_kcore"         -> ((s, dir) => GraphRank.kcore(s, dir)),
+    "sql_kcore"           -> ((s, dir) => {
+      graft.operators.PipelineViews.ensureOne(s, dir, "graft_kcore")
+      s.sql("SELECT node, deg FROM graft_kcore ORDER BY node ASC")
     })
   )
 
@@ -767,6 +778,11 @@ object SparkEntry {
     "bpe_merges"          -> Bpe.mergesSql(),
     "bpe_vocab"           -> Bpe.vocabSql(),
     "bpe_encode"          -> Bpe.encodeSql(),
-    "sql_bpe_merges"      -> Bpe.mergesSql()
+    "sql_bpe_merges"      -> Bpe.mergesSql(),
+    "heavy_tokens"        -> HeavyHitters.heavyTokensSql(),
+    "heavy_brands"        -> HeavyHitters.heavyBrandsSql(),
+    "sql_heavy_tokens"    -> HeavyHitters.heavyTokensSql(),
+    "graph_kcore"         -> GraphRank.kcoreSql(),
+    "sql_kcore"           -> GraphRank.kcoreSql()
   )
 }

@@ -238,4 +238,99 @@ object GraphRank {
        |$iterCtes
        |SELECT node, r AS pagerank FROM r$PageRankIters ORDER BY node ASC""".stripMargin
   }
+
+  /** k-core peeling threshold (the third standard graph primitive
+    * after rank and triangles — dense-substructure extraction, used
+    * to separate core vocabulary/behavior from peripheral noise).
+    * 6 peels non-trivially at sf0.01 (100 → 72 nodes over 4 rounds);
+    * the sf≥0.1 item graph is near-complete (min degree 42), so the
+    * core there is the whole node set — still exact, still
+    * non-vacuous (the oracle replays the identical rounds). */
+  val KCoreK = 6
+
+  /** Fixed peel rounds, unrolled on both engines (the PageRank/BPE
+    * no-data-dependent-stopping discipline: a convergence TEST would
+    * make row membership depend on engine-side iteration accounting).
+    * Worst observed fixture convergence is 4 rounds (sf0.01); GenScale
+    * replicas are disjoint copies of the sf0.1 graph, so larger
+    * decades converge in the base graph's rounds. Specs assert
+    * round-[[KCoreRounds]] membership is a fixed point at the harness
+    * fixtures, making the output the true k-core there. */
+  val KCoreRounds = 8
+
+  /** (node, deg) of the [[KCoreK]]-core after [[KCoreRounds]] peel
+    * rounds over the undirected item graph, node asc. `deg` is the
+    * node's degree in the subgraph induced by the final survivor set
+    * (== its core degree, ≥ k, once peeling has converged). */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame =
+    kcoreOf(itemEdges(spark, sfDir), KCoreK, KCoreRounds)
+
+  /** Peeling core over any (src, dst, *) edge frame — split out so the
+    * round machinery is testable on graphs with known core structure.
+    *
+    * Each round: keep edges with both endpoints alive (two left-semi
+    * joins against the vocabulary-sized survivor frame — at a
+    * web-scale node set these shard on node id and the edge frame
+    * never re-shuffles more than its alive subset), recompute induced
+    * degrees (one union + hash aggregate), drop nodes below k. Rounds
+    * are FIXED, so the whole loop is [[KCoreRounds]] linear passes —
+    * no data-dependent driver round-trip beyond the unrolled plan;
+    * each survivor frame is localCheckpointed so round r+1's plan
+    * doesn't re-derive rounds 1..r. */
+  private[graft] def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val und = edges
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    def induced(alive: DataFrame): DataFrame = {
+      val e = und
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    }
+    var nodes = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      nodes = induced(nodes).where(col("deg") >= k)
+        .select(col("node")).localCheckpoint(true)
+    induced(nodes).orderBy(col("node").asc)
+  }
+
+  /** [[kcore]]'s oracle: the identical [[KCoreRounds]] peel rounds
+    * unrolled as (alive-edges → degrees → survivors) CTE triples.
+    * `und` and each survivor CTE are MATERIALIZED: every e_i
+    * references n_{i-1} TWICE, so under DuckDB's default CTE inlining
+    * the expansion doubles per round — 2^rounds copies of the events
+    * scan (observed as an fd-exhaustion failure at 8 rounds) — while
+    * pagerank's linear chain (one back-reference per CTE) never needed
+    * the hint. */
+  def kcoreSql(gapMinutes: Int = graft.GraftConf.DefaultSessionGap): String = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val roundCtes = (1 to KCoreRounds).map { i =>
+      s"""e$i AS (SELECT u.a, u.b FROM und u
+         |        JOIN n${i - 1} x ON u.a = x.node
+         |        JOIN n${i - 1} y ON u.b = y.node),
+         |d$i AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM (SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i)
+         |        GROUP BY node),
+         |n$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgesCte(gapUs)},
+       |und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |        FROM edges WHERE src <> dst),
+       |n0 AS MATERIALIZED (SELECT DISTINCT node FROM
+       |         (SELECT a AS node FROM und UNION ALL SELECT b FROM und)),
+       |$roundCtes,
+       |ef AS (SELECT u.a, u.b FROM und u
+       |       JOIN n$KCoreRounds x ON u.a = x.node
+       |       JOIN n$KCoreRounds y ON u.b = y.node)
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+       |FROM (SELECT a AS node FROM ef UNION ALL SELECT b FROM ef)
+       |GROUP BY node ORDER BY node ASC""".stripMargin
+  }
 }

@@ -86,7 +86,9 @@ object PipelineViews {
     "graft_pagerank"           -> ((s, d) => GraphRank.pagerank(s, d)),
     "graft_triangles"          -> ((s, d) => GraphRank.triangles(s, d)),
     "graft_skipgrams"          -> ((s, d) => CoOccur.skipgramPairs(s, d)),
-    "graft_bpe_merges"         -> ((s, d) => Bpe.merges(s, d)))
+    "graft_bpe_merges"         -> ((s, d) => Bpe.merges(s, d)),
+    "graft_heavy_tokens"       -> ((s, d) => HeavyHitters.heavyTokens(s, d)),
+    "graft_kcore"              -> ((s, d) => GraphRank.kcore(s, d)))
 
   private val ViewsDirKey = "spark.graft.pipelineViews.dir"
 
