@@ -41,6 +41,13 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # DuckDB defaults to ALL cores per process; a parallel sweep
+    # (scale_verify --jobs N) would otherwise run N full-width engines
+    # and starve anything else on the box (observed: a concurrent
+    # local[32] Verify dump lost its executor heartbeats and died).
+    threads = os.environ.get("DUCKDB_THREADS")
+    if threads:
+        con.sql(f"SET threads TO {int(threads)}")
     for t in TABLES:
         # driver fixtures are single files; GenScale output is a
         # directory of part files under <table>.parquet/

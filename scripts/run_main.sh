@@ -11,7 +11,10 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS \
+# GRAFT_EXTRA_OPTS: optional extra JVM flags (e.g. relaxed
+# -Dspark.executor.heartbeatInterval for long local[32] sweeps where a
+# saturated box can starve the in-process heartbeat loop).
+exec java $OPENS ${GRAFT_EXTRA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-24g}" \
   -cp "$CLASSES:/opt/spark/jars/*" "$@"

@@ -161,21 +161,28 @@ object Bpe {
   // ---------------------------------------------------------------- oracle
 
   /** Training replay: w (word counts), v0 (wrapped chars), then per
-    * step i: p_i (pair counts) → m_i (argmax) → v_i (merge applied). */
+    * step i: p_i (pair counts) → m_i (argmax) → v_i (merge applied).
+    * Every state CTE is MATERIALIZED: v_{i-1} is referenced TWICE per
+    * step (directly by v_i and via p_i → m_i), so DuckDB's default
+    * CTE inlining doubles the expansion per merge — 2^Merges copies
+    * of the corpus scan (passed at sf0.01, timed out at sf1) — the
+    * same exponential-inlining shape the k-core oracle hit; m_i is
+    * materialized too because [[mergesSql]]'s final UNION references
+    * each decision row a second time. */
   private def trainCte: String = {
     val head =
       s"""w AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
          |       SELECT unnest(string_split(text, ' ')) AS w
          |       FROM documents WHERE text IS NOT NULL) WHERE w <> '' GROUP BY w),
-         |v0 AS (SELECT word, cnt, regexp_replace(word, '(.)', '$M\\1$M', 'g') AS seq FROM w)""".stripMargin
+         |v0 AS MATERIALIZED (SELECT word, cnt, regexp_replace(word, '(.)', '$M\\1$M', 'g') AS seq FROM w)""".stripMargin
     val steps = (1 to Merges).map { i =>
       s"""p$i AS (SELECT syms[j] AS a, syms[j + 1] AS b, SUM(cnt) AS c
          |        FROM (SELECT cnt, string_split(seq[2:-2], '$M$M') AS syms FROM v${i - 1}),
          |             unnest(range(1, len(syms))) AS r(j)
          |        GROUP BY 1, 2),
-         |m$i AS (SELECT a, b, CAST(c AS BIGINT) AS c FROM p$i
+         |m$i AS MATERIALIZED (SELECT a, b, CAST(c AS BIGINT) AS c FROM p$i
          |        ORDER BY c DESC, a ASC, b ASC LIMIT 1),
-         |v$i AS (SELECT word, cnt,
+         |v$i AS MATERIALIZED (SELECT word, cnt,
          |               replace(seq, '$M' || m.a || '$M$M' || m.b || '$M',
          |                            '$M' || m.a || m.b || '$M') AS seq
          |        FROM v${i - 1}, m$i m)""".stripMargin
