@@ -48,6 +48,14 @@ def main():
     threads = os.environ.get("DUCKDB_THREADS")
     if threads:
         con.sql(f"SET threads TO {int(threads)}")
+    # An explicit memory_limit (e.g. "24GB") also enables DuckDB's
+    # larger-than-memory spill path via a temp directory — without it,
+    # a heavy oracle on a busy box dies with a hard allocation failure
+    # instead of spilling.
+    mem = os.environ.get("DUCKDB_MEMORY")
+    if mem:
+        con.sql(f"SET memory_limit = '{mem}'")
+        con.sql("SET temp_directory = '/tmp/duckdb_spill'")
     for t in TABLES:
         # driver fixtures are single files; GenScale output is a
         # directory of part files under <table>.parquet/

@@ -50,6 +50,13 @@ SLICES = {
     "knn_label_ivf": (
         "query_id % 2500 = 0",
         "per-query ranking over probed cells"),
+    "pq_encode": (
+        "vec_id % 97 = 0",
+        "per-vector code assignment; the slice pushes into the "
+        "assignment join (the part that carries a 64-double embedding "
+        "per candidate row and spilled past the box's disk at sf1 "
+        "under K=256) while the vocabulary-sized training replay "
+        "CTEs run once"),
 }
 
 
