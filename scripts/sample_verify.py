@@ -88,6 +88,16 @@ def main():
         print(f"no slice registered for: {sorted(unknown)}")
         sys.exit(2)
     con = duckdb.connect()
+    # same resource caps as local_verify.py: DuckDB defaults to every
+    # core and 80% of RAM per process — an uncapped slice running next
+    # to a 64g bench JVM got the JVM OOM-killed.
+    threads = os.environ.get("DUCKDB_THREADS")
+    if threads:
+        con.sql(f"SET threads TO {int(threads)}")
+    mem = os.environ.get("DUCKDB_MEMORY")
+    if mem:
+        con.sql(f"SET memory_limit = '{mem}'")
+        con.sql("SET temp_directory = '/tmp/duckdb_spill'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
