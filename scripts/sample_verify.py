@@ -97,7 +97,7 @@ def main():
     mem = os.environ.get("DUCKDB_MEMORY")
     if mem:
         con.sql(f"SET memory_limit = '{mem}'")
-        con.sql("SET temp_directory = '/tmp/duckdb_spill'")
+        con.sql(f"SET temp_directory = '/tmp/duckdb_spill_{os.getpid()}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):

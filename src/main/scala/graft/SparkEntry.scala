@@ -487,6 +487,7 @@ object SparkEntry {
     }),
     "sim_ivfpq_topk"      -> ((s, dir) => graft.operators.ProductQuant.ivfPqTopK(s, dir)),
     "sim_pq_recall"       -> ((s, dir) => graft.operators.ProductQuant.pqRecall(s, dir)),
+    "pq_build"            -> ((s, dir) => graft.operators.ProductQuant.pqBuild(s, dir)),
     "pq_encode"           -> ((s, dir) => graft.operators.ProductQuant.pqEncode(s, dir)),
     "sim_ann_recall"      -> ((s, dir) => Similarity.annRecall(s, dir)),
     "sim_ivf_recall"      -> ((s, dir) => Similarity.ivfRecall(s, dir)),
@@ -515,6 +516,9 @@ object SparkEntry {
     "bpe_merges"          -> ((s, dir) => Bpe.merges(s, dir)),
     "bpe_vocab"           -> ((s, dir) => Bpe.vocab(s, dir)),
     "bpe_encode"          -> ((s, dir) => Bpe.encode(s, dir)),
+    "bpe_token_ids"       -> ((s, dir) => Bpe.tokenIds(s, dir)),
+    "bpe_merges_scaled"   -> ((s, dir) => Bpe.mergesScaled(s, dir)),
+    "pack_from_bpe"       -> ((s, dir) => Bpe.packFromBpe(s, dir)),
     "sql_bpe_merges"      -> ((s, dir) => {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_bpe_merges")
       s.sql("SELECT step, lhs, rhs, pair_count FROM graft_bpe_merges ORDER BY step ASC")
@@ -761,6 +765,7 @@ object SparkEntry {
     "sql_pq_topk"         -> graft.operators.ProductQuant.pqTopKSql,
     "sim_ivfpq_topk"      -> graft.operators.ProductQuant.ivfPqTopKSql,
     "sim_pq_recall"       -> graft.operators.ProductQuant.pqRecallSql,
+    "pq_build"            -> graft.operators.ProductQuant.pqEncodeSql,
     "pq_encode"           -> graft.operators.ProductQuant.pqEncodeSql,
     "sim_ann_recall"      -> Similarity.annRecallSql,
     "sim_ivf_recall"      -> Similarity.ivfRecallSql,
@@ -778,6 +783,9 @@ object SparkEntry {
     "bpe_merges"          -> Bpe.mergesSql(),
     "bpe_vocab"           -> Bpe.vocabSql(),
     "bpe_encode"          -> Bpe.encodeSql(),
+    "bpe_token_ids"       -> Bpe.tokenIdsSql(),
+    "bpe_merges_scaled"   -> Bpe.mergesScaledSql(),
+    "pack_from_bpe"       -> Bpe.packFromBpeSql(),
     "sql_bpe_merges"      -> Bpe.mergesSql(),
     "heavy_tokens"        -> HeavyHitters.heavyTokensSql(),
     "heavy_brands"        -> HeavyHitters.heavyBrandsSql(),

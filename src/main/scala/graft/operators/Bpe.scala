@@ -158,6 +158,177 @@ object Bpe {
       .orderBy(col("doc_id").asc)
   }
 
+  /** (doc_id, n_bpe_tokens, ids): per-document TOKEN-ID SEQUENCES under
+    * the trained tokenizer — the tokenize step's actual shipping
+    * artifact (what [[encode]]'s counts summarize). Symbol ids are
+    * dense 1..V over the trained symbol vocabulary in symbol-ascending
+    * order (a pure function of training, so both engines assign the
+    * identical ids); a document's `ids` is the concatenation of its
+    * words' segmentations in token order.
+    *
+    * Scale shape: the id map is the symbol vocabulary (chars + one
+    * entry per merge — bounded by [[Merges]], a plan literal like the
+    * PQ codebooks); the word→id-array table is vocabulary-sized and
+    * broadcasts; corpus tokens hash-join it carrying only (doc_id,
+    * pos, word) and the per-doc assembly is one sort-by-position
+    * aggregate — the SAME one-scan broadcast-join shape as [[encode]],
+    * now emitting the sequences themselves. */
+  def tokenIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, v) = train(spark, sfDir)
+    val syms = v.select(explode(symsOf(col("seq"))).as("s")).distinct()
+      .orderBy(col("s").asc).collect().map(_.getString(0))
+    val idMap = typedlit(
+      syms.zipWithIndex.map { case (s, i) => s -> (i + 1).toLong }.toMap)
+    val wordIds = broadcast(v.select(col("word"),
+      transform(symsOf(col("seq")), s => element_at(idMap, s)).as("wids")))
+    Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextOps.tokens(col("text"))).as(Seq("pos", "word")))
+      .join(wordIds, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("wids")))),
+        x => x.getField("wids"))).as("ids"))
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_bpe_tokens"),
+        col("ids"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** `sequence_packing` fed END-TO-END from the trained tokenizer:
+    * the greedy concat-and-chunk packer ([[Packing.packCore]]) running
+    * on [[encode]]'s per-doc BPE token counts instead of whitespace
+    * counts — the pipeline a pretraining job actually runs (tokenize,
+    * then pack the TOKENIZED lengths). Inner-join semantics: only
+    * documents with at least one trained-vocabulary word pack (the
+    * same row set [[encode]] emits). Plan shape = one broadcast
+    * hash-join over the one corpus scan, then the sharded packing
+    * window — no new exchange vs either parent. */
+  def packFromBpe(spark: SparkSession, sfDir: String): DataFrame =
+    Packing.packCore(spark,
+      encode(spark, sfDir)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_toks"))
+        .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+          Seq("doc_id")))
+
+  /** [[packFromBpe]]'s oracle: the BPE count replay feeding the
+    * packing replay (same running sums, same chunk boundaries). */
+  def packFromBpeSql(): String =
+    s"""WITH ${trainCte},
+       |toks AS (SELECT doc_id, w AS word FROM (
+       |           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |           FROM documents WHERE text IS NOT NULL) WHERE w <> ''),
+       |wl AS (SELECT word, len(string_split(seq[2:-2], '$M$M')) AS n_syms FROM v$Merges),
+       |bc AS (SELECT t.doc_id, CAST(SUM(wl.n_syms) AS BIGINT) AS n_toks
+       |       FROM toks t JOIN wl ON wl.word = t.word GROUP BY t.doc_id),
+       |d AS (SELECT doc.doc_id, doc.lang, bc.n_toks,
+       |             ${graft.functions.TextOps.hash60Sql("CAST(doc.doc_id AS VARCHAR)")} % ${graft.GraftConf.DefaultPackingShards} AS shard
+       |      FROM documents doc JOIN bc ON bc.doc_id = doc.doc_id),
+       |c AS (SELECT doc_id, lang, shard, n_toks,
+       |             CAST(SUM(n_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id ASC
+       |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+       |      FROM d)
+       |SELECT lang, shard, (cum_toks - n_toks) // ${Packing.SeqBudget} AS seq_id,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(n_toks) AS BIGINT) AS seq_tokens,
+       |       MIN(doc_id) AS first_doc_id
+       |FROM c
+       |GROUP BY lang, shard, seq_id
+       |ORDER BY lang ASC, shard ASC, seq_id ASC""".stripMargin
+
+  // ------------------------------------------------------- scaled training
+
+  /** Merge count for the SCALED trainer — past the unrolled-oracle toy
+    * scale of [[Merges]] (the r13 constraint: the word-state CTE chain
+    * is exponential under default inlining and linear only with
+    * MATERIALIZED hints; 256 materialized steps replay in ~20 s). Real
+    * tokenizers learn 30k-50k merges with exactly this architecture —
+    * the step count changes, the shapes don't. */
+  val ScaledMerges = 256
+
+  /** Word-type cap for the scaled trainer: training consumes the TOP
+    * [[TopWordTypes]] word types by corpus count (ties broken word
+    * asc) — the standard frequency truncation of the word table, and
+    * what makes the trainer's state BOUNDED at any corpus size (the
+    * k-means-centroids discipline: driver state is ≤ 4096 slim rows
+    * however many word types a 100 TB corpus has). */
+  val TopWordTypes = 4096
+
+  /** The merge-learning loop as a DRIVER-side pure function of a
+    * word-count table — the architecture real tokenizer trainers use
+    * (one distributed corpus scan for the counts; the merge loop runs
+    * in memory over the bounded word-type table, e.g. the
+    * SentencePiece/HF-tokenizers shape). Identical semantics to the
+    * distributed [[trainLoop]]: same marked representation, same
+    * overlap-counting pair aggregate (every adjacent index pair),
+    * same (count desc, lhs asc, rhs asc) tiebreak on binary string
+    * order (ASCII here, so Scala's code-unit compare == DuckDB's
+    * byte compare), same leftmost-first non-overlapping replace
+    * (java String.replace == Spark replace == DuckDB replace). The
+    * CoOccurSpec-style equivalence spec pins local == distributed on
+    * the same vocabulary. */
+  private[graft] def trainLoopLocal(wc: Seq[(String, Long)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Seq[(Long, String)] =
+      wc.map { case (w, c) => (c, w.flatMap(ch => s"$M$ch$M")) }
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((cnt, seq) <- vocab) {
+        val syms = seq.substring(1, seq.length - 1).split(s"$M$M")
+        var j = 0
+        while (j < syms.length - 1) {
+          val key = (syms(j), syms(j + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + cnt)
+          j += 1
+        }
+      }
+      // exhaustion (every word a single symbol) STOPS training — an
+      // exact integer condition, so the stop step is deterministic and
+      // the oracle replays it for free: an empty m_i CTE empties every
+      // later v_j/m_j, so the UNION emits exactly steps 1..T on both
+      // engines. (The float-convergence "no data-dependent stopping"
+      // rule doesn't apply — nothing here is approximate.)
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        learned += ((step, a, b, c))
+        vocab = vocab.map { case (cnt, seq) =>
+          (cnt, seq.replace(s"$M$a$M$M$b$M", s"$M$a$b$M"))
+        }
+        step += 1
+      }
+    }
+    learned.result()
+  }
+
+  /** (step, lhs, rhs, pair_count) over [[ScaledMerges]] merges learned
+    * from the `customer.c_name` identifier vocabulary (the fixture's
+    * richest word universe — name vocabulary grows with the corpus, so
+    * the surface is non-vacuous at every scale). One corpus scan (the
+    * word-count aggregate + the bounded top-[[TopWordTypes]]
+    * TakeOrdered), then the driver loop; the oracle replays the
+    * identical capped vocabulary through [[ScaledMerges]] unrolled
+    * MATERIALIZED CTE triples. */
+  def mergesScaled(spark: SparkSession, sfDir: String): DataFrame = {
+    val wc = Tables.customer(spark, sfDir)
+      .where(col("c_name").isNotNull)
+      .select(explode(graft.functions.TextOps.tokens(col("c_name"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(TopWordTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val learned = trainLoopLocal(wc, ScaledMerges)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        learned.map { case (s, a, b, c) => Row(s.toLong, a, b, c) }, 1),
+      StructType(Seq(StructField("step", LongType), StructField("lhs", StringType),
+        StructField("rhs", StringType), StructField("pair_count", LongType))))
+      .orderBy(col("step").asc)
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Training replay: w (word counts), v0 (wrapped chars), then per
@@ -169,13 +340,24 @@ object Bpe {
     * same exponential-inlining shape the k-core oracle hit; m_i is
     * materialized too because [[mergesSql]]'s final UNION references
     * each decision row a second time. */
-  private def trainCte: String = {
+  private def trainCte: String = trainCteFor(
+    """SELECT unnest(string_split(text, ' ')) AS w
+      |       FROM documents WHERE text IS NOT NULL""".stripMargin, Merges, None)
+
+  /** [[trainCte]] parameterized over the word source, merge count, and
+    * an optional top-N word-type cap (ORDER BY cnt DESC, word ASC —
+    * the [[mergesScaled]] trainer's bounded-state rule). */
+  private def trainCteFor(wordsSrcSql: String, nMerges: Int,
+                          topN: Option[Int]): String = {
+    val v0Src = topN match {
+      case Some(n) => s"(SELECT * FROM w ORDER BY cnt DESC, word ASC LIMIT $n)"
+      case None => "w"
+    }
     val head =
       s"""w AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-         |       SELECT unnest(string_split(text, ' ')) AS w
-         |       FROM documents WHERE text IS NOT NULL) WHERE w <> '' GROUP BY w),
-         |v0 AS MATERIALIZED (SELECT word, cnt, regexp_replace(word, '(.)', '$M\\1$M', 'g') AS seq FROM w)""".stripMargin
-    val steps = (1 to Merges).map { i =>
+         |       $wordsSrcSql) WHERE w <> '' GROUP BY w),
+         |v0 AS MATERIALIZED (SELECT word, cnt, regexp_replace(word, '(.)', '$M\\1$M', 'g') AS seq FROM $v0Src)""".stripMargin
+    val steps = (1 to nMerges).map { i =>
       s"""p$i AS (SELECT syms[j] AS a, syms[j + 1] AS b, SUM(cnt) AS c
          |        FROM (SELECT cnt, string_split(seq[2:-2], '$M$M') AS syms FROM v${i - 1}),
          |             unnest(range(1, len(syms))) AS r(j)
@@ -217,4 +399,40 @@ object Bpe {
        |       CAST(SUM(wl.n_syms) AS BIGINT) AS n_bpe_tokens
        |FROM toks t JOIN wl ON wl.word = t.word
        |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin
+
+  /** [[tokenIds]]'s oracle: training replay → symbol ids by
+    * ROW_NUMBER over the symbol-ascending vocabulary → per-word id
+    * arrays in segmentation order → per-doc concatenation in token
+    * order. */
+  def tokenIdsSql(): String =
+    s"""WITH ${trainCte},
+       |sy AS (SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s ASC) AS BIGINT) AS sid
+       |       FROM (SELECT DISTINCT unnest(string_split(seq[2:-2], '$M$M')) AS s FROM v$Merges)),
+       |ws AS (SELECT word, syms[i.i] AS s, i.i AS spos
+       |       FROM (SELECT word, string_split(seq[2:-2], '$M$M') AS syms FROM v$Merges),
+       |            unnest(range(1, len(syms) + 1)) AS i(i)),
+       |wids AS (SELECT ws.word, list(sy.sid ORDER BY ws.spos ASC) AS wids
+       |         FROM ws JOIN sy ON sy.s = ws.s GROUP BY ws.word),
+       |toks AS (SELECT doc_id, i.i AS pos, toks[i.i] AS word
+       |         FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |               FROM documents WHERE text IS NOT NULL),
+       |              unnest(range(1, len(toks) + 1)) AS i(i))
+       |SELECT t.doc_id,
+       |       CAST(len(flatten(list(w.wids ORDER BY t.pos ASC))) AS BIGINT) AS n_bpe_tokens,
+       |       flatten(list(w.wids ORDER BY t.pos ASC)) AS ids
+       |FROM toks t JOIN wids w ON w.word = t.word
+       |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin
+
+  /** [[mergesScaled]]'s oracle: the identical top-[[TopWordTypes]]
+    * capped vocabulary replayed through [[ScaledMerges]] unrolled
+    * MATERIALIZED step triples. */
+  def mergesScaledSql(): String = {
+    val rows = (1 to ScaledMerges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, c AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    val cte = trainCteFor(
+      "SELECT unnest(string_split(c_name, ' ')) AS w FROM customer WHERE c_name IS NOT NULL",
+      ScaledMerges, Some(TopWordTypes))
+    s"WITH $cte\n$rows\nORDER BY step ASC"
+  }
 }

@@ -64,12 +64,24 @@ object CoOccur {
     pairCounts(spark, sfDir)
       .orderBy(col("center").asc, col("context").asc)
 
+  /** The (center, context, cnt) pair-count frame, memoized per
+    * (session, dir) — three surfaces consume it (`skipgram_pairs`,
+    * `skipgram_pmi`, the `graft_skipgrams` view behind
+    * `sql_skipgrams`), and without the memo each rebuilt the corpus
+    * aggregate from scratch (the largest single family cost in the r13
+    * bench, ~20 s for three identical scans at sf0.1). The frame is
+    * vocabulary-bounded (min(n·W, V²) rows) and training-free, so the
+    * memo is exact — the converged-PageRank pattern
+    * ([[GraphRank.pagerank]]) verbatim. */
   private[graft] def pairCounts(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .where(col("text").isNotNull)
-      .select(explode(pairStructs(tokensCol)).as("p"))
-      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
-      .agg(count(lit(1)).as("cnt"))
+    Materialize.memoized(spark,
+        s"skipgram_pairs_${Window}_${Materialize.dirTag(sfDir)}") {
+      Tables.documents(spark, sfDir)
+        .where(col("text").isNotNull)
+        .select(explode(pairStructs(tokensCol)).as("p"))
+        .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+        .agg(count(lit(1)).as("cnt"))
+    }
 
   /** (center, context, cnt, pmi_ratio) for pairs with cnt >=
     * [[PmiMinCount]], ordered by pmi_ratio desc (center, context
@@ -84,7 +96,9 @@ object CoOccur {
     * bounds cnt < ~9.2 * 10^6 for scored pairs; a corpus past that
     * moves the product to decimal(38,0), same plan shape. */
   def skipgramPmi(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = pairCounts(spark, sfDir).localCheckpoint(true)
+    // pairCounts is already a memoized checkpoint — the diamond (three
+    // marginal subtrees) reads the materialized frame directly
+    val pairs = pairCounts(spark, sfDir)
     val centerM = pairs.groupBy(col("center")).agg(sum(col("cnt")).as("c_m"))
     val contextM = pairs.groupBy(col("context")).agg(sum(col("cnt")).as("x_m"))
     val total = pairs.agg(sum(col("cnt")).as("tot"))

@@ -261,9 +261,16 @@ object GraphRank {
   /** (node, deg) of the [[KCoreK]]-core after [[KCoreRounds]] peel
     * rounds over the undirected item graph, node asc. `deg` is the
     * node's degree in the subgraph induced by the final survivor set
-    * (== its core degree, ≥ k, once peeling has converged). */
+    * (== its core degree, ≥ k, once peeling has converged). Memoized
+    * per (session, dir) like [[pagerank]]: the DataFrame surface
+    * (`graph_kcore`) and the `graft_kcore` view (`sql_kcore`) consume
+    * one peeling run instead of re-peeling all [[KCoreRounds]] rounds
+    * each. */
   def kcore(spark: SparkSession, sfDir: String): DataFrame =
-    kcoreOf(itemEdges(spark, sfDir), KCoreK, KCoreRounds)
+    Materialize.memoized(spark,
+        s"kcore_${KCoreK}_${KCoreRounds}_${Materialize.dirTag(sfDir)}") {
+      kcoreOf(itemEdges(spark, sfDir), KCoreK, KCoreRounds)
+    }.orderBy(col("node").asc)
 
   /** Peeling core over any (src, dst, *) edge frame — split out so the
     * round machinery is testable on graphs with known core structure.

@@ -88,19 +88,38 @@ object HeavyHitters {
 
   /** Exact heavy hitters of `items` (single non-null string column
     * named `item`): rows (item, cnt) with cnt·k > n, cnt exact,
-    * ordered cnt desc then item asc. */
-  private[graft] def heavyOf(spark: SparkSession, items: DataFrame, k: Int): DataFrame = {
+    * ordered cnt desc then item asc. Two corpus scans total: the
+    * combined MG-candidates + per-partition-count pass, then the
+    * semi-joined exact recount. `memoKey` identifies the items source
+    * for the pass-1 memo (callers pass surface + dir tag). */
+  private[graft] def heavyOf(spark: SparkSession, items: DataFrame, k: Int,
+                             memoKey: String): DataFrame = {
     import spark.implicits._
     val src = items.select(col("item"))
-    val cands = src.as[String]
-      .mapPartitions(it => mgCandidates(it, k))
-      .toDF("item")
-      .distinct()
+    // pass 1 emits the MG candidates AND the partition's item count in
+    // the same scan (candidates as (item, 0), one (null, n_p) row per
+    // partition), so the grand total n never costs a third corpus
+    // scan. The summary is bounded ≤ (K+1)·P rows and memoized per
+    // (surface, dir) — it is read by two subtrees here (candidates +
+    // total) and by both registration surfaces (`heavy_tokens` /
+    // `sql_heavy_tokens`), so the memo also caps the session at one
+    // checkpoint per surface instead of one per query construction.
+    val summary = Materialize.memoized(spark, s"mg_summary_$memoKey") {
+      src.as[String]
+        .mapPartitions { it =>
+          var np = 0L
+          val counted = it.map { t => np += 1L; t }
+          val cands = mgCandidates(counted, k).toArray
+          cands.iterator.map(c => (c, 0L)) ++ Iterator((null: String, np))
+        }
+        .toDF("item", "np")
+    }
+    val cands = summary.where(col("item").isNotNull).select(col("item")).distinct()
     val counts = src
       .join(broadcast(cands), Seq("item"), "left_semi")
       .groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"))
-    val total = src.agg(count(lit(1)).as("n"))
+    val total = summary.agg(sum(col("np")).as("n"))
     counts.crossJoin(broadcast(total))
       .where(col("cnt") * lit(k.toLong) > col("n"))
       .select(col("item"), col("cnt"))
@@ -113,7 +132,7 @@ object HeavyHitters {
       Tables.documents(spark, sfDir)
         .where(col("text").isNotNull)
         .select(explode(TextOps.tokens(col("text"))).as("item")),
-      HhK)
+      HhK, s"tok_${HhK}_${Materialize.dirTag(sfDir)}")
       .withColumnRenamed("item", "tok")
 
   /** (p_brand, cnt): part brands with exact count > n/[[BrandK]] —
@@ -124,7 +143,7 @@ object HeavyHitters {
       Tables.part(spark, sfDir)
         .where(col("p_brand").isNotNull)
         .select(col("p_brand").as("item")),
-      BrandK)
+      BrandK, s"brand_${BrandK}_${Materialize.dirTag(sfDir)}")
       .withColumnRenamed("item", "p_brand")
 
   /** [[heavyTokens]]'s oracle: the exact vocabulary-shuffle aggregate

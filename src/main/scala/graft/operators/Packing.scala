@@ -34,18 +34,27 @@ object Packing {
     * slim 8-byte-key semi-join before any token work). */
   def packSequences(spark: SparkSession, sfDir: String,
       onlyDocs: Option[DataFrame] = None): DataFrame = {
+    graft.functions.TokenCount.register(spark)
+    val base = onlyDocs.foldLeft(Tables.documents(spark, sfDir)) {
+      (d, ids) => d.join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    }
+    packCore(spark, base.select(col("doc_id"), col("lang"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_toks")))
+  }
+
+  /** The greedy concat-and-chunk core over ANY per-doc token-count
+    * frame (doc_id, lang, n_toks) — shared by the whitespace-count
+    * surface above and the trained-BPE-count surface
+    * ([[Bpe.tokenIds]] → `pack_from_bpe`), so a tokenizer swap changes
+    * ONLY the count column's provenance, never the packing plan. */
+  private[graft] def packCore(spark: SparkSession, counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Shard count is runtime-settable (spark.graft.packing.shards) so a
     // deployment can size window partitions to its executor count; the
     // oracle pins the default, and Verify refuses an override.
     val numShards = graft.GraftConf.packingShards(spark).toLong
-    graft.functions.TokenCount.register(spark)
-    val base = onlyDocs.foldLeft(Tables.documents(spark, sfDir)) {
-      (d, ids) => d.join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    }
-    val docs = base
-      .select(col("doc_id"), col("lang"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
+    val docs = counts
+      .select(col("doc_id"), col("lang"), col("n_toks"),
         (TextOps.hash60(col("doc_id").cast("string")) % numShards).as("shard"))
     val w = Window.partitionBy(col("lang"), col("shard"))
       .orderBy(col("doc_id").asc)

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: training is the MLlib-architecture driver loop
   * (codebooks are PqM·PqK·SubDim = 16,384 longs ≈ 128 KB — plan
-  * literals, never joined), and ALL [[PqM]] subspaces train in ONE
+  * literals, never joined) over the PINNED deterministic vec_id-stride
+  * sample ([[Similarity.TrainSampleFloor]]: ≥ 100·PqK vectors — the
+  * standard codebook-training budget; encode/serving stay
+  * full-corpus), and ALL [[PqM]] subspaces train in ONE
   * pass per iteration: each partition folds its rows into a
   * (subspace, code) → (dim sums, count) map, so an iteration costs
   * one corpus scan regardless of PqM. Serving is map-side only —
@@ -75,19 +78,30 @@ object ProductQuant {
 
   private def pqTrainBuild(spark: SparkSession, sfDir: String)
       : IndexedSeq[IndexedSeq[CentLit]] = {
+    // codebooks train on the pinned vec_id-stride sample
+    // ([[Similarity.TrainSampleFloor]]: ≥ 100·PqK = 25 600 vectors) —
+    // the 2-iteration × 256-candidate kernel pass runs over the sample
+    // however big the corpus is, and the oracle replays the identical
+    // stride. S = 1 (byte-identical to full-corpus training) at every
+    // fixture with n ≤ the floor.
+    val stride = Similarity.trainSampleStride(
+      Similarity.corpusCount(spark, sfDir), PqK)
     val emb = Similarity.corpus(spark, sfDir)
       .select(col("vec_id"), col("q"))
+      .where(pmod(col("vec_id"), lit(stride)) === lit(1L % stride))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // q IS NOT NULL mirrors the SQL replay's e_/c0_ CTEs: a null
-    // embedding among vectors 1..PqK fails the require below loudly
-    // instead of NPE-ing at q.slice (ADVICE r12)
-    val initRows = emb.where(col("vec_id").between(1, PqK) &&
-        col("q").isNotNull)
+    // q IS NOT NULL mirrors the SQL replay's ts_/c0_ CTEs: a null
+    // embedding among the init vectors fails the require below loudly
+    // instead of NPE-ing at q.slice (ADVICE r12). Init = the first
+    // PqK sampled vectors by vec_id (== vectors 1..PqK when S = 1 and
+    // ids are dense, the previous rule).
+    val initRows = emb.where(col("vec_id") >= 1 && col("q").isNotNull)
+      .orderBy(col("vec_id").asc).limit(PqK)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1))
       .sortBy(_._1).toIndexedSeq
     require(initRows.size == PqK,
-      s"PQ init needs vectors 1..$PqK present, got ${initRows.size}")
+      s"PQ init needs $PqK sampled vectors, got ${initRows.size}")
     var books: IndexedSeq[IndexedSeq[CentLit]] =
       IndexedSeq.tabulate(PqM) { s =>
         initRows.map { case (cid, q) =>
@@ -260,6 +274,17 @@ object ProductQuant {
         (0 until PqM).map(i => col(s"c$i")) :+ col("rq_n2"): _*)
       .orderBy(col("vec_id").asc)
 
+  /** The index BUILD as its own registration (`pq_build` — named to
+    * sort before every other PQ-family query, so in an alphabetical
+    * bench sweep it is the one that pays the [[pqIndex]]
+    * materialization and the six serving queries measure warm — the
+    * span-memo billing policy). Output and oracle are [[pqEncode]]'s:
+    * the encode rows ARE the built index's stored representation, so
+    * the build registration is oracle-checked by the same full
+    * training replay. */
+  def pqBuild(spark: SparkSession, sfDir: String): DataFrame =
+    pqEncode(spark, sfDir)
+
   lazy val pqEncodeSql: String = {
     val codeJoins = (1 until PqM)
       .map(s => s"JOIN asg_$s a$s ON a0.vec_id = a$s.vec_id").mkString("\n|")
@@ -303,22 +328,36 @@ object ProductQuant {
   private def dot8Sql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, ${SubDim + 1}), i -> $a[i] * $b[i]))"
 
-  /** Per-subspace training replay: slice → c0 → unrolled iterations →
-    * final assignment → reconstruction rows. Mirrors
-    * `trainedCellsSqlFor`'s correspondence with the driver loop. */
+  /** Tie-pinned argmin code id as a STREAMING AGGREGATE: lexicographic
+    * min over [squared distance, cid] — identical winner to the old
+    * `ROW_NUMBER() OVER (ORDER BY dist ASC, cid ASC) = 1` window, but
+    * the cross join streams through a hash aggregate instead of
+    * materializing and sorting every (vector × candidate) row. With
+    * K=256 candidates × [[PqM]] subspaces the window form's
+    * materialization is exactly what spilled past the box at sf1
+    * (SCALE_CORRECTNESS r13); the aggregate form keeps one row per
+    * vector live. The CAST pins the list element type to BIGINT
+    * (list_sum yields HUGEINT, which would otherwise leak into the
+    * extracted cid and come back float64 through pandas). */
+  private def argminCidSql(distSql: String): String =
+    s"min([CAST($distSql AS BIGINT), c.cid])[2]"
+
+  /** Per-subspace training replay: slice → pinned sample → c0 →
+    * unrolled iterations → final assignment → reconstruction rows.
+    * Mirrors `trainedCellsSqlFor`'s correspondence with the driver
+    * loop: training CTEs (`ts_`/`a_`/`m_`) run over the sampled
+    * vectors, the final `asg_` assignment over the full slice. */
   private def subTrainSql(s: Int): String = {
     val lo = s * SubDim + 1
     val hi = (s + 1) * SubDim
     def iter(i: Int, cIn: String): String =
-      s"""a${i}_$s AS (SELECT e.vec_id, e.q, c.cid,
-         |               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |                                  ORDER BY e.n2 - 2 * ${dot8Sql("e.q", "c.cq")} + c.cn2 ASC,
-         |                                           c.cid ASC) AS rn
-         |        FROM e_$s e, $cIn c),
-         |m${i}_$s AS (SELECT cid, i.range AS pos,
-         |               CAST(round(CAST(SUM(q[i.range]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
-         |        FROM (SELECT cid, q FROM a${i}_$s WHERE rn = 1) t, range(1, ${SubDim + 1}) i
-         |        GROUP BY cid, i.range),
+      s"""a${i}_$s AS (SELECT e.vec_id,
+         |               ${argminCidSql(s"e.n2 - 2 * ${dot8Sql("e.q", "c.cq")} + c.cn2")} AS cid
+         |        FROM ts_$s e, $cIn c GROUP BY e.vec_id),
+         |m${i}_$s AS (SELECT a.cid, i.range AS pos,
+         |               CAST(round(CAST(SUM(t.q[i.range]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+         |        FROM a${i}_$s a JOIN ts_$s t ON a.vec_id = t.vec_id, range(1, ${SubDim + 1}) i
+         |        GROUP BY a.cid, i.range),
          |cm${i}_$s AS (SELECT cid, list(m ORDER BY pos) AS cq FROM m${i}_$s GROUP BY cid),
          |c${i}_$s AS (SELECT c.cid, COALESCE(mm.cq, c.cq) AS cq,
          |               ${dot8Sql("COALESCE(mm.cq, c.cq)", "COALESCE(mm.cq, c.cq)")} AS cn2
@@ -326,18 +365,19 @@ object ProductQuant {
     val iters = (1 to PqIters)
       .map(i => iter(i, if (i == 1) s"c0_$s" else s"c${i - 1}_$s"))
       .mkString(",\n")
-    s"""e_$s AS (SELECT vec_id, q[$lo:$hi] AS q,
+    // e_/ts_ MATERIALIZED: e_$s is read by the sample AND the final
+    // assignment, ts_$s by every iteration's assignment and mean — the
+    // BPE/k-core exponential-inlining lesson applied before it bites
+    s"""e_$s AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q,
        |               ${dot8Sql(s"q[$lo:$hi]", s"q[$lo:$hi]")} AS n2 FROM e
        |          WHERE q IS NOT NULL),
-       |c0_$s AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM e_$s
-       |          WHERE vec_id BETWEEN 1 AND $PqK),
+       |ts_$s AS MATERIALIZED (SELECT t.* FROM e_$s t, psmp WHERE t.vec_id % psmp.s = 1 % psmp.s),
+       |c0_$s AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM ts_$s
+       |          WHERE vec_id >= 1 ORDER BY vec_id ASC LIMIT $PqK),
        |$iters,
-       |asg_$s AS (SELECT vec_id, cid FROM (
-       |             SELECT e.vec_id, c.cid,
-       |                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |                                       ORDER BY e.n2 - 2 * ${dot8Sql("e.q", "c.cq")} + c.cn2 ASC,
-       |                                                c.cid ASC) AS rn
-       |             FROM e_$s e, c${PqIters}_$s c) z WHERE rn = 1),
+       |asg_$s AS (SELECT e.vec_id,
+       |             ${argminCidSql(s"e.n2 - 2 * ${dot8Sql("e.q", "c.cq")} + c.cn2")} AS cid
+       |           FROM e_$s e, c${PqIters}_$s c GROUP BY e.vec_id),
        |r_$s AS (SELECT a.vec_id, c.cq FROM asg_$s a
        |         JOIN c${PqIters}_$s c ON a.cid = c.cid)""".stripMargin
   }
@@ -350,7 +390,11 @@ object ProductQuant {
     val joins = (1 until PqM)
       .map(s => s"JOIN r_$s ON r_0.vec_id = r_$s.vec_id").mkString("\n|")
     val rqConcat = (0 until PqM).map(s => s"r_$s.cq").mkString(" || ")
-    s"""$subs,
+    // psmp = the pinned training-sample stride (pqTrainBuild's
+    // Similarity.trainSampleStride over the same COUNT(*)); shared by
+    // all PqM subspace replays
+    s"""psmp AS (SELECT GREATEST(1, COUNT(*) // GREATEST(${Similarity.TrainSampleFloor}, 100 * $PqK)) AS s FROM e),
+       |$subs,
        |recon AS (SELECT r_0.vec_id, $rqConcat AS rq
        |          FROM r_0
        |$joins)""".stripMargin

@@ -453,6 +453,29 @@ object Similarity {
     * preemption-heavy cluster, set a checkpoint dir and swap in
     * reliable `checkpoint()` — the iteration structure is unchanged.
     */
+  /** Quantizer-training sample floor: k-means codebooks train on a
+    * pinned deterministic sample of ≥ max(this, 100·k) vectors, never
+    * the full corpus — the standard IVF/PQ practice (≈100+ training
+    * points per centroid is the usual guidance, e.g. the FAISS
+    * clustering FAQ); nobody fits a 256-entry codebook on 10¹¹
+    * vectors. 25 600 = 100 × 256 covers the largest codebook in the
+    * library (PQ's K=256), so every training path shares one floor.
+    *
+    * The sample is a modulo stride on `vec_id` ([[trainSampleStride]]):
+    * rows with `vec_id % S == 1 % S`, S = max(1, n / target). Pinned
+    * and engine-replayable (the oracle computes the identical S from
+    * COUNT(*) and filters the identical rows); uniform under GenScale's
+    * block-dense replica ids (ids are consecutive within a replica, so
+    * a stride samples every replica evenly). At fixture scales
+    * (n ≤ 25 600) S = 1 and training is byte-identical to full-corpus
+    * training; the stride engages exactly where full-corpus training
+    * stops being what a deployment would run. */
+  private[graft] val TrainSampleFloor = 25600L
+
+  /** Training-sample stride for a k-centroid quantizer over n rows. */
+  private[graft] def trainSampleStride(n: Long, k: Int): Long =
+    math.max(1L, n / math.max(TrainSampleFloor, 100L * k))
+
   def kmeansCentroids(spark: SparkSession, sfDir: String,
                       k: Int = NumCentroids, iters: Int = 3): DataFrame = {
     // MLlib-architecture training loop: centroids live ON THE DRIVER
@@ -478,9 +501,20 @@ object Similarity {
     // one in-memory map pass, not a parquet scan + quantize) and freed
     // before returning; the returned k-row frame is a LocalRelation —
     // constant plan size and zero lineage into the loop by construction.
+    // training reads the pinned vec_id-stride sample, not the corpus
+    // (see TrainSampleFloor): at 100 TB the per-iteration kernel pass
+    // runs over ~100·k vectors however big the table is, and the
+    // oracle replays the identical stride. S = 1 (the identity) at
+    // every fixture where n ≤ the floor. Init = the first k sampled
+    // vectors by vec_id (== vectors 1..k when S = 1 and ids are
+    // dense, the previous rule); cid = vec_id stays unique and
+    // stable through training.
+    val stride = trainSampleStride(corpusCount(spark, sfDir), k)
     val emb = corpus(spark, sfDir).select(col("vec_id"), col("q"), col("n2"))
+      .where(pmod(col("vec_id"), lit(stride)) === lit(1L % stride))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents: IndexedSeq[CentLit] = emb.where(col("vec_id").between(1, k))
+    var cents: IndexedSeq[CentLit] = emb.where(col("vec_id") >= 1)
+      .orderBy(col("vec_id").asc).limit(k)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
       .collect()
       .map(r => CentLit(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
@@ -834,7 +868,7 @@ object Similarity {
          |               ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |                                  ORDER BY e.n2 - 2 * ${dotQSql("e.q", "c.cq")} + c.cn2 ASC,
          |                                           c.cid ASC) AS rn
-         |        FROM e, $cIn c),
+         |        FROM tr e, $cIn c),
          |m$i AS (SELECT cid, i.range AS pos,
          |               CAST(round(CAST(SUM(q[i.range]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
          |        FROM (SELECT cid, q FROM a$i WHERE rn = 1) t, range(1, ${dims + 1}) i
@@ -847,7 +881,13 @@ object Similarity {
     val iters = (1 to TrainedIters).map(i => iterSql(i, if (i == 1) "c0" else s"c${i - 1}"))
       .mkString(",\n")
     val cent = s"c$TrainedIters"
-    s"""c0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM e WHERE vec_id BETWEEN 1 AND ($kSql)),
+    // smp/tr replay kmeansCentroids' pinned training sample: the same
+    // stride formula over the same COUNT(*), the same modulo filter,
+    // and init = the first k sampled vectors by vec_id. S = 1 at
+    // fixture scales, where tr == e and c0 == the old vec_id 1..k rule.
+    s"""smp AS (SELECT GREATEST(1, (SELECT COUNT(*) FROM e) // GREATEST($TrainSampleFloor, 100 * ($kSql))) AS s),
+       |tr AS (SELECT e.* FROM e, smp WHERE e.vec_id % smp.s = 1 % smp.s),
+       |c0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM tr WHERE vec_id >= 1 ORDER BY vec_id ASC LIMIT ($kSql)),
        |$iters,
        |assigned AS (SELECT e.vec_id, e.label, e.q, e.n2, c.cid,
        |                    ROW_NUMBER() OVER (PARTITION BY e.vec_id

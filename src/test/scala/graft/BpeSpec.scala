@@ -15,23 +15,29 @@ class BpeSpec extends SparkSpec {
   private def refBpe(wc: Map[String, Long], n: Int): (Seq[(Int, String, String, Long)], Map[String, Vector[String]]) = {
     var segs: Map[String, Vector[String]] = wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
     val learned = Seq.newBuilder[(Int, String, String, Long)]
-    for (step <- 1 to n) {
+    var step = 1
+    var exhausted = false
+    while (step <= n && !exhausted) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       for ((w, syms) <- segs; i <- 0 until syms.length - 1) {
         val k = (syms(i), syms(i + 1))
         counts(k) = counts.getOrElse(k, 0L) + wc(w)
       }
-      val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
-      learned += ((step, a, b, c))
-      segs = segs.map { case (w, syms) =>
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-            out += (a + b); i += 2 // leftmost-first, non-overlapping
-          } else { out += syms(i); i += 1 }
+      if (counts.isEmpty) exhausted = true // pinned early stop
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        learned += ((step, a, b, c))
+        segs = segs.map { case (w, syms) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2 // leftmost-first, non-overlapping
+            } else { out += syms(i); i += 1 }
+          }
+          w -> out.result()
         }
-        w -> out.result()
+        step += 1
       }
     }
     (learned.result(), segs)
@@ -78,6 +84,66 @@ class BpeSpec extends SparkSpec {
     val got = Bpe.encode(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expected)
+  }
+
+  test("bpe_token_ids: sequences equal reference segmentation under symbol-asc dense ids") {
+    val wc = fixtureWordCounts()
+    val (_, segs) = refBpe(wc, Bpe.Merges)
+    val symId = segs.values.flatten.toSeq.distinct.sorted
+      .zipWithIndex.map { case (s, i) => s -> (i + 1).toLong }.toMap
+    val docs = Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val expected = docs.map { case (id, ws) =>
+      id -> ws.flatMap(w => segs(w).map(symId)).toSeq
+    }.toMap
+    val got = Bpe.tokenIds(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    assert(got.map(_._1) == got.map(_._1).sorted)
+    for ((id, n, ids) <- got) {
+      assert(ids == expected(id), s"doc $id")
+      assert(n == ids.length.toLong)
+    }
+    assert(got.map(_._1).toSet == expected.keySet)
+  }
+
+  test("trainLoopLocal equals the distributed trainLoop on the fixture vocabulary") {
+    import spark.implicits._
+    val wc = fixtureWordCounts()
+    val (dist, _) = Bpe.trainLoop(wc.toSeq.toDF("word", "cnt"), Bpe.Merges)
+    val local = Bpe.trainLoopLocal(wc.toSeq, Bpe.Merges)
+    assert(local == dist)
+  }
+
+  test("bpe_merges_scaled: 256 rules equal the vector-replay reference over top-capped c_names") {
+    val wc = Tables.customer(spark, sf)
+      .where(col("c_name").isNotNull)
+      .select(col("c_name")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val capped = wc.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(Bpe.TopWordTypes).toMap
+    val (expected, _) = refBpe(capped, Bpe.ScaledMerges)
+    val got = Bpe.mergesScaled(spark, sf).collect()
+      .map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // sf0.001's 150 shared-prefix names exhaust before 256 rules — the
+    // pinned early stop; the reference must land on the same step
+    assert(got == expected && got.length > Bpe.Merges)
+  }
+
+  test("pack_from_bpe round-trips the encode token counts into sequences") {
+    val packed = Bpe.packFromBpe(spark, sf).collect()
+    val encoded = Bpe.encode(spark, sf).collect()
+    assert(packed.map(_.getLong(4)).sum == encoded.map(_.getLong(2)).sum)
+    assert(packed.nonEmpty)
+    // within each (lang, shard), the first doc's first token is always
+    // in chunk 0, and chunk ids are distinct
+    val byCell = packed.groupBy(r => (r.getString(0), r.getLong(1)))
+    for ((_, rows) <- byCell) {
+      val ids = rows.map(_.getLong(2)).toSeq
+      assert(ids.min == 0L && ids.distinct == ids)
+    }
   }
 
   test("merge application is leftmost-first non-overlapping (aaaa/aaa shapes)") {

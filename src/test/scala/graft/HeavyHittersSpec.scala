@@ -89,7 +89,9 @@ class HeavyHittersSpec extends SparkSpec {
     val expected = bruteHeavy(items, 10)
     for (parts <- Seq(1, 3, 16)) {
       val df = items.toDF("item").repartition(parts)
-      val got = HeavyHitters.heavyOf(spark, df, 10).collect()
+      // distinct memo key per partitioning: pass 1 must genuinely
+      // re-run on each layout for the invariance claim to be tested
+      val got = HeavyHitters.heavyOf(spark, df, 10, s"spec_inv_$parts").collect()
         .map(r => (r.getString(0), r.getLong(1))).toMap
       assert(got == expected, s"parts=$parts")
     }
