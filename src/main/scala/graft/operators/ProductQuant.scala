@@ -50,8 +50,8 @@ object ProductQuant {
 
   /** Train all [[PqM]] codebooks in one corpus pass per iteration.
     * Returns codebooks indexed by subspace, each sorted by cid
-    * (cids are exactly 1..PqK — the init vec_ids, stable through
-    * training). */
+    * (cids are exactly 1..PqK — the init vectors' ranks, stable
+    * through training, and positional into the codebook arrays). */
   private[graft] def pqTrain(spark: SparkSession, sfDir: String)
       : IndexedSeq[IndexedSeq[CentLit]] = {
     // memoized like the IVF quantizer (trainedCentroidsK): five
@@ -102,11 +102,16 @@ object ProductQuant {
       .sortBy(_._1).toIndexedSeq
     require(initRows.size == PqK,
       s"PQ init needs $PqK sampled vectors, got ${initRows.size}")
+    // code id = the init vector's RANK (1..PqK), not its vec_id: a PQ
+    // code is a positional index into the codebook (pqReconFromCodes
+    // does element_at(books, code)), and under a stride sample the
+    // init vec_ids are no longer dense. Identical to the old
+    // cid==vec_id rule whenever S = 1 and ids are dense from 1.
     var books: IndexedSeq[IndexedSeq[CentLit]] =
       IndexedSeq.tabulate(PqM) { s =>
-        initRows.map { case (cid, q) =>
+        initRows.zipWithIndex.map { case ((_, q), idx) =>
           val cq = q.slice(s * SubDim, s * SubDim + SubDim)
-          CentLit(cid, cq, cq.map(v => v * v).sum)
+          CentLit(idx + 1L, cq, cq.map(v => v * v).sum)
         }
       }
     val m = PqM
@@ -372,8 +377,9 @@ object ProductQuant {
        |               ${dot8Sql(s"q[$lo:$hi]", s"q[$lo:$hi]")} AS n2 FROM e
        |          WHERE q IS NOT NULL),
        |ts_$s AS MATERIALIZED (SELECT t.* FROM e_$s t, psmp WHERE t.vec_id % psmp.s = 1 % psmp.s),
-       |c0_$s AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM ts_$s
-       |          WHERE vec_id >= 1 ORDER BY vec_id ASC LIMIT $PqK),
+       |c0_$s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS BIGINT) AS cid, q AS cq, n2 AS cn2
+       |          FROM (SELECT vec_id, q, n2 FROM ts_$s
+       |                WHERE vec_id >= 1 ORDER BY vec_id ASC LIMIT $PqK)),
        |$iters,
        |asg_$s AS (SELECT e.vec_id,
        |             ${argminCidSql(s"e.n2 - 2 * ${dot8Sql("e.q", "c.cq")} + c.cn2")} AS cid
