@@ -63,7 +63,7 @@ object Bpe {
   /** (word, cnt) corpus word-frequency table — the single corpus scan
     * of BPE training. */
   private def wordCounts(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Tables.documentsBalanced(spark, sfDir)
       .where(col("text").isNotNull)
       .select(explode(graft.functions.TextOps.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -149,7 +149,7 @@ object Bpe {
   def encode(spark: SparkSession, sfDir: String): DataFrame = {
     val (_, v) = train(spark, sfDir)
     val wordLen = broadcast(v.select(col("word"), size(symsOf(col("seq"))).as("n_syms")))
-    Tables.documents(spark, sfDir)
+    Tables.documentsBalanced(spark, sfDir)
       .where(col("text").isNotNull)
       .select(col("doc_id"), explode(graft.functions.TextOps.tokens(col("text"))).as("word"))
       .join(wordLen, Seq("word"))
@@ -181,7 +181,7 @@ object Bpe {
       syms.zipWithIndex.map { case (s, i) => s -> (i + 1).toLong }.toMap)
     val wordIds = broadcast(v.select(col("word"),
       transform(symsOf(col("seq")), s => element_at(idMap, s)).as("wids")))
-    Tables.documents(spark, sfDir)
+    Tables.documentsBalanced(spark, sfDir)
       .where(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(graft.functions.TextOps.tokens(col("text"))).as(Seq("pos", "word")))

@@ -76,7 +76,7 @@ object CoOccur {
   private[graft] def pairCounts(spark: SparkSession, sfDir: String): DataFrame =
     Materialize.memoized(spark,
         s"skipgram_pairs_${Window}_${Materialize.dirTag(sfDir)}") {
-      Tables.documents(spark, sfDir)
+      Tables.documentsBalanced(spark, sfDir)
         .where(col("text").isNotNull)
         .select(explode(pairStructs(tokensCol)).as("p"))
         .groupBy(col("p.center").as("center"), col("p.context").as("context"))

@@ -59,6 +59,26 @@ object Tables {
     }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+
+  /** [[documents]] rebalanced to the session's parallelism WHEN the
+    * scan plans fewer splits than the cluster has slots — the
+    * `Similarity.corpus` rebalance precedent, for the token-explosion
+    * consumers (skip-gram pair generation, BPE encode) whose per-byte
+    * downstream cost dwarfs a few-MB exchange: at fixture scale the
+    * single-file scan would otherwise run the whole O(len·W)
+    * struct-explosion map stage on ONE core of local[32] (measured:
+    * `skipgram_pairs` ~7 s at sf0.1 on one split). At real scale the
+    * split condition is false (thousands of splits), so no exchange is
+    * ever added. Round-robin redistribution cannot change any
+    * consumer's result: every consumer aggregates with exact integer
+    * arithmetic or sorts deterministically, and the correctness gates
+    * compare as sorted multisets. */
+  def documentsBalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = documents(spark, sfDir)
+    val target = spark.sparkContext.defaultParallelism
+    if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
+  }
+
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
   /** lineitem schema for the pipe-delimited text path (format parity with
