@@ -52,11 +52,15 @@ SLICES = {
         "per-query ranking over probed cells"),
     "pq_encode": (
         "vec_id % 97 = 0",
-        "per-vector code assignment; the slice pushes into the "
-        "assignment join (the part that carries a 64-double embedding "
-        "per candidate row and spilled past the box's disk at sf1 "
-        "under K=256) while the vocabulary-sized training replay "
-        "CTEs run once"),
+        "per-vector code assignment; the slice pushes through the "
+        "GROUP BY vec_id assignment aggregates into the subspace "
+        "scans, and since r14 the training replay runs on the pinned "
+        "25.6k-vector sample, so the sliced oracle is "
+        "sample-training + a 1/97 assignment"),
+    "pq_build": (
+        "vec_id % 97 = 0",
+        "same oracle SQL as pq_encode (the build registration emits "
+        "the encode rows)"),
 }
 
 

@@ -37,6 +37,15 @@ object Similarity {
   val QueryVecId = 0L
   val TopK = 10
 
+  /** Every [[KnnQueryMod]]-th vector is held out as an unlabeled query
+    * for [[knnLabel]]; the rest are the labeled reference corpus.
+    * Declared up here with the other object-initialization-order-
+    * sensitive constants: `trainedCellsSqlFor` interpolates it into
+    * the `assigned` CTE, and strict vals like `ivfTrainedTopKSql`
+    * evaluate that during <clinit> (the `% 0` trap the lazy
+    * `knnCellIndexIncrementalSql` documents). */
+  val KnnQueryMod = 25L
+
   /** Multi-table LSH geometry. Each of [[AnnTables]] independent hash
     * tables packs [[annPlanesFor]]-many hyperplane sign bits into a
     * bucket id; candidates are vectors sharing a bucket in ANY table
@@ -848,10 +857,22 @@ object Similarity {
 
   /** CTE chain `c0 … c<TrainedIters>` replaying [[kmeansCentroids]]
     * (assignment with (dist2, cid) ties, per-dim integer sums,
-    * round-half-away mean, empty-cell keep) plus an `assigned`/`cells`
-    * pair assigning every vector to its trained cell — the shared
-    * oracle prefix of [[ivfTrainedTopKSql]] and [[semanticDedupSql]].
-    * Expects the `e` CTE ([[corpusSql]]) in scope. */
+    * round-half-away mean, empty-cell keep), then `cells` (every
+    * vector's trained cell) and `assigned` (ranked candidate cells FOR
+    * QUERY VECTORS ONLY) — the shared oracle prefix of
+    * [[ivfTrainedTopKSql]] and [[semanticDedupSql]]. `cells` is the
+    * tie-pinned argmin as a streaming AGGREGATE (lexicographic
+    * min([dist2, cid]) == the old per-vector ROW_NUMBER window, with
+    * NULL distances coalesced to int64-max to keep the window's
+    * NULLS-LAST order) — the window form materialized and sorted
+    * (n × k) rows carrying 64-long arrays, which is what spilled the
+    * auto-k sf10 replay past box disk. `assigned` keeps the window
+    * but only over `vec_id % KnnQueryMod = 0` (includes
+    * [[QueryVecId]] since 0 % mod = 0): every consumer reads it at
+    * query vectors with `rn <= NumProbes`, so the restriction is
+    * exactly the rows they can see and the rank within a vec_id
+    * partition is unchanged. Expects the `e` CTE ([[corpusSql]]) in
+    * scope. */
   private[graft] def trainedCellsSql: String = trainedCellsSqlFor(TrainedK.toString)
 
   /** [[trainedCellsSql]] with the cell count as an arbitrary SQL
@@ -862,17 +883,22 @@ object Similarity {
   private def trainedCellsSqlFor(kSql: String): String = {
     val dims = Dims
     // one k-means iteration: cIn -> cOut (CTE names), matching
-    // kmeansCentroids' assignment/update/keep semantics exactly
+    // kmeansCentroids' assignment/update/keep semantics exactly. The
+    // assignment is the tie-pinned argmin as a streaming AGGREGATE
+    // (min([dist2, cid]) over the (sample × centroids) cross) with the
+    // vector re-attached by a slim vec_id join for the mean — the old
+    // per-vector ROW_NUMBER window materialized and sorted every
+    // candidate row CARRYING its 64-long array, which is what pushed
+    // the auto-k (k=448) sf10 replay past box memory. NULL distances
+    // coalesce to int64-max, preserving the window's NULLS-LAST order.
     def iterSql(i: Int, cIn: String): String = {
-      s"""a$i AS (SELECT e.vec_id, e.q, c.cid,
-         |               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |                                  ORDER BY e.n2 - 2 * ${dotQSql("e.q", "c.cq")} + c.cn2 ASC,
-         |                                           c.cid ASC) AS rn
-         |        FROM tr e, $cIn c),
-         |m$i AS (SELECT cid, i.range AS pos,
-         |               CAST(round(CAST(SUM(q[i.range]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
-         |        FROM (SELECT cid, q FROM a$i WHERE rn = 1) t, range(1, ${dims + 1}) i
-         |        GROUP BY cid, i.range),
+      s"""a$i AS (SELECT e.vec_id,
+         |               min([CAST(COALESCE(e.n2 - 2 * ${dotQSql("e.q", "c.cq")} + c.cn2, ${Long.MaxValue}) AS BIGINT), c.cid])[2] AS cid
+         |        FROM tr e, $cIn c GROUP BY e.vec_id),
+         |m$i AS (SELECT a.cid, i.range AS pos,
+         |               CAST(round(CAST(SUM(t.q[i.range]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+         |        FROM a$i a JOIN tr t ON a.vec_id = t.vec_id, range(1, ${dims + 1}) i
+         |        GROUP BY a.cid, i.range),
          |cm$i AS (SELECT cid, list(m ORDER BY pos) AS cq FROM m$i GROUP BY cid),
          |c$i AS (SELECT c.cid, COALESCE(mm.cq, c.cq) AS cq,
          |               ${dotQSql("COALESCE(mm.cq, c.cq)", "COALESCE(mm.cq, c.cq)")} AS cn2
@@ -886,15 +912,20 @@ object Similarity {
     // and init = the first k sampled vectors by vec_id. S = 1 at
     // fixture scales, where tr == e and c0 == the old vec_id 1..k rule.
     s"""smp AS (SELECT GREATEST(1, (SELECT COUNT(*) FROM e) // GREATEST($TrainSampleFloor, 100 * ($kSql))) AS s),
-       |tr AS (SELECT e.* FROM e, smp WHERE e.vec_id % smp.s = 1 % smp.s),
+       |tr AS MATERIALIZED (SELECT e.* FROM e, smp WHERE e.vec_id % smp.s = 1 % smp.s),
        |c0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM tr WHERE vec_id >= 1 ORDER BY vec_id ASC LIMIT ($kSql)),
        |$iters,
+       |asgc AS (SELECT e.vec_id,
+       |                min([CAST(COALESCE(e.n2 - 2 * ${dotQSql("e.q", "c.cq")} + c.cn2, ${Long.MaxValue}) AS BIGINT), c.cid])[2] AS cid
+       |         FROM e, $cent c GROUP BY e.vec_id),
+       |cells AS (SELECT e.vec_id, e.label, e.q, e.n2, a.cid
+       |          FROM e JOIN asgc a ON e.vec_id = a.vec_id),
        |assigned AS (SELECT e.vec_id, e.label, e.q, e.n2, c.cid,
        |                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |                                       ORDER BY e.n2 - 2 * ${dotQSql("e.q", "c.cq")} + c.cn2 ASC,
        |                                                c.cid ASC) AS rn
-       |             FROM e, $cent c),
-       |cells AS (SELECT vec_id, label, q, n2, cid FROM assigned WHERE rn = 1)""".stripMargin
+       |             FROM e, $cent c
+       |             WHERE e.vec_id % $KnnQueryMod = 0)""".stripMargin
   }
 
   val ivfTrainedTopKSql: String =
@@ -998,10 +1029,6 @@ object Similarity {
        |FROM scored
        |GROUP BY cid
        |ORDER BY cid ASC""".stripMargin
-
-  /** Every [[KnnQueryMod]]-th vector is held out as an unlabeled query
-    * for [[knnLabel]]; the rest are the labeled reference corpus. */
-  val KnnQueryMod = 25L
 
   /** Default neighbors consulted per query — runtime-settable via
     * `spark.graft.knn.k` (oracle-pinned at the default, like topK).
