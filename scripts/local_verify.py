@@ -7,9 +7,16 @@ whole point: an un-cast DuckDB HUGEINT (e.g. `SUM(CASE ...)`) comes
 back as a Python int via fetchall (== Spark's int64, silent pass) but
 as float64 via pandas ("5.0" != "5", driver FAIL) — exactly how the r9
 span_dup_rate oracle shipped red despite passing this gate.
+The gate also REJECTS non-scalar (list/ndarray) result cells outright:
+the driver sorts rows via pandas `sort_values`, which cannot factorize
+array cells (TypeError: unhashable type) — r14's `bpe_token_ids` passed
+this gate's Python-native sorted()-tuples compare and then died red at
+the driver. Registered outputs must be pandas-sortable SCALARS; join
+arrays to strings on both sides (array_join / array_to_string).
 Usage: local_verify.py <sfDir> <outDir> [query ...]"""
-import datetime, json, os, sys, math
+import atexit, datetime, json, os, shutil, sys, math
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -32,6 +39,14 @@ def rows_key(rel):
     # float64, BIGINT -> int64, TIMESTAMP -> datetime64. itertuples
     # yields numpy scalars whose repr/str matches what the driver hashes.
     df = rel.df()
+    for c in df.columns:
+        if df[c].dtype == object:
+            bad = df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any()
+            if bad:
+                raise TypeError(
+                    f"column '{c}' holds array cells — the driver's pandas "
+                    f"sort_values cannot factorize these (r14 bpe_token_ids); "
+                    f"emit a joined string instead")
     cols = sorted(df.columns)
     rows = [tuple(norm(v) for v in row)
             for row in df[cols].itertuples(index=False, name=None)]
@@ -55,7 +70,10 @@ def main():
     mem = os.environ.get("DUCKDB_MEMORY")
     if mem:
         con.sql(f"SET memory_limit = '{mem}'")
-        con.sql(f"SET temp_directory = '/tmp/duckdb_spill_{os.getpid()}'")
+        spill = f"/tmp/duckdb_spill_{os.getpid()}"
+        con.sql(f"SET temp_directory = '{spill}'")
+        # pid-suffixed dirs accumulate across sweeps without this
+        atexit.register(shutil.rmtree, spill, ignore_errors=True)
     for t in TABLES:
         # driver fixtures are single files; GenScale output is a
         # directory of part files under <table>.parquet/

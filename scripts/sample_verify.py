@@ -20,7 +20,7 @@ column-sorted) match scripts/local_verify.py == the driver's gate.
 
 Usage: sample_verify.py <sfDir> <outDir> [name ...]
 """
-import datetime, json, math, os, sys
+import atexit, datetime, json, math, os, shutil, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -101,7 +101,9 @@ def main():
     mem = os.environ.get("DUCKDB_MEMORY")
     if mem:
         con.sql(f"SET memory_limit = '{mem}'")
-        con.sql(f"SET temp_directory = '/tmp/duckdb_spill_{os.getpid()}'")
+        spill = f"/tmp/duckdb_spill_{os.getpid()}"
+        con.sql(f"SET temp_directory = '{spill}'")
+        atexit.register(shutil.rmtree, spill, ignore_errors=True)
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):

@@ -102,8 +102,24 @@ object Bench {
       val policy = if (exclude) "excluded-from-headline" else "included-in-headline"
       s"""{"queries":$m,"total":$exactTotal,"policy":${q(policy)}}"""
     }
+    // Build-phase bucket (ADVICE r14): `pq_build` is a deliberate alias
+    // of `pq_encode` registered so alphabetical sweeps bill the pqIndex
+    // materialization to it and the serving queries measure warm. That
+    // double-counts one result set in the registry, so aggregate
+    // cross-round statistics (per-query means, family subtotals) should
+    // read this bucket and exclude it. It stays in the headline total
+    // by default for round-over-round comparability (same policy knob
+    // shape as the exact-baseline bucket).
+    val buildPhase = Set("pq_build")
+    val buildTotal = results.collect {
+      case (k, v) if buildPhase(k) && v >= 0 => v }.sum
+    val buildJson = {
+      val m = results.collect { case (k, v) if buildPhase(k) => q(k) + ":" + v }
+        .mkString("{", ",", "}")
+      s"""{"queries":$m,"total":$buildTotal,"policy":"included-in-headline; exclude from per-query aggregate stats"}"""
+    }
     val conf = confOverrides.map(q).mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"conf":$conf,"exact_baseline":$exactJson,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"conf":$conf,"exact_baseline":$exactJson,"build_phase":$buildJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also persist to the repo: the driver captures the stdout tail,
     // which truncates the per-query map once the registry is this big

@@ -488,6 +488,7 @@ object SparkEntry {
     "sim_ivfpq_topk"      -> ((s, dir) => graft.operators.ProductQuant.ivfPqTopK(s, dir)),
     "sim_pq_recall"       -> ((s, dir) => graft.operators.ProductQuant.pqRecall(s, dir)),
     "pq_build"            -> ((s, dir) => graft.operators.ProductQuant.pqBuild(s, dir)),
+    "pq_codes_small"      -> ((s, dir) => graft.operators.ProductQuant.pqCodesSmall(s, dir)),
     "pq_encode"           -> ((s, dir) => graft.operators.ProductQuant.pqEncode(s, dir)),
     "sim_ann_recall"      -> ((s, dir) => Similarity.annRecall(s, dir)),
     "sim_ivf_recall"      -> ((s, dir) => Similarity.ivfRecall(s, dir)),
@@ -518,6 +519,7 @@ object SparkEntry {
     "bpe_encode"          -> ((s, dir) => Bpe.encode(s, dir)),
     "bpe_token_ids"       -> ((s, dir) => Bpe.tokenIds(s, dir)),
     "bpe_merges_scaled"   -> ((s, dir) => Bpe.mergesScaled(s, dir)),
+    "bpe_encode_scaled"   -> ((s, dir) => Bpe.encodeScaled(s, dir)),
     "pack_from_bpe"       -> ((s, dir) => Bpe.packFromBpe(s, dir)),
     "sql_bpe_merges"      -> ((s, dir) => {
       graft.operators.PipelineViews.ensureOne(s, dir, "graft_bpe_merges")
@@ -766,6 +768,7 @@ object SparkEntry {
     "sim_ivfpq_topk"      -> graft.operators.ProductQuant.ivfPqTopKSql,
     "sim_pq_recall"       -> graft.operators.ProductQuant.pqRecallSql,
     "pq_build"            -> graft.operators.ProductQuant.pqEncodeSql,
+    "pq_codes_small"      -> graft.operators.ProductQuant.pqCodesSmallSql,
     "pq_encode"           -> graft.operators.ProductQuant.pqEncodeSql,
     "sim_ann_recall"      -> Similarity.annRecallSql,
     "sim_ivf_recall"      -> Similarity.ivfRecallSql,
@@ -785,6 +788,7 @@ object SparkEntry {
     "bpe_encode"          -> Bpe.encodeSql(),
     "bpe_token_ids"       -> Bpe.tokenIdsSql(),
     "bpe_merges_scaled"   -> Bpe.mergesScaledSql(),
+    "bpe_encode_scaled"   -> Bpe.encodeScaledSql(),
     "pack_from_bpe"       -> Bpe.packFromBpeSql(),
     "sql_bpe_merges"      -> Bpe.mergesSql(),
     "heavy_tokens"        -> HeavyHitters.heavyTokensSql(),

@@ -61,9 +61,15 @@ object Bpe {
     split(seq.substr(lit(2), length(seq) - 2), s"$M$M")
 
   /** (word, cnt) corpus word-frequency table — the single corpus scan
-    * of BPE training. */
+    * of BPE training. Plain [[Tables.documents]], not the balanced
+    * variant: the very next operator is a groupBy(word) exchange, so a
+    * pre-explode repartition of full document text buys nothing here
+    * (r14 measured it as the `bpe_encode` +0.65 s regression — the
+    * rebalance is scoped to the skip-gram consumer, whose pair
+    * explosion is the one map stage worth parallelizing at fixture
+    * scale; see [[Tables.documentsBalanced]]). */
   private def wordCounts(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documentsBalanced(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .where(col("text").isNotNull)
       .select(explode(graft.functions.TextOps.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -149,7 +155,7 @@ object Bpe {
   def encode(spark: SparkSession, sfDir: String): DataFrame = {
     val (_, v) = train(spark, sfDir)
     val wordLen = broadcast(v.select(col("word"), size(symsOf(col("seq"))).as("n_syms")))
-    Tables.documentsBalanced(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .where(col("text").isNotNull)
       .select(col("doc_id"), explode(graft.functions.TextOps.tokens(col("text"))).as("word"))
       .join(wordLen, Seq("word"))
@@ -172,8 +178,18 @@ object Bpe {
     * broadcasts; corpus tokens hash-join it carrying only (doc_id,
     * pos, word) and the per-doc assembly is one sort-by-position
     * aggregate — the SAME one-scan broadcast-join shape as [[encode]],
-    * now emitting the sequences themselves. */
-  def tokenIds(spark: SparkSession, sfDir: String): DataFrame = {
+    * now emitting the sequences themselves.
+    *
+    * [[tokenIdsFrame]] is the internal API (ids as `array<bigint>`, the
+    * shape a downstream packing/training consumer wants); the
+    * REGISTERED [[tokenIds]] emits `ids` as the space-joined canonical
+    * string, because the round driver's correctness gate sorts result
+    * rows through pandas `sort_values`, which cannot factorize array
+    * cells (the r14 red row: `TypeError: unhashable type:
+    * 'numpy.ndarray'`). Registered outputs must be pandas-sortable
+    * SCALARS; the oracle joins the identical string
+    * (`array_to_string`), so the value check is unchanged. */
+  private[graft] def tokenIdsFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val (_, v) = train(spark, sfDir)
     val syms = v.select(explode(symsOf(col("seq"))).as("s")).distinct()
       .orderBy(col("s").asc).collect().map(_.getString(0))
@@ -181,7 +197,7 @@ object Bpe {
       syms.zipWithIndex.map { case (s, i) => s -> (i + 1).toLong }.toMap)
     val wordIds = broadcast(v.select(col("word"),
       transform(symsOf(col("seq")), s => element_at(idMap, s)).as("wids")))
-    Tables.documentsBalanced(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .where(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(graft.functions.TextOps.tokens(col("text"))).as(Seq("pos", "word")))
@@ -194,6 +210,14 @@ object Bpe {
         col("ids"))
       .orderBy(col("doc_id").asc)
   }
+
+  /** The registered token-ids surface: [[tokenIdsFrame]] with `ids`
+    * canonicalized to a space-joined string (see frame doc). */
+  def tokenIds(spark: SparkSession, sfDir: String): DataFrame =
+    tokenIdsFrame(spark, sfDir)
+      .select(col("doc_id"), col("n_bpe_tokens"),
+        array_join(col("ids"), " ").as("ids"))
+      .orderBy(col("doc_id").asc)
 
   /** `sequence_packing` fed END-TO-END from the trained tokenizer:
     * the greedy concat-and-chunk packer ([[Packing.packCore]]) running
@@ -254,6 +278,18 @@ object Bpe {
     * however many word types a 100 TB corpus has). */
   val TopWordTypes = 4096
 
+  /** UTF-8 byte order for DRIVER-side string comparisons — DuckDB
+    * compares strings as UTF-8 bytes and Spark SQL as UTF8String
+    * binary (the same bytes), but Scala's default `Ordering[String]`
+    * is UTF-16 code-unit order, which diverges for non-BMP code points
+    * (supplementary-plane chars sort via surrogates 0xD800-0xDFFF,
+    * BELOW U+E000..U+FFFF — the opposite of byte order). Every local
+    * tiebreak that must match an engine-side ORDER BY uses this. */
+  private[graft] val utf8Order: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** The merge-learning loop as a DRIVER-side pure function of a
     * word-count table — the architecture real tokenizer trainers use
     * (one distributed corpus scan for the counts; the merge loop runs
@@ -261,22 +297,25 @@ object Bpe {
     * SentencePiece/HF-tokenizers shape). Identical semantics to the
     * distributed [[trainLoop]]: same marked representation, same
     * overlap-counting pair aggregate (every adjacent index pair),
-    * same (count desc, lhs asc, rhs asc) tiebreak on binary string
-    * order (ASCII here, so Scala's code-unit compare == DuckDB's
-    * byte compare), same leftmost-first non-overlapping replace
+    * same (count desc, lhs asc, rhs asc) tiebreak on UTF-8 byte order
+    * ([[utf8Order]] — collation-independent, not Scala's UTF-16
+    * default), same leftmost-first non-overlapping replace
     * (java String.replace == Spark replace == DuckDB replace). The
     * CoOccurSpec-style equivalence spec pins local == distributed on
-    * the same vocabulary. */
-  private[graft] def trainLoopLocal(wc: Seq[(String, Long)],
-      nMerges: Int): Seq[(Int, String, String, Long)] = {
-    var vocab: Seq[(Long, String)] =
-      wc.map { case (w, c) => (c, w.flatMap(ch => s"$M$ch$M")) }
+    * the same vocabulary. Returns the learned rules AND the final
+    * (word, cnt, seq) vocabulary state — the segmentation table the
+    * encode path broadcasts. */
+  private[graft] def trainLoopLocal(wc: Seq[(String, Long)], nMerges: Int)
+      : (Seq[(Int, String, String, Long)], Seq[(String, Long, String)]) = {
+    var vocab: Seq[(String, Long, String)] =
+      wc.map { case (w, c) => (w, c, w.flatMap(ch => s"$M$ch$M")) }
     val learned = Seq.newBuilder[(Int, String, String, Long)]
+    val tieOrd = Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order)
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      for ((cnt, seq) <- vocab) {
+      for ((_, cnt, seq) <- vocab) {
         val syms = seq.substring(1, seq.length - 1).split(s"$M$M")
         var j = 0
         while (j < syms.length - 1) {
@@ -287,21 +326,59 @@ object Bpe {
       }
       // exhaustion (every word a single symbol) STOPS training — an
       // exact integer condition, so the stop step is deterministic and
-      // the oracle replays it for free: an empty m_i CTE empties every
-      // later v_j/m_j, so the UNION emits exactly steps 1..T on both
-      // engines. (The float-convergence "no data-dependent stopping"
-      // rule doesn't apply — nothing here is approximate.)
+      // the oracle replays it for free: an empty m_i CTE leaves every
+      // later v_j at the stop state (the LEFT-JOIN carry-forward in
+      // [[trainCteFor]]) and emits no later merge rows, so the UNION
+      // emits exactly steps 1..T and v_N is the stop vocabulary on
+      // both engines. (The float-convergence "no data-dependent
+      // stopping" rule doesn't apply — nothing here is approximate.)
       if (counts.isEmpty) exhausted = true
       else {
-        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        val ((a, b), c) =
+          counts.minBy { case ((x, y), n) => (-n, x, y) }(tieOrd)
         learned += ((step, a, b, c))
-        vocab = vocab.map { case (cnt, seq) =>
-          (cnt, seq.replace(s"$M$a$M$M$b$M", s"$M$a$b$M"))
+        vocab = vocab.map { case (w, cnt, seq) =>
+          (w, cnt, seq.replace(s"$M$a$M$M$b$M", s"$M$a$b$M"))
         }
         step += 1
       }
     }
-    learned.result()
+    (learned.result(), vocab)
+  }
+
+  /** Scaled trained state, memoized per (session, dir) like [[train]]:
+    * the [[ScaledMerges]] rules (session-conf packed) plus the final
+    * (word, cnt, seq) segmentation frame over the capped vocabulary.
+    * Two surfaces consume one training run ([[mergesScaled]],
+    * [[encodeScaled]]) — without the memo each would re-collect the
+    * word table and re-run the 256-step driver loop. */
+  private def trainScaled(spark: SparkSession, sfDir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val vKey = s"bpe_scaled_${ScaledMerges}_${TopWordTypes}_${Materialize.dirTag(sfDir)}"
+    val mKey = s"spark.graft.bpe.scaledmerges.${Materialize.dirTag(sfDir)}"
+    val vocabDf = Materialize.memoized(spark, vKey) {
+      val wc = Tables.customer(spark, sfDir)
+        .where(col("c_name").isNotNull)
+        .select(explode(graft.functions.TextOps.tokens(col("c_name"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(TopWordTypes)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val (learned, fin) = trainLoopLocal(wc, ScaledMerges)
+      spark.conf.set(mKey, learned
+        .map { case (s, a, b, c) => s"$s\u0001$a\u0001$b\u0001$c" }.mkString("\u0002"))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          fin.map { case (w, c, q) => Row(w, c, q) }, 1),
+        StructType(Seq(StructField("word", StringType),
+          StructField("cnt", LongType), StructField("seq", StringType))))
+    }
+    val packed = spark.conf.get(mKey)
+    val ms = if (packed.isEmpty) Seq.empty
+      else packed.split("\u0002").toSeq.map { r =>
+        val f = r.split("\u0001"); (f(0).toInt, f(1), f(2), f(3).toLong)
+      }
+    (ms, vocabDf)
   }
 
   /** (step, lhs, rhs, pair_count) over [[ScaledMerges]] merges learned
@@ -313,20 +390,37 @@ object Bpe {
     * identical capped vocabulary through [[ScaledMerges]] unrolled
     * MATERIALIZED CTE triples. */
   def mergesScaled(spark: SparkSession, sfDir: String): DataFrame = {
-    val wc = Tables.customer(spark, sfDir)
-      .where(col("c_name").isNotNull)
-      .select(explode(graft.functions.TextOps.tokens(col("c_name"))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("word").asc)
-      .limit(TopWordTypes)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val learned = trainLoopLocal(wc, ScaledMerges)
+    val (learned, _) = trainScaled(spark, sfDir)
     spark.createDataFrame(
       spark.sparkContext.parallelize(
         learned.map { case (s, a, b, c) => Row(s.toLong, a, b, c) }, 1),
       StructType(Seq(StructField("step", LongType), StructField("lhs", StringType),
         StructField("rhs", StringType), StructField("pair_count", LongType))))
       .orderBy(col("step").asc)
+  }
+
+  /** (c_custkey, n_words, n_bpe_tokens): the corpus the scaled trainer
+    * trained on, TOKENIZED BY the scaled trainer — the r14 gap closed
+    * (256 rules were learned but nothing encoded with them; a real
+    * pipeline tokenizes with the big tokenizer it trained). Same
+    * one-scan broadcast-join shape as [[encode]]: the final
+    * word→segmentation table of [[trainScaled]] (≤ [[TopWordTypes]]
+    * rows) broadcasts and corpus words inner-join it — words outside
+    * the capped training vocabulary don't count, the same inner-join
+    * semantics [[encode]] pins. Output is bounded by [[TopWordTypes]]
+    * word types however big the corpus is, which is also what keeps
+    * the 256-step oracle replay corpus-size-independent past its one
+    * word-count scan. */
+  def encodeScaled(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, v) = trainScaled(spark, sfDir)
+    val wordLen = broadcast(v.select(col("word"), size(symsOf(col("seq"))).as("n_syms")))
+    Tables.customer(spark, sfDir)
+      .where(col("c_name").isNotNull)
+      .select(col("c_custkey"), explode(graft.functions.TextOps.tokens(col("c_name"))).as("word"))
+      .join(wordLen, Seq("word"))
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+      .orderBy(col("c_custkey").asc)
   }
 
   // ---------------------------------------------------------------- oracle
@@ -357,6 +451,14 @@ object Bpe {
       s"""w AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
          |       $wordsSrcSql) WHERE w <> '' GROUP BY w),
          |v0 AS MATERIALIZED (SELECT word, cnt, regexp_replace(word, '(.)', '$M\\1$M', 'g') AS seq FROM $v0Src)""".stripMargin
+    // v_i carries FORWARD when m_i is empty (LEFT JOIN ON TRUE + CASE):
+    // under an exhaustion stop at step T < nMerges (possible for the
+    // scaled trainer; impossible for the 12-merge path, which requires
+    // non-exhaustion) the comma-join form would empty every v_{>T} and
+    // an encode oracle reading v_N would see zero rows while the
+    // engine serves the stop-state vocabulary. With the carry-forward,
+    // v_N IS the stop state and the merge UNION still emits exactly
+    // steps 1..T — identical to the driver loop on both counts.
     val steps = (1 to nMerges).map { i =>
       s"""p$i AS (SELECT syms[j] AS a, syms[j + 1] AS b, SUM(cnt) AS c
          |        FROM (SELECT cnt, string_split(seq[2:-2], '$M$M') AS syms FROM v${i - 1}),
@@ -365,9 +467,10 @@ object Bpe {
          |m$i AS MATERIALIZED (SELECT a, b, CAST(c AS BIGINT) AS c FROM p$i
          |        ORDER BY c DESC, a ASC, b ASC LIMIT 1),
          |v$i AS MATERIALIZED (SELECT word, cnt,
-         |               replace(seq, '$M' || m.a || '$M$M' || m.b || '$M',
-         |                            '$M' || m.a || m.b || '$M') AS seq
-         |        FROM v${i - 1}, m$i m)""".stripMargin
+         |               CASE WHEN m.a IS NULL THEN seq
+         |                    ELSE replace(seq, '$M' || m.a || '$M$M' || m.b || '$M',
+         |                                 '$M' || m.a || m.b || '$M') END AS seq
+         |        FROM v${i - 1} LEFT JOIN m$i m ON TRUE)""".stripMargin
     }.mkString(",\n")
     head + ",\n" + steps
   }
@@ -419,7 +522,7 @@ object Bpe {
        |              unnest(range(1, len(toks) + 1)) AS i(i))
        |SELECT t.doc_id,
        |       CAST(len(flatten(list(w.wids ORDER BY t.pos ASC))) AS BIGINT) AS n_bpe_tokens,
-       |       flatten(list(w.wids ORDER BY t.pos ASC)) AS ids
+       |       array_to_string(flatten(list(w.wids ORDER BY t.pos ASC)), ' ') AS ids
        |FROM toks t JOIN wids w ON w.word = t.word
        |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin
 
@@ -434,5 +537,23 @@ object Bpe {
       "SELECT unnest(string_split(c_name, ' ')) AS w FROM customer WHERE c_name IS NOT NULL",
       ScaledMerges, Some(TopWordTypes))
     s"WITH $cte\n$rows\nORDER BY step ASC"
+  }
+
+  /** [[encodeScaled]]'s oracle: the capped-vocab 256-step replay, then
+    * customer name words joined to the replayed final segmentation —
+    * [[encodeSql]]'s shape over the scaled trainer's state. */
+  def encodeScaledSql(): String = {
+    val cte = trainCteFor(
+      "SELECT unnest(string_split(c_name, ' ')) AS w FROM customer WHERE c_name IS NOT NULL",
+      ScaledMerges, Some(TopWordTypes))
+    s"""WITH $cte,
+       |toks AS (SELECT c_custkey, w AS word FROM (
+       |           SELECT c_custkey, unnest(string_split(c_name, ' ')) AS w
+       |           FROM customer WHERE c_name IS NOT NULL) WHERE w <> ''),
+       |wl AS (SELECT word, len(string_split(seq[2:-2], '$M$M')) AS n_syms FROM v$ScaledMerges)
+       |SELECT t.c_custkey, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(wl.n_syms) AS BIGINT) AS n_bpe_tokens
+       |FROM toks t JOIN wl ON wl.word = t.word
+       |GROUP BY t.c_custkey ORDER BY t.c_custkey ASC""".stripMargin
   }
 }

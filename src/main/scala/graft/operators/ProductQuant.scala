@@ -84,39 +84,60 @@ object ProductQuant {
     // however big the corpus is, and the oracle replays the identical
     // stride. S = 1 (byte-identical to full-corpus training) at every
     // fixture with n ≤ the floor.
+    pqTrainOver(pqSample(spark, sfDir), PqM, SubDim, PqK, PqIters)
+  }
+
+  /** The pinned deterministic training sample — shared by the PqK-code
+    * production training and the reduced-geometry [[pqCodesSmall]]
+    * value probe (IDENTICAL row set, so the probe exercises the same
+    * sample plumbing the production books train on). */
+  private def pqSample(spark: SparkSession, sfDir: String): DataFrame = {
     val stride = Similarity.trainSampleStride(
       Similarity.corpusCount(spark, sfDir), PqK)
-    val emb = Similarity.corpus(spark, sfDir)
+    Similarity.corpus(spark, sfDir)
       .select(col("vec_id"), col("q"))
       .where(pmod(col("vec_id"), lit(stride)) === lit(1L % stride))
+  }
+
+  /** The k-means codebook trainer over an arbitrary (vec_id, q) frame
+    * and arbitrary PQ geometry (m subspaces × sub dims, k codes,
+    * iters iterations) — [[pqTrainBuild]] instantiates it at the
+    * production 16×4×256 geometry, [[pqCodesSmall]] at the reduced
+    * 4×16×16 probe geometry. Semantics per the object doc: init = the
+    * first k vectors' slices by vec_id, exact integer argmin with ties
+    * to the smallest code id, BigDecimal HALF_UP means, empty cells
+    * keep their code; all m subspaces train in ONE scan per
+    * iteration. */
+  private[graft] def pqTrainOver(emb0: DataFrame, m: Int, sub: Int,
+      k: Int, iters: Int): IndexedSeq[IndexedSeq[CentLit]] = {
+    require(k < KeyStride, s"codebook size $k must stay below KeyStride $KeyStride")
+    val emb = emb0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // q IS NOT NULL mirrors the SQL replay's ts_/c0_ CTEs: a null
     // embedding among the init vectors fails the require below loudly
     // instead of NPE-ing at q.slice (ADVICE r12). Init = the first
-    // PqK sampled vectors by vec_id (== vectors 1..PqK when S = 1 and
+    // k sampled vectors by vec_id (== vectors 1..k when S = 1 and
     // ids are dense, the previous rule).
     val initRows = emb.where(col("vec_id") >= 1 && col("q").isNotNull)
-      .orderBy(col("vec_id").asc).limit(PqK)
+      .orderBy(col("vec_id").asc).limit(k)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1))
       .sortBy(_._1).toIndexedSeq
-    require(initRows.size == PqK,
-      s"PQ init needs $PqK sampled vectors, got ${initRows.size}")
-    // code id = the init vector's RANK (1..PqK), not its vec_id: a PQ
+    require(initRows.size == k,
+      s"PQ init needs $k sampled vectors, got ${initRows.size}")
+    // code id = the init vector's RANK (1..k), not its vec_id: a PQ
     // code is a positional index into the codebook (pqReconFromCodes
     // does element_at(books, code)), and under a stride sample the
     // init vec_ids are no longer dense. Identical to the old
     // cid==vec_id rule whenever S = 1 and ids are dense from 1.
     var books: IndexedSeq[IndexedSeq[CentLit]] =
-      IndexedSeq.tabulate(PqM) { s =>
+      IndexedSeq.tabulate(m) { s =>
         initRows.zipWithIndex.map { case ((_, q), idx) =>
-          val cq = q.slice(s * SubDim, s * SubDim + SubDim)
+          val cq = q.slice(s * sub, s * sub + sub)
           CentLit(idx + 1L, cq, cq.map(v => v * v).sum)
         }
       }
-    val m = PqM
-    val sub = SubDim
-    for (_ <- 1 to PqIters) {
+    for (_ <- 1 to iters) {
       val cidCols = (0 until m).map { s =>
         val sl = slice(col("q"), s * sub + 1, sub)
         Similarity.nearestCid(typedlit(books(s)), sl,
@@ -253,19 +274,22 @@ object ProductQuant {
   /** Per-subspace code-id columns over a frame carrying a quantized
     * `q` column — shared by the batch encoder, the serving scorers,
     * and the streaming encoder (identical expressions → identical
-    * codes). */
+    * codes). Geometry (m, sub) is read off the books themselves so the
+    * same expressions serve the production and probe geometries. */
   private[graft] def pqCodeCols(
-      books: IndexedSeq[IndexedSeq[CentLit]]): IndexedSeq[Column] =
-    (0 until PqM).map { s =>
-      val sl = slice(col("q"), s * SubDim + 1, SubDim)
+      books: IndexedSeq[IndexedSeq[CentLit]]): IndexedSeq[Column] = {
+    val sub = books.head.head.cq.length
+    books.indices.map { s =>
+      val sl = slice(col("q"), s * sub + 1, sub)
       Similarity.nearestCid(typedlit(books(s)), sl, Similarity.dotQ(sl, sl))
     }
+  }
 
-  /** Reconstruction column from precomputed code columns c0..c7. */
+  /** Reconstruction column from precomputed code columns c0..c{m-1}. */
   private[graft] def pqReconFromCodes(
       books: IndexedSeq[IndexedSeq[CentLit]]): Column = {
     val codeArrs = books.map(_.sortBy(_.cid).map(_.cq))
-    concat((0 until PqM).map(s =>
+    concat(books.indices.map(s =>
       element_at(typedlit(codeArrs(s)), col(s"c$s").cast("int"))): _*)
   }
 
@@ -289,6 +313,61 @@ object ProductQuant {
     * training replay. */
   def pqBuild(spark: SparkSession, sfDir: String): DataFrame =
     pqEncode(spark, sfDir)
+
+  // -------------------------------------------- reduced-geometry value probe
+
+  /** Probe geometry: 4 subspaces × 16 dims × 16 codes. The production
+    * replay (16 subspaces × 256 codes over the full corpus) is the one
+    * oracle DuckDB cannot finish at sf10 (130 GB RSS even row-sliced —
+    * SCALE_r14_sf10_verify.txt), leaving the PQ family's sf10 evidence
+    * cost-adjudicated instead of value-matched. The probe collapses
+    * that cost on BOTH axes: 16 candidates per argmin instead of 256,
+    * and training + encode restricted to the pinned sample (row count
+    * bounded by [[Similarity.TrainSampleFloor]]·stride-rounding at ANY
+    * corpus size), while exercising the identical machinery — quantize,
+    * stride sample, rank-cid init, tie-pinned integer argmin, HALF_UP
+    * means, empty-cell carry, reconstruction norms. A value-level PASS
+    * here at sf10 is the missing hash-match evidence for the family. */
+  val SmallM = 4
+  val SmallSub = 16 // SmallM * SmallSub == Similarity.Dims
+  val SmallK = 16
+  val SmallIters = 2
+
+  private def pqSmallBooks(spark: SparkSession, sfDir: String)
+      : IndexedSeq[IndexedSeq[CentLit]] = {
+    val memo = Materialize.memoized(spark,
+        s"pq_small_books_${SmallK}_${SmallIters}_${Materialize.dirTag(sfDir)}") {
+      val books = pqTrainOver(pqSample(spark, sfDir),
+        SmallM, SmallSub, SmallK, SmallIters)
+      spark.createDataFrame(
+        for { (b, s) <- books.zipWithIndex; c <- b }
+          yield (s, c.cid, c.cq, c.cn2))
+        .toDF("s", "cid", "cq", "cn2")
+    }
+    val rows = memo.collect()
+    IndexedSeq.tabulate(SmallM) { s =>
+      rows.filter(_.getInt(0) == s)
+        .map(r => CentLit(r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
+        .sortBy(_.cid).toIndexedSeq
+    }
+  }
+
+  /** (vec_id, c0..c3, rq_n2) over the pinned sample at the probe
+    * geometry — training AND encode are sample-bounded, so the full
+    * DuckDB training replay stays cheap at every scale factor. */
+  def pqCodesSmall(spark: SparkSession, sfDir: String): DataFrame = {
+    val books = pqSmallBooks(spark, sfDir)
+    val codes = pqCodeCols(books)
+    pqSample(spark, sfDir)
+      .where(col("q").isNotNull)
+      .select(col("vec_id") +:
+        codes.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
+      .withColumn("rq", pqReconFromCodes(books))
+      .select(col("vec_id") +:
+        (0 until SmallM).map(i => col(s"c$i")) :+
+        Similarity.dotQ(col("rq"), col("rq")).as("rq_n2"): _*)
+      .orderBy(col("vec_id").asc)
+  }
 
   lazy val pqEncodeSql: String = {
     val codeJoins = (1 until PqM)
@@ -330,8 +409,10 @@ object ProductQuant {
   lazy val pqRecallSql: String =
     Similarity.recallSqlOf(pqTopKSql, "pq_cos")
 
-  private def dot8Sql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, ${SubDim + 1}), i -> $a[i] * $b[i]))"
+  private def dotNSql(n: Int, a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i]))"
+
+  private def dot8Sql(a: String, b: String): String = dotNSql(SubDim, a, b)
 
   /** Tie-pinned argmin code id as a STREAMING AGGREGATE: lexicographic
     * min over [squared distance, cid] — identical winner to the old
@@ -404,6 +485,64 @@ object ProductQuant {
        |recon AS (SELECT r_0.vec_id, $rqConcat AS rq
        |          FROM r_0
        |$joins)""".stripMargin
+  }
+
+  /** [[pqCodesSmall]]'s oracle: the probe-geometry training replay —
+    * [[subTrainSql]]'s structure at (m=[[SmallM]], sub=[[SmallSub]],
+    * k=[[SmallK]]) with the training set = the pinned sample itself
+    * (es), so every CTE is sample-bounded. psmp is copied verbatim from
+    * the production replay: the probe samples with the SAME stride. */
+  lazy val pqCodesSmallSql: String = {
+    def subSmall(s: Int): String = {
+      val lo = s * SmallSub + 1
+      val hi = (s + 1) * SmallSub
+      def iter(i: Int, cIn: String): String =
+        s"""a${i}_$s AS (SELECT e.vec_id,
+           |               ${argminCidSql(s"e.n2 - 2 * ${dotNSql(SmallSub, "e.q", "c.cq")} + c.cn2")} AS cid
+           |        FROM e_$s e, $cIn c GROUP BY e.vec_id),
+           |m${i}_$s AS (SELECT a.cid, i.range AS pos,
+           |               CAST(round(CAST(SUM(t.q[i.range]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+           |        FROM a${i}_$s a JOIN e_$s t ON a.vec_id = t.vec_id, range(1, ${SmallSub + 1}) i
+           |        GROUP BY a.cid, i.range),
+           |cm${i}_$s AS (SELECT cid, list(m ORDER BY pos) AS cq FROM m${i}_$s GROUP BY cid),
+           |c${i}_$s AS (SELECT c.cid, COALESCE(mm.cq, c.cq) AS cq,
+           |               ${dotNSql(SmallSub, "COALESCE(mm.cq, c.cq)", "COALESCE(mm.cq, c.cq)")} AS cn2
+           |        FROM $cIn c LEFT JOIN cm${i}_$s mm ON c.cid = mm.cid)""".stripMargin
+      val iters = (1 to SmallIters)
+        .map(i => iter(i, if (i == 1) s"c0_$s" else s"c${i - 1}_$s"))
+        .mkString(",\n")
+      s"""e_$s AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q,
+         |               ${dotNSql(SmallSub, s"q[$lo:$hi]", s"q[$lo:$hi]")} AS n2 FROM es),
+         |c0_$s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS BIGINT) AS cid, q AS cq, n2 AS cn2
+         |          FROM (SELECT vec_id, q, n2 FROM e_$s
+         |                WHERE vec_id >= 1 ORDER BY vec_id ASC LIMIT $SmallK)),
+         |$iters,
+         |asg_$s AS (SELECT e.vec_id,
+         |             ${argminCidSql(s"e.n2 - 2 * ${dotNSql(SmallSub, "e.q", "c.cq")} + c.cn2")} AS cid
+         |           FROM e_$s e, c${SmallIters}_$s c GROUP BY e.vec_id),
+         |r_$s AS (SELECT a.vec_id, c.cq FROM asg_$s a
+         |         JOIN c${SmallIters}_$s c ON a.cid = c.cid)""".stripMargin
+    }
+    val subs = (0 until SmallM).map(subSmall).mkString(",\n")
+    val joins = (1 until SmallM)
+      .map(s => s"JOIN r_$s ON r_0.vec_id = r_$s.vec_id").mkString("\n|")
+    val rqConcat = (0 until SmallM).map(s => s"r_$s.cq").mkString(" || ")
+    val codeJoins = (1 until SmallM)
+      .map(s => s"JOIN asg_$s a$s ON a0.vec_id = a$s.vec_id").mkString("\n|")
+    val codeCols = (0 until SmallM).map(s => s"a$s.cid AS c$s").mkString(", ")
+    s"""WITH ${Similarity.corpusSql},
+       |psmp AS (SELECT GREATEST(1, COUNT(*) // GREATEST(${Similarity.TrainSampleFloor}, 100 * $PqK)) AS s FROM e),
+       |es AS MATERIALIZED (SELECT e.vec_id, e.q FROM e, psmp WHERE e.vec_id % psmp.s = 1 % psmp.s AND e.q IS NOT NULL),
+       |$subs,
+       |recon AS (SELECT r_0.vec_id, $rqConcat AS rq
+       |          FROM r_0
+       |$joins)
+       |SELECT a0.vec_id, $codeCols,
+       |       CAST(${Similarity.dotQSql("recon.rq", "recon.rq")} AS BIGINT) AS rq_n2
+       |FROM asg_0 a0
+       |$codeJoins
+       |JOIN recon ON a0.vec_id = recon.vec_id
+       |ORDER BY a0.vec_id ASC""".stripMargin
   }
 
   private def pqCosSql: String =

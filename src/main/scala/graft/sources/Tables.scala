@@ -62,21 +62,32 @@ object Tables {
 
   /** [[documents]] rebalanced to the session's parallelism WHEN the
     * scan plans fewer splits than the cluster has slots — the
-    * `Similarity.corpus` rebalance precedent, for the token-explosion
-    * consumers (skip-gram pair generation, BPE encode) whose per-byte
-    * downstream cost dwarfs a few-MB exchange: at fixture scale the
-    * single-file scan would otherwise run the whole O(len·W)
-    * struct-explosion map stage on ONE core of local[32] (measured:
-    * `skipgram_pairs` ~7 s at sf0.1 on one split). At real scale the
-    * split condition is false (thousands of splits), so no exchange is
-    * ever added. Round-robin redistribution cannot change any
-    * consumer's result: every consumer aggregates with exact integer
-    * arithmetic or sorts deterministically, and the correctness gates
-    * compare as sorted multisets. */
+    * `Similarity.corpus` rebalance precedent, scoped (r15) to the
+    * SKIP-GRAM consumer only: its O(len·W) pair struct-explosion is
+    * the one map stage whose per-byte cost dwarfs the exchange at ANY
+    * fixture size (measured: `skipgram_pairs` 7.2 → 1.26 s at sf0.1 on
+    * a 780 KB table), which is why — unlike `Similarity.corpus` — there
+    * is deliberately NO minimum-bytes gate here. The BPE consumers
+    * moved back to the plain scan (their next operator is a shuffle
+    * anyway; the r14 unconditional use cost `bpe_encode` +0.65 s
+    * shipping full text). At real scale the split condition is false
+    * (thousands of splits), so no exchange is ever added. Round-robin
+    * redistribution cannot change any consumer's result: every consumer
+    * aggregates with exact integer arithmetic or sorts
+    * deterministically, and the correctness gates compare as sorted
+    * multisets. The split-count probe forces physical planning of the
+    * scan (an RDD conversion), so it is memoized per (session, dir)
+    * like `Similarity.embedBytes`. */
   def documentsBalanced(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = documents(spark, sfDir)
     val target = spark.sparkContext.defaultParallelism
-    if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
+    val memoKey = s"spark.graft.internal.docSplits:$sfDir"
+    val splits = spark.conf.getOption(memoKey).map(_.toInt).getOrElse {
+      val n = raw.rdd.getNumPartitions
+      spark.conf.set(memoKey, n.toString)
+      n
+    }
+    if (splits < target) raw.repartition(target) else raw
   }
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

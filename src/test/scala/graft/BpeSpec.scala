@@ -98,7 +98,7 @@ class BpeSpec extends SparkSpec {
     val expected = docs.map { case (id, ws) =>
       id -> ws.flatMap(w => segs(w).map(symId)).toSeq
     }.toMap
-    val got = Bpe.tokenIds(spark, sf).collect()
+    val got = Bpe.tokenIdsFrame(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
     assert(got.map(_._1) == got.map(_._1).sorted)
     for ((id, n, ids) <- got) {
@@ -106,14 +106,23 @@ class BpeSpec extends SparkSpec {
       assert(n == ids.length.toLong)
     }
     assert(got.map(_._1).toSet == expected.keySet)
+    // the REGISTERED surface canonicalizes ids to a space-joined string
+    // (driver-gate shape: pandas-sortable scalar columns only)
+    val reg = Bpe.tokenIds(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    for ((id, n, ids) <- got) assert(reg(id) == ids.mkString(" "))
   }
 
   test("trainLoopLocal equals the distributed trainLoop on the fixture vocabulary") {
     import spark.implicits._
     val wc = fixtureWordCounts()
-    val (dist, _) = Bpe.trainLoop(wc.toSeq.toDF("word", "cnt"), Bpe.Merges)
-    val local = Bpe.trainLoopLocal(wc.toSeq, Bpe.Merges)
+    val (dist, distV) = Bpe.trainLoop(wc.toSeq.toDF("word", "cnt"), Bpe.Merges)
+    val (local, localV) = Bpe.trainLoopLocal(wc.toSeq, Bpe.Merges)
     assert(local == dist)
+    // final segmentation states agree too (the encode-serving table)
+    val distSegs = distV.collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(localV.map { case (w, _, q) => w -> q }.toMap == distSegs)
   }
 
   test("bpe_merges_scaled: 256 rules equal the vector-replay reference over top-capped c_names") {
@@ -130,6 +139,29 @@ class BpeSpec extends SparkSpec {
     // sf0.001's 150 shared-prefix names exhaust before 256 rules — the
     // pinned early stop; the reference must land on the same step
     assert(got == expected && got.length > Bpe.Merges)
+  }
+
+  test("bpe_encode_scaled: counts equal reference retokenization under the capped scaled vocab") {
+    val wc = Tables.customer(spark, sf)
+      .where(col("c_name").isNotNull)
+      .select(col("c_name")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val capped = wc.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(Bpe.TopWordTypes).toMap
+    val (_, segs) = refBpe(capped, Bpe.ScaledMerges)
+    val custs = Tables.customer(spark, sf)
+      .where(col("c_name").isNotNull)
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val expected = custs.flatMap { case (k, ws) =>
+      val inVocab = ws.filter(segs.contains)
+      if (inVocab.isEmpty) None // inner-join semantics: untrained words drop
+      else Some((k, inVocab.length.toLong, inVocab.map(w => segs(w).length.toLong).sum))
+    }.sortBy(_._1).toSeq
+    val got = Bpe.encodeScaled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected && got.nonEmpty)
   }
 
   test("pack_from_bpe round-trips the encode token counts into sequences") {

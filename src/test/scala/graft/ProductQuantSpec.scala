@@ -24,12 +24,16 @@ class ProductQuantSpec extends SparkSpec {
   private def dot(a: Seq[Long], b: Seq[Long]): Long =
     a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
 
-  /** Replay of pqTrain: returns codebooks (cid → 8-dim code). */
-  private def trainLocal(corpus: IndexedSeq[(Long, Any, IndexedSeq[Long])])
+  /** Replay of pqTrainOver at an arbitrary geometry: returns codebooks
+    * (cid → sub-dim code). cids are init RANKS (1..k), matching the
+    * engine's rank-cid rule. */
+  private def trainLocalAt(corpus: IndexedSeq[(Long, Any, IndexedSeq[Long])],
+      m: Int, sub: Int, k: Int, iters: Int)
       : IndexedSeq[IndexedSeq[(Long, IndexedSeq[Long])]] = {
-    var books = IndexedSeq.tabulate(PqM) { s =>
-      corpus.filter(c => c._1 >= 1 && c._1 <= PqK).sortBy(_._1).map { c =>
-        c._1 -> c._3.slice(s * SubDim, s * SubDim + SubDim)
+    val init = corpus.filter(_._1 >= 1).sortBy(_._1).take(k)
+    var books = IndexedSeq.tabulate(m) { s =>
+      init.zipWithIndex.map { case (c, idx) =>
+        (idx + 1L) -> c._3.slice(s * sub, s * sub + sub)
       }
     }
     def assign(book: Seq[(Long, IndexedSeq[Long])], q: Seq[Long]): Long = {
@@ -38,15 +42,15 @@ class ProductQuantSpec extends SparkSpec {
         (n2 - 2 * dot(q, cq) + dot(cq, cq), cid)
       }.min._2
     }
-    for (_ <- 1 to PqIters) {
+    for (_ <- 1 to iters) {
       books = books.zipWithIndex.map { case (book, s) =>
         val groups = corpus.groupBy(c =>
-          assign(book, c._3.slice(s * SubDim, s * SubDim + SubDim)))
+          assign(book, c._3.slice(s * sub, s * sub + sub)))
         book.map { case (cid, cq) =>
           groups.get(cid) match {
             case Some(g) if g.nonEmpty =>
-              val mq = IndexedSeq.tabulate(SubDim) { j =>
-                val sum = g.map(_._3(s * SubDim + j)).sum
+              val mq = IndexedSeq.tabulate(sub) { j =>
+                val sum = g.map(_._3(s * sub + j)).sum
                 java.math.BigDecimal.valueOf(sum.toDouble / g.size)
                   .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
               }
@@ -58,6 +62,10 @@ class ProductQuantSpec extends SparkSpec {
     }
     books
   }
+
+  private def trainLocal(corpus: IndexedSeq[(Long, Any, IndexedSeq[Long])])
+      : IndexedSeq[IndexedSeq[(Long, IndexedSeq[Long])]] =
+    trainLocalAt(corpus, PqM, SubDim, PqK, PqIters)
 
   test("pq training matches the driver-side replay code for code") {
     val books = ProductQuant.pqTrain(spark, sf)
@@ -122,6 +130,32 @@ class ProductQuantSpec extends SparkSpec {
     // strictly fewer candidates than the corpus are eligible (probed
     // cells prune), yet the serving contract still returns TopK rows
     assert(rows.length == Similarity.TopK)
+  }
+
+  test("pq_codes_small: probe-geometry codes and norms match the local replay") {
+    import ProductQuant.{SmallIters, SmallK, SmallM, SmallSub}
+    val corpus = corpusLocal()
+    // fixture scale: stride = 1, so the pinned sample IS the corpus
+    assert(Similarity.trainSampleStride(corpus.length.toLong, ProductQuant.PqK) == 1L)
+    val local = trainLocalAt(corpus, SmallM, SmallSub, SmallK, SmallIters)
+    def assign(book: Seq[(Long, IndexedSeq[Long])], q: Seq[Long]): Long = {
+      val n2 = dot(q, q)
+      book.map { case (cid, cq) => (n2 - 2 * dot(q, cq) + dot(cq, cq), cid) }.min._2
+    }
+    val expected = corpus.map { c =>
+      val codes = (0 until SmallM).map { s =>
+        assign(local(s), c._3.slice(s * SmallSub, s * SmallSub + SmallSub))
+      }
+      val rq = codes.zipWithIndex.flatMap { case (cid, s) =>
+        local(s).find(_._1 == cid).get._2
+      }
+      (c._1, codes, dot(rq, rq))
+    }.sortBy(_._1)
+    val got = ProductQuant.pqCodesSmall(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        (0 until SmallM).map(i => r.getLong(1 + i)),
+        r.getLong(1 + SmallM))).toIndexedSeq
+    assert(got == expected && got.nonEmpty)
   }
 
   test("streaming pq encoder emits the batch encoder's codes exactly") {
