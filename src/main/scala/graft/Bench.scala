@@ -31,6 +31,26 @@ object Bench {
           Some(k.trim + "=" + v.trim)
         }
       }
+    // Box-speed control (r15): inter-round bench totals have repeatedly
+    // drifted with HOST state, not code — r14 adjudicated a +26% drift
+    // by rebuilding r12's code (130.2 s on queries it recorded at
+    // 103.4 s), and r15 measured the same box at 0.69 vs 1.51 s on an
+    // identical single-core loop minutes apart. Every bench run now
+    // self-records a deterministic single-core integer probe (xorshift,
+    // JIT-warmed, 500M steps) before, between, and after the query
+    // passes, so cross-round totals can be normalized by recorded box
+    // speed instead of a code-rebuild control experiment per round.
+    def cpuProbe(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 500000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (x == 0L) System.err.println("probe") // keep the loop live
+      dt
+    }
+    cpuProbe() // discarded JIT warmup
+    val probeBefore = cpuProbe()
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -52,11 +72,13 @@ object Bench {
     // the memoized checkpoint frames, which clearCache cannot see)
     spark.catalog.clearCache()
     graft.operators.Materialize.reset(spark)
+    val probeMid = cpuProbe()
     val results = names.map { n =>
       val t2 = timeOnce(SparkEntry.queries(n))
       val t1 = pass1(n)
       n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
+    val probeAfter = cpuProbe()
     // JSON string escape (same contract as Verify's q()): conf override
     // VALUES are user-supplied and may contain quotes/backslashes that
     // would otherwise emit invalid JSON; query names are identifiers
@@ -119,7 +141,9 @@ object Bench {
       s"""{"queries":$m,"total":$buildTotal,"policy":"included-in-headline; exclude from per-query aggregate stats"}"""
     }
     val conf = confOverrides.map(q).mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"conf":$conf,"exact_baseline":$exactJson,"build_phase":$buildJson,"queries":$qs,"sf":"$sfDir"}"""
+    val probeJson =
+      s"""{"before":$probeBefore,"mid":$probeMid,"after":$probeAfter,"unit":"sec per 500M xorshift steps, single core"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"conf":$conf,"cpu_probe":$probeJson,"exact_baseline":$exactJson,"build_phase":$buildJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also persist to the repo: the driver captures the stdout tail,
     // which truncates the per-query map once the registry is this big
