@@ -518,6 +518,7 @@ object SparkEntry {
     "bpe_vocab"           -> ((s, dir) => Bpe.vocab(s, dir)),
     "bpe_encode"          -> ((s, dir) => Bpe.encode(s, dir)),
     "bpe_token_ids"       -> ((s, dir) => Bpe.tokenIds(s, dir)),
+    "bpe_decode"          -> ((s, dir) => Bpe.decode(s, dir)),
     "bpe_merges_scaled"   -> ((s, dir) => Bpe.mergesScaled(s, dir)),
     "bpe_encode_scaled"   -> ((s, dir) => Bpe.encodeScaled(s, dir)),
     "pack_from_bpe"       -> ((s, dir) => Bpe.packFromBpe(s, dir)),
@@ -787,6 +788,7 @@ object SparkEntry {
     "bpe_vocab"           -> Bpe.vocabSql(),
     "bpe_encode"          -> Bpe.encodeSql(),
     "bpe_token_ids"       -> Bpe.tokenIdsSql(),
+    "bpe_decode"          -> Bpe.decodeSql(),
     "bpe_merges_scaled"   -> Bpe.mergesScaledSql(),
     "bpe_encode_scaled"   -> Bpe.encodeScaledSql(),
     "pack_from_bpe"       -> Bpe.packFromBpeSql(),

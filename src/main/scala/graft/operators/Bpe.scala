@@ -219,6 +219,51 @@ object Bpe {
         array_join(col("ids"), " ").as("ids"))
       .orderBy(col("doc_id").asc)
 
+  /** Detokenization — the inverse of [[tokenIds]]: map every id back
+    * to its symbol through the inverted plan-literal id map
+    * (element_at over the symbol array, ids are 1-based by
+    * construction) and re-concatenate per document in token order.
+    *
+    * Registered as a ROUND-TRIP integrity surface: a word's
+    * segmentation concatenates back to the word itself (merges only
+    * ever concatenate a word's own characters), so
+    * decode(tokenIds(doc)) must equal the document's tokens
+    * concatenated in order. That makes the ORACLE the identity — one
+    * scan of `documents`, NO training replay — constant-cost at any
+    * corpus size, while the engine side runs the full trained
+    * pipeline (train → segmentation → dense id assignment → inverse
+    * map → ordered per-doc reassembly). Any id collision, dropped or
+    * misordered symbol, or segmentation defect breaks the equality
+    * differentially against an independent one-line recomputation.
+    *
+    * Scale shape: [[tokenIdsFrame]]'s plan (one corpus scan, one
+    * broadcast join, one sort-by-position aggregate) plus one
+    * map-side transform over a vocabulary-bounded symbol-array plan
+    * literal — no new exchange, no new scan. */
+  def decode(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, v) = train(spark, sfDir)
+    val syms = v.select(explode(symsOf(col("seq"))).as("s")).distinct()
+      .orderBy(col("s").asc).collect().map(_.getString(0))
+    val symArr = typedlit(syms.toSeq) // index i holds the symbol with id i+1
+    tokenIdsFrame(spark, sfDir)
+      .select(col("doc_id"),
+        array_join(transform(col("ids"),
+          id => element_at(symArr, id.cast("int"))), "").as("decoded"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** [[decode]]'s oracle: the round-trip IDENTITY — tokens of the
+    * original text concatenated in order, no training replay. Docs
+    * whose token list is empty are excluded (the engine side's
+    * inner join to the vocabulary emits no rows for them). */
+  def decodeSql(): String =
+    """SELECT doc_id,
+      |       array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), '') AS decoded
+      |FROM documents
+      |WHERE text IS NOT NULL
+      |  AND len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+      |ORDER BY doc_id ASC""".stripMargin
+
   /** `sequence_packing` fed END-TO-END from the trained tokenizer:
     * the greedy concat-and-chunk packer ([[Packing.packCore]]) running
     * on [[encode]]'s per-doc BPE token counts instead of whitespace

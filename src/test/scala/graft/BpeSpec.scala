@@ -113,6 +113,18 @@ class BpeSpec extends SparkSpec {
     for ((id, n, ids) <- got) assert(reg(id) == ids.mkString(" "))
   }
 
+  test("bpe_decode round-trips ids to the original tokens concatenated") {
+    val docs = Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty).toMap
+    val got = Bpe.decode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.keySet == docs.keySet)
+    for ((id, ws) <- docs) assert(got(id) == ws.mkString(""), s"doc $id")
+  }
+
   test("trainLoopLocal equals the distributed trainLoop on the fixture vocabulary") {
     import spark.implicits._
     val wc = fixtureWordCounts()
