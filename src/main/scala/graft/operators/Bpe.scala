@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 import graft.sources.Tables
 
 /** Byte-pair-encoding tokenizer TRAINING over `documents` — the
@@ -137,6 +137,23 @@ object Bpe {
       .orderBy(col("step").asc)
   }
 
+  /** The toy-tokenizer TRAINING as its own registration (`bpe_build` —
+    * named to sort before every other bpe_* query, so an alphabetical
+    * bench sweep bills the training memo to it and
+    * `bpe_decode`/`bpe_encode`/`bpe_token_ids` measure warm serving —
+    * the `pq_build` build-phase billing policy, r15 verdict item 3).
+    * Output and oracle are [[merges]]'s: the merge table IS the built
+    * artifact, so the build registration is oracle-checked by the same
+    * full training replay. */
+  def build(spark: SparkSession, sfDir: String): DataFrame =
+    merges(spark, sfDir)
+
+  /** The customer-corpus SCALED training as a build registration
+    * (`bpe_build_scaled` — pays the 256-step driver loop so
+    * `bpe_encode_scaled`/`bpe_merges_scaled` measure warm). */
+  def buildScaled(spark: SparkSession, sfDir: String): DataFrame =
+    mergesScaled(spark, sfDir)
+
   /** (symbol, occurrences): corpus-weighted counts of the post-merge
     * symbol vocabulary (token frequency under the trained tokenizer),
     * symbol asc. */
@@ -190,13 +207,44 @@ object Bpe {
     * SCALARS; the oracle joins the identical string
     * (`array_to_string`), so the value check is unchanged. */
   private[graft] def tokenIdsFrame(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, v) = train(spark, sfDir)
-    val syms = v.select(explode(symsOf(col("seq"))).as("s")).distinct()
-      .orderBy(col("s").asc).collect().map(_.getString(0))
     val idMap = typedlit(
-      syms.zipWithIndex.map { case (s, i) => s -> (i + 1).toLong }.toMap)
+      symbolVocab(spark, sfDir).zipWithIndex
+        .map { case (s, i) => s -> (i + 1).toLong }.toMap)
+    val (_, v) = train(spark, sfDir)
     val wordIds = broadcast(v.select(col("word"),
       transform(symsOf(col("seq")), s => element_at(idMap, s)).as("wids")))
+    tokenIdsOver(spark, sfDir, wordIds)
+  }
+
+  /** The trained symbol vocabulary, symbol-ascending (Spark's binary
+    * string sort == UTF-8 byte order == DuckDB's ORDER BY), collected
+    * ONCE per (session, dir) and conf-memoized. [[tokenIdsFrame]]'s
+    * forward id map and [[decode]]'s inverse array BOTH derive from
+    * this one collected array, so the two cannot drift and the
+    * duplicate distinct+sort+collect Spark jobs are gone (ADVICE r15).
+    * Vocabulary-bounded (chars + one symbol per merge); deterministic,
+    * so a conf value surviving a `Materialize.reset` stays exact. */
+  private def symbolVocab(spark: SparkSession, sfDir: String): IndexedSeq[String] = {
+    val key = s"spark.graft.bpe.syms.${Materialize.dirTag(sfDir)}"
+    spark.conf.getOption(key) match {
+      case Some(packed) => packed.split("\u0001").toIndexedSeq
+      case None =>
+        val (_, v) = train(spark, sfDir)
+        val syms = v.select(explode(symsOf(col("seq"))).as("s")).distinct()
+          .orderBy(col("s").asc).collect().map(_.getString(0)).toIndexedSeq
+        spark.conf.set(key, syms.mkString("\u0001"))
+        syms
+    }
+  }
+
+  /** The per-document id-sequence assembly shared by the toy and the
+    * scaled-docs tokenizers: corpus tokens hash-join the broadcast
+    * (word, wids) table, then one sort-by-position aggregate per doc.
+    * The tokenizer swap changes ONLY the wordIds provenance — the
+    * corpus-side plan (one scan, one broadcast join, one exchange) is
+    * identical for any trained vocabulary. */
+  private def tokenIdsOver(spark: SparkSession, sfDir: String,
+      wordIds: DataFrame): DataFrame =
     Tables.documents(spark, sfDir)
       .where(col("text").isNotNull)
       .select(col("doc_id"),
@@ -209,7 +257,6 @@ object Bpe {
       .select(col("doc_id"), size(col("ids")).cast("long").as("n_bpe_tokens"),
         col("ids"))
       .orderBy(col("doc_id").asc)
-  }
 
   /** The registered token-ids surface: [[tokenIdsFrame]] with `ids`
     * canonicalized to a space-joined string (see frame doc). */
@@ -241,10 +288,13 @@ object Bpe {
     * map-side transform over a vocabulary-bounded symbol-array plan
     * literal — no new exchange, no new scan. */
   def decode(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, v) = train(spark, sfDir)
-    val syms = v.select(explode(symsOf(col("seq"))).as("s")).distinct()
-      .orderBy(col("s").asc).collect().map(_.getString(0))
-    val symArr = typedlit(syms.toSeq) // index i holds the symbol with id i+1
+    // index i holds the symbol with id i+1 — the SAME collected array
+    // tokenIdsFrame's forward map is built from (symbolVocab), so the
+    // two maps are bijection-consistent by construction. Note the
+    // oracle below is the round-trip identity: it pins that
+    // decode ∘ tokenIds == concat-of-tokens, while the actual id
+    // VALUES are pinned by bpe_token_ids' own replay oracle.
+    val symArr = typedlit(symbolVocab(spark, sfDir))
     tokenIdsFrame(spark, sfDir)
       .select(col("doc_id"),
         array_join(transform(col("ids"),
@@ -280,14 +330,15 @@ object Bpe {
         .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
           Seq("doc_id")))
 
-  /** [[packFromBpe]]'s oracle: the BPE count replay feeding the
-    * packing replay (same running sums, same chunk boundaries). */
-  def packFromBpeSql(): String =
-    s"""WITH ${trainCte},
+  /** [[packFromBpe]]'s oracle shape over ANY training replay: the BPE
+    * count replay feeding the packing replay (same running sums, same
+    * chunk boundaries). Shared by the toy and docs-scaled surfaces. */
+  private def packFromBpeSqlFor(cte: String, vN: Int): String =
+    s"""WITH $cte,
        |toks AS (SELECT doc_id, w AS word FROM (
        |           SELECT doc_id, unnest(string_split(text, ' ')) AS w
        |           FROM documents WHERE text IS NOT NULL) WHERE w <> ''),
-       |wl AS (SELECT word, len(string_split(seq[2:-2], '$M$M')) AS n_syms FROM v$Merges),
+       |wl AS (SELECT word, len(string_split(seq[2:-2], '$M$M')) AS n_syms FROM v$vN),
        |bc AS (SELECT t.doc_id, CAST(SUM(wl.n_syms) AS BIGINT) AS n_toks
        |       FROM toks t JOIN wl ON wl.word = t.word GROUP BY t.doc_id),
        |d AS (SELECT doc.doc_id, doc.lang, bc.n_toks,
@@ -304,6 +355,10 @@ object Bpe {
        |FROM c
        |GROUP BY lang, shard, seq_id
        |ORDER BY lang ASC, shard ASC, seq_id ASC""".stripMargin
+
+  /** [[packFromBpe]]'s oracle: the toy replay feeding the shared
+    * count+pack shape. */
+  def packFromBpeSql(): String = packFromBpeSqlFor(trainCte, Merges)
 
   // ------------------------------------------------------- scaled training
 
@@ -391,20 +446,25 @@ object Bpe {
     (learned.result(), vocab)
   }
 
-  /** Scaled trained state, memoized per (session, dir) like [[train]]:
-    * the [[ScaledMerges]] rules (session-conf packed) plus the final
-    * (word, cnt, seq) segmentation frame over the capped vocabulary.
-    * Two surfaces consume one training run ([[mergesScaled]],
-    * [[encodeScaled]]) — without the memo each would re-collect the
-    * word table and re-run the 256-step driver loop. */
-  private def trainScaled(spark: SparkSession, sfDir: String)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
-    val vKey = s"bpe_scaled_${ScaledMerges}_${TopWordTypes}_${Materialize.dirTag(sfDir)}"
-    val mKey = s"spark.graft.bpe.scaledmerges.${Materialize.dirTag(sfDir)}"
+  /** Scaled trained state over an arbitrary word source, memoized per
+    * (session, dir, tag) like [[train]]: the [[ScaledMerges]] rules
+    * (session-conf packed) plus the final (word, cnt, seq) segmentation
+    * frame over the capped vocabulary. Every surface of a tag's family
+    * consumes ONE training run — without the memo each would re-collect
+    * the word table and re-run the 256-step driver loop. Two
+    * instantiations: `cust` (customer names — the fixture's richest
+    * word universe, the scale-evidence corpus since r14) and `docs`
+    * (the documents text — the corpus the SHIPPING artifacts tokenize;
+    * its fixture vocabulary is small, so training exhausts before
+    * [[ScaledMerges]] and exercises the carry-forward stop on both
+    * engines — at a real corpus's vocabulary the same loop runs all
+    * 256 steps). */
+  private def trainScaledOver(spark: SparkSession, sfDir: String, tag: String,
+      words: => DataFrame): (Seq[(Int, String, String, Long)], DataFrame) = {
+    val vKey = s"bpe_scaled_${tag}_${ScaledMerges}_${TopWordTypes}_${Materialize.dirTag(sfDir)}"
+    val mKey = s"spark.graft.bpe.scaledmerges.$tag.${Materialize.dirTag(sfDir)}"
     val vocabDf = Materialize.memoized(spark, vKey) {
-      val wc = Tables.customer(spark, sfDir)
-        .where(col("c_name").isNotNull)
-        .select(explode(graft.functions.TextOps.tokens(col("c_name"))).as("word"))
+      val wc = words
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word").asc)
         .limit(TopWordTypes)
@@ -425,6 +485,27 @@ object Bpe {
       }
     (ms, vocabDf)
   }
+
+  private def trainScaled(spark: SparkSession, sfDir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    trainScaledOver(spark, sfDir, "cust",
+      Tables.customer(spark, sfDir)
+        .where(col("c_name").isNotNull)
+        .select(explode(graft.functions.TextOps.tokens(col("c_name"))).as("word")))
+
+  /** The DOCUMENTS-corpus scaled trainer — the real shipping chain's
+    * training step (documents text → capped word table → 256-merge
+    * driver loop). Feeds [[mergesScaledDocs]], [[tokenIdsScaled]],
+    * [[decodeScaled]], and [[packFromBpeScaled]] — closing the r15
+    * verdict's "shipping artifacts still run the 12-merge toy" gap:
+    * train → tokenize → ids → pack now all run the 256-merge
+    * trainer over the corpus they ship for. */
+  private def trainScaledDocs(spark: SparkSession, sfDir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    trainScaledOver(spark, sfDir, "docs",
+      Tables.documents(spark, sfDir)
+        .where(col("text").isNotNull)
+        .select(explode(graft.functions.TextOps.tokens(col("text"))).as("word")))
 
   /** (step, lhs, rhs, pair_count) over [[ScaledMerges]] merges learned
     * from the `customer.c_name` identifier vocabulary (the fixture's
@@ -467,6 +548,113 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
       .orderBy(col("c_custkey").asc)
   }
+
+  // ------------------------------------------- scaled shipping chain (docs)
+
+  /** (step, lhs, rhs, pair_count) learned by the DOCUMENTS scaled
+    * trainer — the merge-rule artifact of the shipping chain. On the
+    * fixture's small documents vocabulary training exhausts before
+    * [[ScaledMerges]] (the pinned early stop), so this surface is the
+    * standing value-level evidence that the carry-forward semantics
+    * agree between the driver loop and the unrolled replay. */
+  def mergesScaledDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val (learned, _) = trainScaledDocs(spark, sfDir)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        learned.map { case (s, a, b, c) => Row(s.toLong, a, b, c) }, 1),
+      StructType(Seq(StructField("step", LongType), StructField("lhs", StringType),
+        StructField("rhs", StringType), StructField("pair_count", LongType))))
+      .orderBy(col("step").asc)
+  }
+
+  /** The docs-scaled trained segmentations collected locally — the
+    * bounded artifact collect (≤ [[TopWordTypes]] slim rows, the
+    * k-means-centroids discipline): (word, symbols). */
+  private def scaledDocsSegs(spark: SparkSession, sfDir: String)
+      : IndexedSeq[(String, IndexedSeq[String])] =
+    trainScaledDocs(spark, sfDir)._2.collect().toIndexedSeq.map { r =>
+      val seq = r.getString(2)
+      (r.getString(0),
+        seq.substring(1, seq.length - 1).split(s"$M$M").toIndexedSeq)
+    }
+
+  /** The docs-scaled symbol vocabulary (symbol-ascending UTF-8 byte
+    * order — [[utf8Order]], matching both engines' binary string sort)
+    * and the word→id-array table, BOTH derived from one collected
+    * state so forward and inverse maps cannot drift (the same
+    * discipline [[symbolVocab]] applies to the toy tokenizer). The
+    * id table is ≤ [[TopWordTypes]] rows — always broadcastable. */
+  private def scaledDocsWordIds(spark: SparkSession, sfDir: String)
+      : (IndexedSeq[String], DataFrame) = {
+    val segs = scaledDocsSegs(spark, sfDir)
+    val syms = segs.flatMap(_._2).distinct.sorted(utf8Order)
+    val id = syms.zipWithIndex.map { case (s, i) => s -> (i + 1).toLong }.toMap
+    val wordIds = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        segs.map { case (w, ss) => Row(w, ss.map(id)) }, 1),
+      StructType(Seq(StructField("word", StringType),
+        StructField("wids", ArrayType(LongType)))))
+    (syms, wordIds)
+  }
+
+  /** [[tokenIdsFrame]]'s twin under the DOCS-SCALED tokenizer: the
+    * shipping token-id sequences now come from the 256-merge trainer,
+    * not the 12-merge toy (r15 verdict item 1). Identical corpus-side
+    * plan ([[tokenIdsOver]]); only the broadcast word→ids provenance
+    * changes. Inner-join semantics: words outside the capped training
+    * vocabulary drop (the [[encodeScaled]] rule). */
+  private[graft] def tokenIdsScaledFrame(spark: SparkSession, sfDir: String): DataFrame =
+    tokenIdsOver(spark, sfDir, broadcast(scaledDocsWordIds(spark, sfDir)._2))
+
+  /** The registered docs-scaled token-ids surface (ids as the canonical
+    * space-joined string — the driver-gate scalar rule). */
+  def tokenIdsScaled(spark: SparkSession, sfDir: String): DataFrame =
+    tokenIdsScaledFrame(spark, sfDir)
+      .select(col("doc_id"), col("n_bpe_tokens"),
+        array_join(col("ids"), " ").as("ids"))
+      .orderBy(col("doc_id").asc)
+
+  /** Detokenization round-trip under the docs-scaled tokenizer:
+    * decode ∘ tokenIdsScaled == the in-vocabulary tokens concatenated
+    * in order. The oracle needs NO training replay — vocabulary
+    * membership is decided by the top-[[TopWordTypes]] cap alone (one
+    * word aggregate), because a word's segmentation always concatenates
+    * back to the word itself. Engine side runs the full chain
+    * (256-merge training → dense ids → inverse map → reassembly); the
+    * oracle recomputes the answer from raw text in one cheap pass. */
+  def decodeScaled(spark: SparkSession, sfDir: String): DataFrame = {
+    val symArr = typedlit(scaledDocsWordIds(spark, sfDir)._1.toSeq)
+    tokenIdsScaledFrame(spark, sfDir)
+      .select(col("doc_id"),
+        array_join(transform(col("ids"),
+          id => element_at(symArr, id.cast("int"))), "").as("decoded"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Per-doc token counts under the docs-scaled tokenizer — internal
+    * (feeds [[packFromBpeScaled]]); the [[encode]] broadcast-join
+    * shape over the docs-scaled segmentation table. */
+  private def encodeScaledDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, v) = trainScaledDocs(spark, sfDir)
+    val wordLen = broadcast(v.select(col("word"), size(symsOf(col("seq"))).as("n_syms")))
+    Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), explode(graft.functions.TextOps.tokens(col("text"))).as("word"))
+      .join(wordLen, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_syms")).as("n_toks"))
+  }
+
+  /** Sequence packing fed by the DOCS-SCALED tokenizer — the complete
+    * shipping pipeline (documents text → 256-merge trainer → tokenized
+    * lengths → greedy concat-and-chunk packing) as one oracled query.
+    * Same plan as [[packFromBpe]]; only the count provenance changes
+    * (the [[Packing.packCore]] contract). */
+  def packFromBpeScaled(spark: SparkSession, sfDir: String): DataFrame =
+    Packing.packCore(spark,
+      encodeScaledDocs(spark, sfDir)
+        .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+          Seq("doc_id")))
 
   // ---------------------------------------------------------------- oracle
 
@@ -548,16 +736,18 @@ object Bpe {
        |FROM toks t JOIN wl ON wl.word = t.word
        |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin
 
-  /** [[tokenIds]]'s oracle: training replay → symbol ids by
-    * ROW_NUMBER over the symbol-ascending vocabulary → per-word id
-    * arrays in segmentation order → per-doc concatenation in token
-    * order. */
-  def tokenIdsSql(): String =
-    s"""WITH ${trainCte},
+  /** [[tokenIds]]'s oracle shape over ANY training replay: symbol ids
+    * by ROW_NUMBER over the symbol-ascending final vocabulary →
+    * per-word id arrays in segmentation order → per-doc concatenation
+    * in token order. Shared by the toy ([[tokenIdsSql]]) and the
+    * docs-scaled ([[tokenIdsScaledSql]]) surfaces — the same
+    * single-assembly discipline as [[tokenIdsOver]]. */
+  private def tokenIdsSqlFor(cte: String, vN: Int): String =
+    s"""WITH $cte,
        |sy AS (SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s ASC) AS BIGINT) AS sid
-       |       FROM (SELECT DISTINCT unnest(string_split(seq[2:-2], '$M$M')) AS s FROM v$Merges)),
+       |       FROM (SELECT DISTINCT unnest(string_split(seq[2:-2], '$M$M')) AS s FROM v$vN)),
        |ws AS (SELECT word, syms[i.i] AS s, i.i AS spos
-       |       FROM (SELECT word, string_split(seq[2:-2], '$M$M') AS syms FROM v$Merges),
+       |       FROM (SELECT word, string_split(seq[2:-2], '$M$M') AS syms FROM v$vN),
        |            unnest(range(1, len(syms) + 1)) AS i(i)),
        |wids AS (SELECT ws.word, list(sy.sid ORDER BY ws.spos ASC) AS wids
        |         FROM ws JOIN sy ON sy.s = ws.s GROUP BY ws.word),
@@ -570,6 +760,10 @@ object Bpe {
        |       array_to_string(flatten(list(w.wids ORDER BY t.pos ASC)), ' ') AS ids
        |FROM toks t JOIN wids w ON w.word = t.word
        |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin
+
+  /** [[tokenIds]]'s oracle: the toy (12-merge) replay feeding the
+    * shared id-assembly shape. */
+  def tokenIdsSql(): String = tokenIdsSqlFor(trainCte, Merges)
 
   /** [[mergesScaled]]'s oracle: the identical top-[[TopWordTypes]]
     * capped vocabulary replayed through [[ScaledMerges]] unrolled
@@ -601,4 +795,51 @@ object Bpe {
        |FROM toks t JOIN wl ON wl.word = t.word
        |GROUP BY t.c_custkey ORDER BY t.c_custkey ASC""".stripMargin
   }
+
+  /** The DOCUMENTS-corpus scaled training replay — [[trainCteFor]] at
+    * ([[ScaledMerges]], top-[[TopWordTypes]]) over the documents word
+    * table; the oracle prefix of every docs-scaled-chain surface. */
+  private def docsScaledCte: String = trainCteFor(
+    """SELECT unnest(string_split(text, ' ')) AS w
+      |       FROM documents WHERE text IS NOT NULL""".stripMargin,
+    ScaledMerges, Some(TopWordTypes))
+
+  /** [[mergesScaledDocs]]'s oracle: the docs-corpus capped-vocab replay;
+    * under exhaustion at step T the m_{>T} CTEs are empty, so the UNION
+    * emits exactly steps 1..T — the carry-forward contract. */
+  def mergesScaledDocsSql(): String = {
+    val rows = (1 to ScaledMerges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, c AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"WITH $docsScaledCte\n$rows\nORDER BY step ASC"
+  }
+
+  /** [[tokenIdsScaled]]'s oracle: the docs-scaled replay feeding the
+    * shared id-assembly shape. */
+  def tokenIdsScaledSql(): String = tokenIdsSqlFor(docsScaledCte, ScaledMerges)
+
+  /** [[decodeScaled]]'s oracle: the round-trip identity restricted to
+    * the capped training vocabulary — NO training replay (a word's
+    * segmentation concatenates back to the word, so only vocabulary
+    * MEMBERSHIP matters, and that is decided by the top-[[TopWordTypes]]
+    * cap over the word aggregate alone). Constant-cost at any corpus
+    * size past the one word-count scan. */
+  def decodeScaledSql(): String =
+    s"""WITH w AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |       SELECT unnest(string_split(text, ' ')) AS w
+       |       FROM documents WHERE text IS NOT NULL) WHERE w <> '' GROUP BY w),
+       |vv AS (SELECT word FROM w ORDER BY cnt DESC, word ASC LIMIT $TopWordTypes),
+       |toks AS (SELECT doc_id, i.i AS pos, toks[i.i] AS word
+       |         FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |               FROM documents WHERE text IS NOT NULL),
+       |              unnest(range(1, len(toks) + 1)) AS i(i))
+       |SELECT t.doc_id,
+       |       array_to_string(list(t.word ORDER BY t.pos ASC), '') AS decoded
+       |FROM toks t JOIN vv ON vv.word = t.word
+       |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin
+
+  /** [[packFromBpeScaled]]'s oracle: the docs-scaled replay feeding the
+    * shared count+pack shape. */
+  def packFromBpeScaledSql(): String =
+    packFromBpeSqlFor(docsScaledCte, ScaledMerges)
 }

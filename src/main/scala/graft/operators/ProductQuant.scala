@@ -314,6 +314,149 @@ object ProductQuant {
   def pqBuild(spark: SparkSession, sfDir: String): DataFrame =
     pqEncode(spark, sfDir)
 
+  // ------------------------------------------------------------ residual PQ
+
+  /** The trained coarse centroids as a cid→vector MAP plan literal
+    * (k rows — the bounded centroid collect), for the residual
+    * subtraction/re-addition: element_at by the row's cell id is a
+    * per-row map lookup, never a join. */
+  private def coarseCentMap(spark: SparkSession, sfDir: String): Column =
+    typedlit(Similarity.trainedCentroids(spark, sfDir)
+      .select(col("cid"), col("cq")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
+
+  /** (vec_id, label, cid, q) with q = the RESIDUAL q − centroid(cell)
+    * — the training/encode input of the residual tier. This is FAISS
+    * IVFPQ's actual encoding (Jégou et al., TPAMI'11 §IV-A: quantize
+    * the residual, not the vector — the coarse quantizer explains most
+    * of the energy, so the same code budget reconstructs with roughly
+    * half the error), the one place the r15 PQ family still deviated
+    * from the architecture it cites. Map-side only: literal-kernel
+    * cell assignment + one zip_with; null embeddings propagate to null
+    * residuals (a null-q row's sentinel cid has no map entry) and are
+    * excluded exactly where the raw tier excludes them. */
+  private def residualCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val cl = Similarity.centsLit(Similarity.trainedCentroids(spark, sfDir))
+    val cm = coarseCentMap(spark, sfDir)
+    Similarity.corpus(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        Similarity.nearestCid(cl, col("q"), col("n2")).as("cid"),
+        col("q").as("qraw"))
+      .withColumn("q", zip_with(col("qraw"), element_at(cm, col("cid")),
+        (a, b) => a - b))
+      .select(col("vec_id"), col("label"), col("cid"), col("q"))
+  }
+
+  /** The pinned training sample over residuals — the IDENTICAL stride
+    * and row set as [[pqSample]] (stride is a function of the full
+    * corpus count, not the residual frame). */
+  private def pqResidSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val stride = Similarity.trainSampleStride(
+      Similarity.corpusCount(spark, sfDir), PqK)
+    residualCorpus(spark, sfDir)
+      .select(col("vec_id"), col("q"))
+      .where(pmod(col("vec_id"), lit(stride)) === lit(1L % stride))
+  }
+
+  /** Residual codebooks — [[pqTrainOver]] at the production geometry
+    * over the residual sample, memoized like [[pqTrain]]. */
+  private def pqResidTrain(spark: SparkSession, sfDir: String)
+      : IndexedSeq[IndexedSeq[CentLit]] = {
+    val memo = Materialize.memoized(spark,
+        s"pq_resid_books_${PqK}_${PqIters}_${Materialize.dirTag(sfDir)}") {
+      val books = pqTrainOver(pqResidSample(spark, sfDir),
+        PqM, SubDim, PqK, PqIters)
+      spark.createDataFrame(
+        for { (b, s) <- books.zipWithIndex; c <- b }
+          yield (s, c.cid, c.cq, c.cn2))
+        .toDF("s", "cid", "cq", "cn2")
+    }
+    val rows = memo.collect()
+    IndexedSeq.tabulate(PqM) { s =>
+      rows.filter(_.getInt(0) == s)
+        .map(r => CentLit(r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
+        .sortBy(_.cid).toIndexedSeq
+    }
+  }
+
+  /** The residual-PQ index: per vector its coarse cell, its [[PqM]]
+    * residual code ids, and the FULL reconstruction rq = coarse
+    * centroid + residual code reconstruction (plus its norm) — the
+    * same narrow encode-once/serve-many schema as [[pqIndex]]. */
+  private[graft] def pqResidIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val coarseK = graft.GraftConf.ivfKResolved(spark,
+      Similarity.corpusCount(spark, sfDir))
+    var resid: DataFrame = null
+    val out = Materialize.memoized(spark,
+        s"pq_resid_index_${PqK}_${PqIters}_k${coarseK}_${Materialize.dirTag(sfDir)}") {
+      val books = pqResidTrain(spark, sfDir)
+      val cm = coarseCentMap(spark, sfDir)
+      val codes = pqCodeCols(books)
+      // persist the residual frame before the code projection: the 16
+      // code columns + reconstruction would otherwise COLLAPSE into one
+      // projection that re-evaluates the residual expression (coarse
+      // argmin kernel + map lookup + zip_with) once per copy — measured
+      // 4× the raw tier's build cost at sf0.001; the persist is the
+      // same evaluation boundary pqTrainOver puts under training
+      resid = residualCorpus(spark, sfDir)
+        .where(col("q").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      resid
+        .select(Seq(col("vec_id"), col("label"), col("cid")) ++
+          codes.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
+        .withColumn("rq", zip_with(element_at(cm, col("cid")),
+          pqReconFromCodes(books), (a, b) => a + b))
+        .withColumn("rq_n2", Similarity.dotQ(col("rq"), col("rq")))
+    }
+    // memoized() checkpointed eagerly, so the scratch blocks can go now
+    if (resid ne null) resid.unpersist(blocking = false)
+    out
+  }
+
+  /** The residual index BUILD as its own billing registration
+    * (`pq_build_residual` — sorts inside the pq_* prefix, BEFORE the
+    * `sim_*` serving queries, so alphabetical sweeps bill the
+    * [[pqResidIndex]] materialization here and
+    * `sim_ivfpq_residual_topk`/`_recall` measure warm serving — the
+    * `pq_build` policy). Output and oracle are the residual top-K's:
+    * the serving query exercises the built index end-to-end, so the
+    * build registration is oracle-checked by the same double-training
+    * replay without adding a second corpus-sized replay oracle. */
+  def pqBuildResidual(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqResidualTopK(spark, sfDir)
+
+  /** IVF-PQ with RESIDUAL codes — [[ivfPqTopK]]'s probed-cell serving
+    * plan, unchanged, over the residual index. Where this ranking
+    * beats [[ivfPqTopK]]'s recall, that is the residual encoding's
+    * reconstruction gain at the same stored bytes. The oracle replays
+    * BOTH trainings with the residual subtraction in between and the
+    * centroid re-addition after. */
+  def ivfPqResidualTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = pqResidIndex(spark, sfDir)
+    val cl = Similarity.centsLit(Similarity.trainedCentroids(spark, sfDir))
+    val emb = Similarity.corpus(spark, sfDir)
+    val probes = emb.where(col("vec_id") === Similarity.QueryVecId)
+      .select(explode(Similarity.probeCids(cl, col("q"), col("n2"),
+        Similarity.NumProbes)).as("probe_cid"))
+    val query = emb.where(col("vec_id") === Similarity.QueryVecId)
+      .select(col("q").as("qq"), col("n2").as("qn2"))
+    idx.join(broadcast(probes), col("cid") === col("probe_cid"))
+      .join(broadcast(query))
+      .where(col("vec_id") =!= Similarity.QueryVecId)
+      .select(col("vec_id"), col("label"), col("cid"),
+        Similarity.cosineFrom(Similarity.dotQ(col("rq"), col("qq")),
+          col("rq_n2"), col("qn2")).as("pq_cos"))
+      .orderBy(col("pq_cos").desc, col("vec_id").asc)
+      .limit(Similarity.TopK)
+  }
+
+  /** Recall@K of the residual tier vs exact cosine — compared against
+    * `sim_ivfpq_recall` (raw-vector codes), this is the acceptance
+    * number for switching the serving tier to residual encoding. */
+  def ivfPqResidualRecall(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.recallOf(ivfPqResidualTopK(spark, sfDir),
+      Similarity.cosineTopK(spark, sfDir), "pq_cos")
+
   // -------------------------------------------- reduced-geometry value probe
 
   /** Probe geometry: 4 subspaces × 16 dims × 16 codes. The production
@@ -432,8 +575,10 @@ object ProductQuant {
     * unrolled iterations → final assignment → reconstruction rows.
     * Mirrors `trainedCellsSqlFor`'s correspondence with the driver
     * loop: training CTEs (`ts_`/`a_`/`m_`) run over the sampled
-    * vectors, the final `asg_` assignment over the full slice. */
-  private def subTrainSql(s: Int): String = {
+    * vectors, the final `asg_` assignment over the full slice.
+    * `src` is the (vec_id, q) source CTE — `e` for the raw tier,
+    * `er` (the residual frame) for the residual tier. */
+  private def subTrainSql(s: Int, src: String): String = {
     val lo = s * SubDim + 1
     val hi = (s + 1) * SubDim
     def iter(i: Int, cIn: String): String =
@@ -455,7 +600,7 @@ object ProductQuant {
     // assignment, ts_$s by every iteration's assignment and mean — the
     // BPE/k-core exponential-inlining lesson applied before it bites
     s"""e_$s AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q,
-       |               ${dot8Sql(s"q[$lo:$hi]", s"q[$lo:$hi]")} AS n2 FROM e
+       |               ${dot8Sql(s"q[$lo:$hi]", s"q[$lo:$hi]")} AS n2 FROM $src
        |          WHERE q IS NOT NULL),
        |ts_$s AS MATERIALIZED (SELECT t.* FROM e_$s t, psmp WHERE t.vec_id % psmp.s = 1 % psmp.s),
        |c0_$s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) AS BIGINT) AS cid, q AS cq, n2 AS cn2
@@ -470,10 +615,12 @@ object ProductQuant {
   }
 
   /** The [[PqM]] per-subspace training replays + the reconstruction CTE
-    * (`recon`: vec_id → concatenated code centroids). Assumes `e` from
-    * `Similarity.corpusSql` is in scope. */
-  private def pqCtes: String = {
-    val subs = (0 until PqM).map(subTrainSql).mkString(",\n")
+    * (`recon`: vec_id → concatenated code centroids) over source CTE
+    * `src`. Assumes `e` from `Similarity.corpusSql` is in scope (psmp
+    * strides off the FULL corpus count on both tiers, mirroring
+    * `corpusCount`-based stride resolution in the Scala trainers). */
+  private def pqCtesOver(src: String): String = {
+    val subs = (0 until PqM).map(s => subTrainSql(s, src)).mkString(",\n")
     val joins = (1 until PqM)
       .map(s => s"JOIN r_$s ON r_0.vec_id = r_$s.vec_id").mkString("\n|")
     val rqConcat = (0 until PqM).map(s => s"r_$s.cq").mkString(" || ")
@@ -486,6 +633,8 @@ object ProductQuant {
        |          FROM r_0
        |$joins)""".stripMargin
   }
+
+  private def pqCtes: String = pqCtesOver("e")
 
   /** [[pqCodesSmall]]'s oracle: the probe-geometry training replay —
     * [[subTrainSql]]'s structure at (m=[[SmallM]], sub=[[SmallSub]],
@@ -577,4 +726,44 @@ object ProductQuant {
        |WHERE cells.vec_id <> ${Similarity.QueryVecId}
        |ORDER BY pq_cos DESC, cells.vec_id ASC
        |LIMIT ${Similarity.TopK}""".stripMargin
+
+  /** [[ivfPqResidualTopK]]'s oracle: the IVF training replay, the
+    * residual frame `er` (CASE-guarded so a NULL embedding stays a
+    * NULL residual — DuckDB's `NULL[i]` inside list_transform would
+    * otherwise yield a non-null list of NULLs where Spark's zip_with
+    * yields NULL), the full [[PqM]]-codebook replay OVER RESIDUALS,
+    * the centroid re-addition (`reconf`), then the probed-cell
+    * serving — both trainings and both residual arithmetic steps
+    * value-replayed in one query. */
+  lazy val ivfPqResidualTopKSql: String = {
+    val dims = Similarity.Dims
+    val cent = s"c${Similarity.TrainedIters}"
+    val cosSql = Similarity.cosineFromSql(
+      Similarity.dotQSql("reconf.rq", "qv.qq"),
+      Similarity.dotQSql("reconf.rq", "reconf.rq"), "qv.qn2")
+    s"""WITH ${Similarity.corpusSql},
+       |${Similarity.trainedCellsSql},
+       |er AS MATERIALIZED (SELECT cells.vec_id,
+       |        CASE WHEN cells.q IS NULL THEN NULL
+       |             ELSE list_transform(range(1, ${dims + 1}), i -> cells.q[i] - c.cq[i]) END AS q
+       |        FROM cells JOIN $cent c ON cells.cid = c.cid),
+       |${pqCtesOver("er")},
+       |reconf AS (SELECT recon.vec_id,
+       |        list_transform(range(1, ${dims + 1}), i -> recon.rq[i] + c.cq[i]) AS rq
+       |        FROM recon JOIN cells ON cells.vec_id = recon.vec_id
+       |        JOIN $cent c ON cells.cid = c.cid),
+       |probes AS (SELECT cid AS probe_cid FROM assigned
+       |           WHERE vec_id = ${Similarity.QueryVecId} AND rn <= ${Similarity.NumProbes}),
+       |qv AS (SELECT q AS qq, n2 AS qn2 FROM e WHERE vec_id = ${Similarity.QueryVecId})
+       |SELECT cells.vec_id, cells.label, cells.cid, $cosSql AS pq_cos
+       |FROM cells
+       |JOIN probes ON cells.cid = probes.probe_cid
+       |JOIN reconf ON cells.vec_id = reconf.vec_id, qv
+       |WHERE cells.vec_id <> ${Similarity.QueryVecId}
+       |ORDER BY pq_cos DESC, cells.vec_id ASC
+       |LIMIT ${Similarity.TopK}""".stripMargin
+  }
+
+  lazy val ivfPqResidualRecallSql: String =
+    Similarity.recallSqlOf(ivfPqResidualTopKSql, "pq_cos")
 }

@@ -176,6 +176,77 @@ class BpeSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("bpe_merges_scaled_docs: docs-trained rules equal the vector-replay reference (exhaustion stop)") {
+    val wc = fixtureWordCounts()
+    val capped = wc.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(Bpe.TopWordTypes).toMap
+    val (expected, _) = refBpe(capped, Bpe.ScaledMerges)
+    val got = Bpe.mergesScaledDocs(spark, sf).collect()
+      .map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // the fixture documents vocabulary is small: training exhausts
+    // before ScaledMerges and the reference must stop at the same step
+    assert(got == expected && got.length < Bpe.ScaledMerges && got.nonEmpty)
+  }
+
+  test("bpe_token_ids_scaled: sequences equal reference segmentation under the docs-scaled vocab") {
+    val wc = fixtureWordCounts()
+    val capped = wc.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(Bpe.TopWordTypes).toMap
+    val (_, segs) = refBpe(capped, Bpe.ScaledMerges)
+    val symId = segs.values.flatten.toSeq.distinct.sorted
+      .zipWithIndex.map { case (s, i) => s -> (i + 1).toLong }.toMap
+    val docs = Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val expected = docs.flatMap { case (id, ws) =>
+      val inVocab = ws.filter(segs.contains)
+      if (inVocab.isEmpty) None // inner-join semantics
+      else Some(id -> inVocab.flatMap(w => segs(w).map(symId)).toSeq)
+    }.toMap
+    val got = Bpe.tokenIdsScaledFrame(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    assert(got.map(_._1).toSet == expected.keySet)
+    for ((id, n, ids) <- got) {
+      assert(ids == expected(id), s"doc $id")
+      assert(n == ids.length.toLong)
+    }
+  }
+
+  test("bpe_decode_scaled round-trips docs-scaled ids to in-vocab tokens concatenated") {
+    val wc = fixtureWordCounts()
+    val capped = wc.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(Bpe.TopWordTypes).toMap.keySet
+    val docs = Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).filter(capped))
+      .filter(_._2.nonEmpty).toMap
+    val got = Bpe.decodeScaled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.keySet == docs.keySet)
+    for ((id, ws) <- docs) assert(got(id) == ws.mkString(""), s"doc $id")
+  }
+
+  test("pack_from_bpe_scaled conserves the docs-scaled token mass") {
+    val wc = fixtureWordCounts()
+    val capped = wc.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(Bpe.TopWordTypes).toMap
+    val (_, segs) = refBpe(capped, Bpe.ScaledMerges)
+    val docs = Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    val totalToks = docs.filter(segs.contains).map(w => segs(w).length.toLong).sum
+    val packed = Bpe.packFromBpeScaled(spark, sf).collect()
+    assert(packed.map(_.getLong(4)).sum == totalToks && packed.nonEmpty)
+    val byCell = packed.groupBy(r => (r.getString(0), r.getLong(1)))
+    for ((_, rows) <- byCell) {
+      val ids = rows.map(_.getLong(2)).toSeq
+      assert(ids.min == 0L && ids.distinct == ids)
+    }
+  }
+
   test("pack_from_bpe round-trips the encode token counts into sequences") {
     val packed = Bpe.packFromBpe(spark, sf).collect()
     val encoded = Bpe.encode(spark, sf).collect()

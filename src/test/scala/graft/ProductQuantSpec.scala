@@ -158,6 +158,73 @@ class ProductQuantSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("residual ivf-pq: scores equal a local residual replay, and residual codes reconstruct no worse than raw") {
+    val corpus = corpusLocal()
+    // coarse quantizer as the engine trained it (its own oracle pins the
+    // values); the test independently replays everything DOWNSTREAM of
+    // it: cell assignment, residual subtraction, residual codebook
+    // training, encode, centroid re-addition, serving scores
+    val cents = Similarity.trainedCentroids(spark, sf)
+      .select(col("cid"), col("cq")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).sortBy(_._1)
+    def cellOf(q: IndexedSeq[Long]): Long = {
+      val n2 = dot(q, q)
+      cents.map { case (cid, cq) => (n2 - 2 * dot(q, cq) + dot(cq, cq), cid) }.min._2
+    }
+    val centMap = cents.toMap
+    val resid = corpus.map { case (id, label, q) =>
+      val cq = centMap(cellOf(q))
+      (id, label, q.indices.map(i => q(i) - cq(i)).toIndexedSeq)
+    }
+    val localResid = trainLocal(resid)
+    val localRaw = trainLocal(corpus)
+    def reconFrom(books: IndexedSeq[IndexedSeq[(Long, IndexedSeq[Long])]],
+        v: IndexedSeq[Long]): IndexedSeq[Long] =
+      (0 until PqM).flatMap { s =>
+        val sl = v.slice(s * SubDim, s * SubDim + SubDim)
+        val n2 = dot(sl, sl)
+        val cid = books(s).map { case (c, cq) =>
+          (n2 - 2 * dot(sl, cq) + dot(cq, cq), c) }.min._2
+        books(s).find(_._1 == cid).get._2
+      }.toIndexedSeq
+    val qq = corpus.find(_._1 == Similarity.QueryVecId).get._3
+    val qn2 = dot(qq, qq)
+    val residById = resid.map(c => (c._1, c._3)).toMap
+    val rawById = corpus.map(c => (c._1, c._3)).toMap
+    def residCos(id: Long): Double = {
+      val rv = residById(id)
+      val cq = centMap(cellOf(rawById(id)))
+      val rr = reconFrom(localResid, rv)
+      val rq = rr.indices.map(i => cq(i) + rr(i)).toIndexedSeq
+      dot(rq, qq).toDouble /
+        (math.sqrt(dot(rq, rq).toDouble) * math.sqrt(qn2.toDouble))
+    }
+    val rows = ProductQuant.ivfPqResidualTopK(spark, sf).collect()
+    assert(rows.length == Similarity.TopK)
+    rows.foreach { r =>
+      assert(r.getDouble(3) == residCos(r.getLong(0)),
+        s"residual score mismatch for vec ${r.getLong(0)}")
+    }
+    // the architectural claim (Jégou et al. §IV): at the same code
+    // budget, residual encoding reconstructs with no more total squared
+    // error than raw-vector encoding
+    def sqErr(books: IndexedSeq[IndexedSeq[(Long, IndexedSeq[Long])]],
+        frame: IndexedSeq[(Long, Any, IndexedSeq[Long])],
+        back: Long => IndexedSeq[Long]): Double =
+      frame.map { case (id, _, v) =>
+        val recon = reconFrom(books, v)
+        val full = back(id)
+        val origin = rawById(id)
+        origin.indices.map { i =>
+          val d = (origin(i) - (full(i) + recon(i))).toDouble; d * d }.sum
+      }.sum
+    val zero = IndexedSeq.fill(Similarity.Dims)(0L)
+    val errResid = sqErr(localResid, resid, id => centMap(cellOf(rawById(id))))
+    val errRaw = sqErr(localRaw, corpus, _ => zero)
+    assert(errResid <= errRaw,
+      s"residual reconstruction error $errResid exceeds raw $errRaw")
+  }
+
   test("streaming pq encoder emits the batch encoder's codes exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pqenc").toString
     java.nio.file.Files.copy(
