@@ -43,5 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
       (exprs: Seq[Expression]) => TokenCount(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("quantize_long"),
+      new ExpressionInfo(classOf[graft.functions.QuantizeLong].getName, "quantize_long"),
+      (exprs: Seq[Expression]) => graft.functions.QuantizeLong(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("int8_codes"),
+      new ExpressionInfo(classOf[graft.functions.Int8Codes].getName, "int8_codes"),
+      (exprs: Seq[Expression]) => graft.functions.Int8Codes(exprs.head)))
   }
 }

@@ -209,6 +209,16 @@ case class IvfProbes(first: Expression, second: Expression, third: Expression, p
     new GenericArrayData(java.util.Arrays.copyOfRange(bc, 0, filled))
   }
 
+  /** The kernel loop is emitted as its OWN generated method (not
+    * inlined into the caller's consume path): plans stack many of
+    * these kernels into one projection — the PQ encoder has 16, plus
+    * reconstruction — and inlining them pushed the whole-stage-codegen
+    * `doConsume` method past the JVM's 8 KB huge-method bytecode limit,
+    * so HotSpot never JIT-compiled it and the encode/training passes
+    * ran in the bytecode INTERPRETER (~75× slower; measured 4.5 s for a
+    * 2 000-row × 16-kernel pass at sf0.1, thread dumps pinned in
+    * `project_doConsume_0`). As a standalone ~2 KB method each kernel
+    * JITs normally, and the caller's consume path stays small. */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     flattened match {
       case Some((cids, cn2s, flat, starts)) =>
@@ -217,103 +227,89 @@ case class IvfProbes(first: Expression, second: Expression, third: Expression, p
           val cn2sRef = ctx.addReferenceObj("ivfCn2s", cn2s, "long[]")
           val flatRef = ctx.addReferenceObj("ivfFlat", flat, "long[]")
           val startsRef = ctx.addReferenceObj("ivfStarts", starts, "int[]")
-          val bd = ctx.freshName("bd")
-          val bc = ctx.freshName("bc")
-          val filled = ctx.freshName("filled")
-          val i = ctx.freshName("i")
-          val base = ctx.freshName("base")
-          val n = ctx.freshName("n")
-          val dot = ctx.freshName("dot")
-          val j = ctx.freshName("j")
-          val d2 = ctx.freshName("d2")
-          val cid = ctx.freshName("cid")
-          val pos = ctx.freshName("pos")
-          val m = ctx.freshName("m")
-          val qGuard = if (qMayHaveNullElements) s"if (!$q.isNullAt($j)) " else ""
-          s"""
-             |long[] $bd = new long[$p];
-             |long[] $bc = new long[$p];
-             |int $filled = 0;
-             |for (int $i = 0; $i < ${cids.length}; $i++) {
-             |  int $base = $startsRef[$i];
-             |  int $n = java.lang.Math.min($startsRef[$i + 1] - $base, $q.numElements());
-             |  long $dot = 0L;
-             |  for (int $j = 0; $j < $n; $j++) {
-             |    $qGuard$dot += $q.getLong($j) * $flatRef[$base + $j];
-             |  }
-             |  long $d2 = $n2 - 2L * $dot + $cn2sRef[$i];
-             |  long $cid = $cidsRef[$i];
-             |  int $pos = $filled < $p ? $filled : $p;
-             |  while ($pos > 0 && ($d2 < $bd[$pos - 1] ||
-             |         ($d2 == $bd[$pos - 1] && $cid < $bc[$pos - 1]))) $pos--;
-             |  if ($pos < $p) {
-             |    for (int $m = java.lang.Math.min($filled, $p - 1); $m > $pos; $m--) {
-             |      $bd[$m] = $bd[$m - 1]; $bc[$m] = $bc[$m - 1];
-             |    }
-             |    $bd[$pos] = $d2; $bc[$pos] = $cid;
-             |    if ($filled < $p) $filled++;
-             |  }
-             |}
-             |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-             |  java.util.Arrays.copyOfRange($bc, 0, $filled));
-           """.stripMargin
+          val fn = ctx.freshName("ivfProbesKernel")
+          val qGuard = if (qMayHaveNullElements) "if (!q.isNullAt(j)) " else ""
+          val fnName = ctx.addNewFunction(fn,
+            s"""
+               |private org.apache.spark.sql.catalyst.util.ArrayData $fn(
+               |    org.apache.spark.sql.catalyst.util.ArrayData q, long n2) {
+               |  long[] bd = new long[$p];
+               |  long[] bc = new long[$p];
+               |  int filled = 0;
+               |  for (int i = 0; i < ${cids.length}; i++) {
+               |    int base = $startsRef[i];
+               |    int n = java.lang.Math.min($startsRef[i + 1] - base, q.numElements());
+               |    long dot = 0L;
+               |    for (int j = 0; j < n; j++) {
+               |      ${qGuard}dot += q.getLong(j) * $flatRef[base + j];
+               |    }
+               |    long d2 = n2 - 2L * dot + $cn2sRef[i];
+               |    long cid = $cidsRef[i];
+               |    int pos = filled < $p ? filled : $p;
+               |    while (pos > 0 && (d2 < bd[pos - 1] ||
+               |           (d2 == bd[pos - 1] && cid < bc[pos - 1]))) pos--;
+               |    if (pos < $p) {
+               |      for (int m = java.lang.Math.min(filled, $p - 1); m > pos; m--) {
+               |        bd[m] = bd[m - 1]; bc[m] = bc[m - 1];
+               |      }
+               |      bd[pos] = d2; bc[pos] = cid;
+               |      if (filled < $p) filled++;
+               |    }
+               |  }
+               |  return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+               |    java.util.Arrays.copyOfRange(bc, 0, filled));
+               |}
+             """.stripMargin)
+          s"${ev.value} = $fnName($q, $n2);"
         })
       case None => genericDoGenCode(ctx, ev)
     }
 
   private def genericDoGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (cents, q, n2) => {
-      val k = ctx.freshName("k")
-      val bd = ctx.freshName("bd")
-      val bc = ctx.freshName("bc")
-      val filled = ctx.freshName("filled")
-      val i = ctx.freshName("i")
-      val c = ctx.freshName("c")
-      val cid = ctx.freshName("cid")
-      val cq = ctx.freshName("cq")
-      val cn2 = ctx.freshName("cn2")
-      val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
-      val j = ctx.freshName("j")
-      val d2 = ctx.freshName("d2")
-      val pos = ctx.freshName("pos")
-      val m = ctx.freshName("m")
+      val fn = ctx.freshName("ivfProbesGeneric")
       val elemGuard =
-        (if (qMayHaveNullElements) s"!$q.isNullAt($j) && " else "") +
-          (if (cqMayHaveNullElements) s"!$cq.isNullAt($j) && " else "")
-      s"""
-         |int $k = $cents.numElements();
-         |long[] $bd = new long[$p];
-         |long[] $bc = new long[$p];
-         |int $filled = 0;
-         |for (int $i = 0; $i < $k; $i++) {
-         |  if ($cents.isNullAt($i)) continue;
-         |  org.apache.spark.sql.catalyst.InternalRow $c = $cents.getStruct($i, $nFields);
-         |  if ($c.isNullAt($cqIdx)) continue;
-         |  long $cid = $c.getLong($cidIdx);
-         |  org.apache.spark.sql.catalyst.util.ArrayData $cq = $c.getArray($cqIdx);
-         |  long $cn2 = $c.getLong($cn2Idx);
-         |  int $n = java.lang.Math.min($q.numElements(), $cq.numElements());
-         |  long $dot = 0L;
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    if (${if (elemGuard.isEmpty) "true" else elemGuard.stripSuffix(" && ")})
-         |      $dot += $q.getLong($j) * $cq.getLong($j);
-         |  }
-         |  long $d2 = $n2 - 2L * $dot + $cn2;
-         |  int $pos = $filled < $p ? $filled : $p;
-         |  while ($pos > 0 && ($d2 < $bd[$pos - 1] ||
-         |         ($d2 == $bd[$pos - 1] && $cid < $bc[$pos - 1]))) $pos--;
-         |  if ($pos < $p) {
-         |    for (int $m = java.lang.Math.min($filled, $p - 1); $m > $pos; $m--) {
-         |      $bd[$m] = $bd[$m - 1]; $bc[$m] = $bc[$m - 1];
-         |    }
-         |    $bd[$pos] = $d2; $bc[$pos] = $cid;
-         |    if ($filled < $p) $filled++;
-         |  }
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  java.util.Arrays.copyOfRange($bc, 0, $filled));
-       """.stripMargin
+        (if (qMayHaveNullElements) "!q.isNullAt(j) && " else "") +
+          (if (cqMayHaveNullElements) "!cq.isNullAt(j) && " else "")
+      val fnName = ctx.addNewFunction(fn,
+        s"""
+           |private org.apache.spark.sql.catalyst.util.ArrayData $fn(
+           |    org.apache.spark.sql.catalyst.util.ArrayData cents,
+           |    org.apache.spark.sql.catalyst.util.ArrayData q, long n2) {
+           |  int k = cents.numElements();
+           |  long[] bd = new long[$p];
+           |  long[] bc = new long[$p];
+           |  int filled = 0;
+           |  for (int i = 0; i < k; i++) {
+           |    if (cents.isNullAt(i)) continue;
+           |    org.apache.spark.sql.catalyst.InternalRow c = cents.getStruct(i, $nFields);
+           |    if (c.isNullAt($cqIdx)) continue;
+           |    long cid = c.getLong($cidIdx);
+           |    org.apache.spark.sql.catalyst.util.ArrayData cq = c.getArray($cqIdx);
+           |    long cn2 = c.getLong($cn2Idx);
+           |    int n = java.lang.Math.min(q.numElements(), cq.numElements());
+           |    long dot = 0L;
+           |    for (int j = 0; j < n; j++) {
+           |      if (${if (elemGuard.isEmpty) "true" else elemGuard.stripSuffix(" && ")})
+           |        dot += q.getLong(j) * cq.getLong(j);
+           |    }
+           |    long d2 = n2 - 2L * dot + cn2;
+           |    int pos = filled < $p ? filled : $p;
+           |    while (pos > 0 && (d2 < bd[pos - 1] ||
+           |           (d2 == bd[pos - 1] && cid < bc[pos - 1]))) pos--;
+           |    if (pos < $p) {
+           |      for (int m = java.lang.Math.min(filled, $p - 1); m > pos; m--) {
+           |        bd[m] = bd[m - 1]; bc[m] = bc[m - 1];
+           |      }
+           |      bd[pos] = d2; bc[pos] = cid;
+           |      if (filled < $p) filled++;
+           |    }
+           |  }
+           |  return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |    java.util.Arrays.copyOfRange(bc, 0, filled));
+           |}
+         """.stripMargin)
+      s"${ev.value} = $fnName($cents, $q, $n2);"
     })
 
   override protected def withNewChildrenInternal(

@@ -80,9 +80,21 @@ object Bpe {
     * documents fixture. Returns the learned (step, lhs, rhs,
     * pair_count) rules and the final word\u2192sequence frame. */
   private[graft] def trainLoop(wc: DataFrame, nMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
-    var v = wc
+    // ONE checkpoint of the (word, cnt, seq) base; each step's argmax
+    // reads base + step-1 chained `replace`s (map-side string ops over
+    // the vocabulary \u2014 microseconds), instead of re-checkpointing the
+    // whole frame every step. The per-step checkpoint was one extra
+    // Spark job + block write per merge (r16 profile: ~40% of
+    // bpe_build's 2.7 s at sf0.1 was the 12 checkpoint jobs); the
+    // chained-replace plan is LINEAR in steps (each step adds one
+    // projection), so the analysis-time blowup the checkpoints guarded
+    // against (branching re-derivation) cannot occur. Merge decisions
+    // are byte-identical: applying replace k on (base + replaces 1..k-1)
+    // is the same string as applying it on the old step-k checkpoint.
+    val base = wc
       .select(col("word"), col("cnt"), wrapped(col("word")).as("seq"))
       .localCheckpoint(true)
+    var v = base
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     for (step <- 1 to nMerges) {
       val syms = symsOf(col("seq"))
@@ -98,13 +110,14 @@ object Bpe {
         s"BPE pairs exhausted at step $step \u2014 corpus too small for nMerges=$nMerges")
       val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       learned += ((step, a, b, c))
-      val prev = v
       v = v.select(col("word"), col("cnt"),
-          replace(col("seq"), lit(s"$M$a$M$M$b$M"), lit(s"$M$a$b$M")).as("seq"))
-        .localCheckpoint(true)
-      Materialize.free(prev)
+        replace(col("seq"), lit(s"$M$a$M$M$b$M"), lit(s"$M$a$b$M")).as("seq"))
     }
-    (learned.result(), v)
+    // hand the caller a self-contained checkpoint and free the base \u2014
+    // same single-live-checkpoint lifecycle as before
+    val out = v.localCheckpoint(true)
+    Materialize.free(base)
+    (learned.result(), out)
   }
 
   /** Trained state: the merge table (step, lhs, rhs, pair_count) as

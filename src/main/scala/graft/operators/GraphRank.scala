@@ -85,35 +85,48 @@ object GraphRank {
       pagerankBuild(spark, sfDir)
     }.orderBy(col("node").asc)
 
+  /** The power iteration runs ON THE DRIVER over the collected edge
+    * list — the k-means/centsLit bounded-collect pattern: the node set
+    * is the pinned `props.$.k` item vocabulary (100 values at every
+    * fixture scale, corpus-independent), so the grouped edge frame is
+    * ≤ vocab² slim rows at ANY corpus size — the same boundedness
+    * class as the k-row centroid collect. The corpus-scale work (the
+    * events scan + window + edge aggregation in [[itemEdges]]) stays
+    * distributed; only the vocabulary-sized recurrence moves. The
+    * previous formulation ran each iteration as a join + grouped fold
+    * + localCheckpoint — ~4 Spark jobs of scheduling overhead per
+    * iteration on ~100-row frames, measured at ~3 s of the query's
+    * 4.4 s cold time at sf0.1; the arithmetic is microseconds.
+    *
+    * Bit-exactness is preserved op for op: contributions fold in src
+    * order, left-associated from the 0.0 seed ((r·w)/outw per edge),
+    * the update is 0.15/N + 0.85·s — the identical IEEE tree the
+    * oracle's `list_reduce(list(c ORDER BY src))` replays (its
+    * first-element seed is exact vs 0.0 + c because contributions are
+    * positive; unchanged from the previous in-plan fold, which the
+    * oracle already hash-matched). */
   private def pagerankBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = itemEdges(spark, sfDir).localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
-    val stats = nodes.agg(count(lit(1)).as("n"))
-    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val ndD = col("n").cast("double")
-    var ranks = nodes.crossJoin(broadcast(stats))
-      .select(col("node"), (lit(1.0) / ndD).as("r"))
-      .localCheckpoint(true)
-    for (_ <- 1 to PageRankIters) {
-      val contribs = edges
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outw, Seq("src"))
-        .select(col("dst"), col("src"),
-          ((col("r") * col("w").cast("double")) / col("outw").cast("double")).as("c"))
-      val incoming = contribs.groupBy(col("dst"))
-        .agg(aggregate(array_sort(collect_list(struct(col("src"), col("c")))),
-          lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
-      ranks = nodes
-        .join(incoming.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .crossJoin(broadcast(stats))
-        .select(col("node"),
-          (lit(0.15) / ndD + lit(0.85) * coalesce(col("s"), lit(0.0))).as("r"))
-        .localCheckpoint(true)
+    val edgeRows = itemEdges(spark, sfDir)
+      .select(col("src"), col("dst"), col("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nodes = edgeRows.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val outw = edgeRows.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val byDst = edgeRows.groupBy(_._2).map { case (d, es) =>
+      d -> es.map(e => (e._1, e._3)).sortBy(_._1)
     }
-    ranks.select(col("node"), col("r").as("pagerank"))
+    var r = nodes.map(v => v -> 1.0 / n).toMap
+    for (_ <- 1 to PageRankIters) {
+      r = nodes.map { v =>
+        var s = 0.0
+        byDst.get(v).foreach(_.foreach { case (src, w) =>
+          s += (r(src) * w.toDouble) / outw(src).toDouble
+        })
+        v -> (0.15 / n + 0.85 * s)
+      }.toMap
+    }
+    spark.createDataFrame(nodes.toSeq.map(v => (v, r(v))))
+      .toDF("node", "pagerank")
   }
 
   /** Within-session consecutive-item transition graph as an
@@ -284,28 +297,40 @@ object GraphRank {
     * no data-dependent driver round-trip beyond the unrolled plan;
     * each survivor frame is localCheckpointed so round r+1's plan
     * doesn't re-derive rounds 1..r. */
+  /** The peel rounds run ON THE DRIVER over the collected undirected
+    * edge set — the [[pagerankBuild]] bounded-collect rationale: nodes
+    * are the pinned 100-item vocabulary, so the deduped edge list is
+    * ≤ vocab²/2 slim rows at any corpus size, and the previous
+    * per-round formulation (two semi-joins + union-aggregate +
+    * localCheckpoint × [[KCoreRounds]] rounds) was ~2 s of pure job
+    * scheduling on ~100-row frames at sf0.1. Peeling is exact integer
+    * arithmetic (degree counts vs k), so the survivor set and final
+    * induced degrees are identical by construction. */
   private[graft] def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
     val und = edges
       .where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(true)
-    def induced(alive: DataFrame): DataFrame = {
-      val e = und
-        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
-        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
-      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var alive = und.flatMap(e => Seq(e._1, e._2)).toSet
+    def degrees(of: Set[Long]): Map[Long, Long] = {
+      val d = scala.collection.mutable.Map.empty[Long, Long]
+      und.foreach { case (a, b) =>
+        if (of(a) && of(b)) {
+          d(a) = d.getOrElse(a, 0L) + 1L
+          d(b) = d.getOrElse(b, 0L) + 1L
+        }
+      }
+      d.toMap
     }
-    var nodes = und.select(col("a").as("node"))
-      .union(und.select(col("b").as("node")))
-      .distinct()
-      .localCheckpoint(true)
     for (_ <- 1 to rounds)
-      nodes = induced(nodes).where(col("deg") >= k)
-        .select(col("node")).localCheckpoint(true)
-    induced(nodes).orderBy(col("node").asc)
+      alive = degrees(alive).collect { case (v, d) if d >= k => v }.toSet
+    val fin = degrees(alive).toSeq.sortBy(_._1)
+    spark.createDataFrame(fin).toDF("node", "deg")
+      .orderBy(col("node").asc)
   }
 
   /** [[kcore]]'s oracle: the identical [[KCoreRounds]] peel rounds

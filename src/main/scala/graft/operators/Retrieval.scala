@@ -152,13 +152,36 @@ object Retrieval {
       Bm25Terms.indices.map(i => r.getLong(2 + i)))
   }
 
-  /** All matching docs with their scores, unordered — the full scoring
-    * frame [[bm25TopK]] ranks. */
-  private[graft] def bm25Scores(spark: SparkSession, sfDir: String): DataFrame =
-    bm25ScoresOf(Tables.documents(spark, sfDir))
+  /** The all-terms per-doc projection (doc_id, dl, tf0..tf{T-1}),
+    * tokenized ONCE per (session, dir) and memoized — the whole BM25
+    * family (single-query, multi-query, hard negatives, their SQL
+    * views) previously re-tokenized the corpus twice per registration
+    * (stats pass + postings pass), which at sf0.1 made each of the six
+    * registrations pay ~0.4-0.6 s of identical normalization+split
+    * work. The single-query scorers read tf0..tf2 of this frame —
+    * [[Bm25Terms]] are by construction the first three of
+    * [[Bm25AllTerms]] (first-appearance order), so the shared columns
+    * are the identical expressions and every score is bit-unchanged.
+    * Corpus-sized but slim (id + T+1 longs/doc) — the pqIndex
+    * encode-once/serve-many shape. */
+  private[graft] def bm25PerDocAll(spark: SparkSession, sfDir: String): DataFrame =
+    Materialize.memoized(spark,
+        s"bm25_perdoc_${Bm25AllTerms.size}_${Materialize.dirTag(sfDir)}") {
+      bm25PerDocFor(Tables.documents(spark, sfDir), Bm25AllTerms)
+    }
 
-  private[graft] def bm25ScoresOf(docs: DataFrame): DataFrame = {
-    val perDoc = bm25PerDoc(docs)
+  /** All matching docs with their scores, unordered — the full scoring
+    * frame [[bm25TopK]] ranks. Served from [[bm25PerDocAll]]. */
+  private[graft] def bm25Scores(spark: SparkSession, sfDir: String): DataFrame =
+    bm25ScoresOver(bm25PerDocAll(spark, sfDir))
+
+  private[graft] def bm25ScoresOf(docs: DataFrame): DataFrame =
+    bm25ScoresOver(bm25PerDoc(docs))
+
+  /** Single-query scoring over any frame carrying (doc_id, dl,
+    * tf0..tf2, ...) — extra tf columns (the memoized all-terms frame)
+    * are simply never referenced. */
+  private def bm25ScoresOver(perDoc: DataFrame): DataFrame = {
     val stats = bm25Stats(perDoc)
     val (nTerms, score) = bm25ScoreCols(col("nd"), col("tt"), i => col(s"df$i"))
     perDoc.where(bm25AnyMatch)
@@ -236,7 +259,7 @@ object Retrieval {
     * its score and per-query rank. */
   private[graft] def bm25MultiRanked(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perDoc = bm25PerDocFor(Tables.documents(spark, sfDir), Bm25AllTerms)
+    val perDoc = bm25PerDocAll(spark, sfDir)
     val stats = bm25StatsFor(perDoc, Bm25AllTerms.size)
     val anyAll = Bm25AllTerms.indices.map(i => col(s"tf$i") > 0).reduceLeft(_ || _)
     val qStructs = Bm25Queries.map { case (qid, terms) =>

@@ -89,8 +89,17 @@ object Similarity {
     }
 
   /** Exact integer quantization of a float vector. */
+  /** Fixed-point quantization via the native [[graft.functions
+    * .QuantizeLong]] kernel — value-identical to the previous
+    * `transform(v, x => round(x.cast("double") * 1000000.0)
+    * .cast("long"))` higher-order form (same widen, same BigDecimal
+    * HALF_UP round, same cast, nulls preserved), but one primitive
+    * loop instead of an interpreted per-element `Round` that allocates
+    * a BigDecimal per element per row on every corpus scan. Callers
+    * must have [[graft.functions.QuantizeKernels.register]]ed the
+    * session ([[corpus]] does). */
   private[graft] def quantize(v: Column): Column =
-    transform(v, x => round(x.cast("double") * 1000000.0).cast("long"))
+    call_function("quantize_long", v)
 
   /** Exact integer dot product of two quantized vectors — the native
     * codegen'd [[DotLong]] kernel ([[corpus]] registers it). */
@@ -151,6 +160,7 @@ object Similarity {
     DotLong.register(spark)
     graft.functions.AnnBuckets.register(spark)
     graft.functions.IvfProbes.register(spark)
+    graft.functions.QuantizeKernels.register(spark)
     val raw = Tables.embeddings(spark, sfDir)
     val target = spark.sparkContext.defaultParallelism
     val balanced =

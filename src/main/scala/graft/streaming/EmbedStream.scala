@@ -68,6 +68,7 @@ object EmbedStream {
         col("vec_id") % Similarity.KnnQueryMod === 0): Dataset[KnnPrediction] = {
     import spark.implicits._
     graft.functions.DotLong.register(spark)
+    graft.functions.QuantizeKernels.register(spark)
     val k = graft.GraftConf.knnK(spark)
     val cents = Similarity.trainedCentroidLiteral(spark, sfDir)
     val index = Similarity.knnCellIndex(spark, sfDir)
@@ -130,6 +131,7 @@ object EmbedStream {
     import graft.operators.ProductQuant
     graft.functions.DotLong.register(spark)
     graft.functions.IvfProbes.register(spark)
+    graft.functions.QuantizeKernels.register(spark)
     val books = ProductQuant.pqTrain(spark, sfDir)
     val codes = ProductQuant.pqCodeCols(books)
     embStream
