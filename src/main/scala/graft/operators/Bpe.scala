@@ -420,23 +420,36 @@ object Bpe {
     * encode path broadcasts. */
   private[graft] def trainLoopLocal(wc: Seq[(String, Long)], nMerges: Int)
       : (Seq[(Int, String, String, Long)], Seq[(String, Long, String)]) = {
-    var vocab: Seq[(String, Long, String)] =
-      wc.map { case (w, c) => (w, c, w.flatMap(ch => s"$M$ch$M")) }
+    // INCREMENTAL pair maintenance (r16): the previous loop re-counted
+    // every pair of every word on every one of the 256 steps —
+    // O(steps × vocab × word length) string splits. A merge only
+    // changes the pair multiset of words whose seq CONTAINS the merged
+    // bigram, so the counts map is built once and then patched per
+    // step (subtract the affected word's old pairs, apply the replace,
+    // add its new pairs). Integer adds/subtracts commute, and keys are
+    // removed exactly when their count reaches zero, so after every
+    // step the map EQUALS the full recount (a zero-count key can never
+    // linger to perturb `counts.isEmpty` or the argmax) — the merge
+    // sequence is byte-identical; BpeSpec pins the replay.
+    val vocab = wc.map { case (w, c) => (w, c, w.flatMap(ch => s"$M$ch$M")) }
+      .toArray
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    def addPairs(seq: String, cnt: Long): Unit = {
+      val syms = seq.substring(1, seq.length - 1).split(s"$M$M")
+      var j = 0
+      while (j < syms.length - 1) {
+        val key = (syms(j), syms(j + 1))
+        val nv = counts.getOrElse(key, 0L) + cnt
+        if (nv == 0L) counts.remove(key) else counts.update(key, nv)
+        j += 1
+      }
+    }
+    vocab.foreach { case (_, cnt, seq) => addPairs(seq, cnt) }
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     val tieOrd = Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order)
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      for ((_, cnt, seq) <- vocab) {
-        val syms = seq.substring(1, seq.length - 1).split(s"$M$M")
-        var j = 0
-        while (j < syms.length - 1) {
-          val key = (syms(j), syms(j + 1))
-          counts.update(key, counts.getOrElse(key, 0L) + cnt)
-          j += 1
-        }
-      }
       // exhaustion (every word a single symbol) STOPS training — an
       // exact integer condition, so the stop step is deterministic and
       // the oracle replays it for free: an empty m_i CTE leaves every
@@ -447,16 +460,29 @@ object Bpe {
       // stopping" rule doesn't apply — nothing here is approximate.)
       if (counts.isEmpty) exhausted = true
       else {
+        // minBy over DISTINCT keys: the (-n, lhs, rhs) order is total
+        // (keys differ in lhs or rhs), so map iteration order cannot
+        // influence the winner
         val ((a, b), c) =
           counts.minBy { case ((x, y), n) => (-n, x, y) }(tieOrd)
         learned += ((step, a, b, c))
-        vocab = vocab.map { case (w, cnt, seq) =>
-          (w, cnt, seq.replace(s"$M$a$M$M$b$M", s"$M$a$b$M"))
+        val pat = s"$M$a$M$M$b$M"
+        val rep = s"$M$a$b$M"
+        var i = 0
+        while (i < vocab.length) {
+          val (w, cnt, seq) = vocab(i)
+          if (seq.contains(pat)) {
+            addPairs(seq, -cnt)
+            val seq2 = seq.replace(pat, rep)
+            vocab(i) = (w, cnt, seq2)
+            addPairs(seq2, cnt)
+          }
+          i += 1
         }
         step += 1
       }
     }
-    (learned.result(), vocab)
+    (learned.result(), vocab.toSeq)
   }
 
   /** Scaled trained state over an arbitrary word source, memoized per

@@ -223,9 +223,16 @@ object DataQuality {
     * distinct against n), so the cogroup encoding is cross-verified,
     * not replayed. */
   def ordersReconcile(spark: SparkSession, sfDir: String): DataFrame =
-    reconcileCore(
-      Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderstatus")),
-      Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_linenumber")))
+    // output memoized per (session, dir) — order-status-sized rows;
+    // shared by orders_reconcile and sql_reconcile (each previously
+    // re-ran the orders⋈lineitem cogroup — the one typed-Dataset
+    // aggregation in the library, lineitem-scale)
+    Materialize.memoized(spark,
+        s"reconcile_${Materialize.dirTag(sfDir)}") {
+      reconcileCore(
+        Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderstatus")),
+        Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_linenumber")))
+    }.orderBy(col("o_orderstatus").asc)
 
   /** Frame-parametric core so the spec can pin each class against
     * PLANTED defects with known classifications (the fixture's own

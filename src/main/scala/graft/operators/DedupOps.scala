@@ -534,7 +534,14 @@ object DedupOps {
     val sig = Materialize.memoized(spark, s"simhash_sig_${Materialize.dirTag(sfDir)}") {
       simhashCore(spark, sfDir)
     }
-    simhashNearDupsFromSignatures(sig)
+    // pair-set output memoized too: the banding + Hamming verification
+    // over the signature memo previously re-ran for each of
+    // dedup_simhash_pairs and sql_simhash_pairs (the verified pair set
+    // is near-dup-scale, slim)
+    Materialize.memoized(spark,
+        s"simhash_pairs_${Materialize.dirTag(sfDir)}") {
+      simhashNearDupsFromSignatures(sig)
+    }.orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
   /** The signature-table twin of [[simhashNearDups]] — the SimHash half
@@ -624,6 +631,12 @@ object DedupOps {
     * the canonical source is corpus-scale too; AQE picks broadcast when
     * it is small. */
   def priorityDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // output memoized per (session, dir) — doc-scale slim rows; shared
+    // by dedup_priority and sql_priority_dedup, which each previously
+    // re-ran the banding + Jaccard verification (the PageRank
+    // output-memo billing policy)
+    Materialize.memoized(spark,
+        s"priority_dedup_${Materialize.dirTag(sfDir)}") {
     val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
     val hashed = hashedDocs(spark, sfDir)
     val prio = hashed.where(col("source") === PrioritySource)
@@ -646,7 +659,7 @@ object DedupOps {
       .where(col("source") =!= PrioritySource)
       .groupBy(col("doc_id"), col("source"))
       .agg(min(col("dup_of")).as("dup_of"))
-      .orderBy(col("doc_id").asc)
+    }.orderBy(col("doc_id").asc)
   }
 
   val priorityDedupSql: String = {

@@ -162,6 +162,11 @@ object QualityFilters {
     *    keyed on the 8-byte doc_id.
     * Documents shorter than [[DedupOps.ShingleK]] tokens have no
     * shingles and no row, exactly as they drop out of the MinHash path. */
+  // NOT memoized (r16): like spanDupRate, aggregate-only consumers can
+  // prune parts of this plan that an eager output memo would force to
+  // materialize (measured net-negative at sf0.1); the heavy shared
+  // input (the shingle-hash signature frame) is already memoized by
+  // DedupOps.signatures.
   def boilerplateStats(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = DedupOps.signatures(spark, sfDir, keepHs = true)
       .select(col("doc_id"), explode(col("hs")).as("h"))

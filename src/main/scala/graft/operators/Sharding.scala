@@ -104,8 +104,22 @@ object Sharding {
     * hash-verified quality double, and IEEE subtract/multiply/floor are
     * deterministic and identical on both engines. */
   def curriculumOrder(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bands = graft.GraftConf.curriculumBands(spark)
+    // output memoized per (session, dir, bands) — doc-scale slim rows;
+    // shared by curriculum_order and sql_curriculum (each previously
+    // re-ran the quality scoring + banded windows)
+    Materialize.memoized(spark,
+        s"curriculum_${bands}_${Materialize.dirTag(sfDir)}") {
+      curriculumOrderBuild(spark, sfDir, bands)
+    }.orderBy(col("pos").asc)
+  }
+
+  /** The banded-window derivation behind [[curriculumOrder]] — split
+    * out (pre-memo) so the plan-shape spec can assert the per-band
+    * exchange on the build plan itself. */
+  private[graft] def curriculumOrderBuild(spark: SparkSession, sfDir: String,
+      bands: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = TextAnalysis.qualityScore(spark, sfDir).select(col("doc_id"), col("quality"))
     val banded = q.withColumn("band",
       least(floor((lit(1.0) - col("quality")) * bands), lit(bands - 1))
@@ -121,7 +135,6 @@ object Sharding {
         Window.partitionBy(col("band"))
           .orderBy(col("quality").desc, col("doc_id").asc))).cast("long"))
       .select(col("doc_id"), col("quality"), col("pos"))
-      .orderBy(col("pos").asc)
   }
 
   /** Oracle twin: the naive global window the Spark side must equal. */

@@ -594,6 +594,12 @@ object TextAnalysis {
     * top-k per source is WindowGroupLimit-pruned. */
   def keywordsPerSource(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // output memoized per (session, dir, k) — sources×k rows; shared
+    // by text_keywords and sql_keywords (each previously re-ran the
+    // token explode + tf/df aggregations — the PageRank output-memo
+    // billing policy)
+    Materialize.memoized(spark,
+        s"keywords_${k}_${Materialize.dirTag(sfDir)}") {
     val perDoc = docs(spark, sfDir)
       .select(col("source"), col("doc_id"),
         explode(TextOps.tokens(TextOps.normText(col("text")))).as("term"))
@@ -616,7 +622,7 @@ object TextAnalysis {
       .where(col("rk") <= k)
       .select(col("source"), col("rk").cast("long").as("rk"),
         col("term"), col("tf"), col("df"), col("score"))
-      .orderBy(col("source").asc, col("rk").asc)
+    }.orderBy(col("source").asc, col("rk").asc)
   }
 
   def keywordsPerSourceSql(k: Int = 5): String = {
@@ -771,22 +777,27 @@ object TextAnalysis {
         .select(col("source"), explode(col("hs")).as("h"))
         .groupBy(col("h")).agg(sort_array(collect_set(col("source"))).as("ss"))
     }
-    val sizes = perShingle.select(explode(col("ss")).as("source"))
-      .groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val combos = flatten(transform(col("ss"), (x, i) =>
-      transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
-        struct(x.as("src_a"), y.as("src_b")))))
-    val inter = perShingle
-      .select(explode(combos).as("p"))
-      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
-      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
-      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
-      .orderBy(col("src_a").asc, col("src_b").asc)
+    // sources²-row output memo on top of the perShingle memo: the
+    // combination explode + size joins previously re-ran for each of
+    // source_overlap and sql_source_overlap
+    Materialize.memoized(spark,
+        s"source_overlap_out_${Materialize.dirTag(sfDir)}") {
+      val sizes = perShingle.select(explode(col("ss")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val combos = flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
+          struct(x.as("src_a"), y.as("src_b")))))
+      val inter = perShingle
+        .select(explode(combos).as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+    }.orderBy(col("src_a").asc, col("src_b").asc)
   }
 
   /** Oracle twin: the same distinct (source, hash) relation, intersected

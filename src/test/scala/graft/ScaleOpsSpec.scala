@@ -219,7 +219,10 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("curriculum order exchanges by band — no corpus-wide single-partition window") {
     import graft.operators.Sharding
-    val plan = Sharding.curriculumOrder(spark, sf).queryExecution.executedPlan.toString
+    // assert on the pre-memo BUILD plan: the registered surface reads
+    // the memoized output, whose checkpoint hides the window shape
+    val plan = Sharding.curriculumOrderBuild(spark, sf,
+      graft.GraftConf.curriculumBands(spark)).queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(band"),
       s"per-band ranking windows must partition by band:\n$plan")
   }
