@@ -122,13 +122,18 @@ object ClusterOps {
     // the memo holds its own checkpoint of the label rows; the loop's
     // final frontier block set is no longer reachable — free it
     if (inner ne null) Materialize.free(inner)
-    Tables.documents(spark, sfDir).select(col("doc_id"))
-      .join(labels.toDF("doc_id", "label"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-      .orderBy(col("doc_id").asc)
+    // the per-document cluster frame itself is memoized too (doc-scale
+    // slim rows): seven session consumers (clusters/survivors/
+    // rep-quality/size-histogram/leakage-split + sql twins) previously
+    // re-ran the label join + corpus-wide size window each
+    Materialize.memoized(spark, s"cc_clusters_${Materialize.dirTag(sfDir)}") {
+      Tables.documents(spark, sfDir).select(col("doc_id"))
+        .join(labels.toDF("doc_id", "label"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    }.orderBy(col("doc_id").asc)
   }
 
   /** The survivor corpus — what a dedup pipeline actually keeps: one

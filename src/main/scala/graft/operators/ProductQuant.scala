@@ -108,9 +108,29 @@ object ProductQuant {
     * to the smallest code id, BigDecimal HALF_UP means, empty cells
     * keep their code; all m subspaces train in ONE scan per
     * iteration. */
+  /** Spread a kernel-heavy PQ pass across the cluster when its input
+    * plans fewer partitions than there are slots — at fixture scale the
+    * sub-MB embeddings table is ONE split (below the corpus()
+    * rebalance's bytes gate, which is sized for plain dot-product
+    * passes), but a PQ pass does m×k distance kernels per row (~100×
+    * a scan's per-row work), so here the exchange always pays. At real
+    * scale the scan has more splits than slots and this no-ops. Integer
+    * sums commute and every consumer sorts deterministically, so
+    * placement cannot change any value. */
+  private def balanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private[graft] def pqTrainOver(emb0: DataFrame, m: Int, sub: Int,
       k: Int, iters: Int): IndexedSeq[IndexedSeq[CentLit]] = {
     require(k < KeyStride, s"codebook size $k must stay below KeyStride $KeyStride")
+    // NOT balanced: the training input is the pinned sample, bounded by
+    // TrainSampleFloor at ANY corpus size, so the assignment passes are
+    // O(1)-sized forever — measured at sf0.1, the exchange + 33-way
+    // partial collect cost more than the single-partition pass it
+    // parallelized (the encode passes below ARE corpus-scale and are
+    // balanced)
     val emb = emb0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // q IS NOT NULL mirrors the SQL replay's ts_/c0_ CTEs: a null
@@ -207,7 +227,9 @@ object ProductQuant {
         s"pq_index_${PqK}_${PqIters}_k${coarseK}_${Materialize.dirTag(sfDir)}") {
       val books = pqTrain(spark, sfDir)
       val cl = Similarity.centsLit(Similarity.trainedCentroids(spark, sfDir))
-      val emb = Similarity.corpus(spark, sfDir)
+      // the encode pass runs m×k kernels per row — spread it (no-op
+      // when the scan already has ≥ slots partitions; see [[balanced]])
+      val emb = balanced(Similarity.corpus(spark, sfDir))
       val codes = pqCodeCols(books)
       emb.where(col("q").isNotNull)
         .select(Seq(col("vec_id"), col("label"),
@@ -398,8 +420,8 @@ object ProductQuant {
       // argmin kernel + map lookup + zip_with) once per copy — measured
       // 4× the raw tier's build cost at sf0.001; the persist is the
       // same evaluation boundary pqTrainOver puts under training
-      resid = residualCorpus(spark, sfDir)
-        .where(col("q").isNotNull)
+      resid = balanced(residualCorpus(spark, sfDir)
+          .where(col("q").isNotNull))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       resid
         .select(Seq(col("vec_id"), col("label"), col("cid")) ++

@@ -61,23 +61,36 @@ object SpanDedup {
   /** Spans appearing in ≥2 distinct documents: span hash, how many
     * docs contain it, total occurrences, and the smallest containing
     * doc id (the canonical place to look the text up). */
-  def dedupSpans(spark: SparkSession, sfDir: String,
-                 windowTokens: Option[Int] = None): DataFrame = {
-    val w = windowTokens.getOrElse(graft.GraftConf.spanWindowTokens(spark))
-    // output memoized per (session, dir, W) — the PageRank billing
-    // policy: the DataFrame surface and the `graft_dedup_spans` view
-    // (`sql_spans`) consume ONE window-hash pass instead of re-hashing
-    // every corpus window each (the pass is O(total tokens) of md5;
-    // the memoized frame is bounded by the DUPLICATED span set — slim)
+  /** The duplicated-span aggregate (span_hash, n_docs, n_occ, canonical
+    * (doc, pos) location), memoized per (session, dir, W) — ONE
+    * O(total tokens) window-hash pass serves dedup_spans, sql_spans,
+    * span_top_text and sql_span_text (each previously re-hashed every
+    * corpus window). Bounded by the DUPLICATED span set — slim. The
+    * canonical location's doc id IS min(doc_id) (lexicographic struct
+    * min), so [[dedupSpans]]'s `first_doc` projects from it exactly. */
+  private def dupSpanAgg(spark: SparkSession, sfDir: String, w: Int): DataFrame =
     Materialize.memoized(spark,
-        s"span_dedup_${w}_${Materialize.dirTag(sfDir)}") {
-      spanHashes(spark, sfDir, w)
+        s"span_agg_${w}_${Materialize.dirTag(sfDir)}") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(TextOps.ngramIndex(col("t"), w)).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          TextOps.hash60(TextOps.ngramAt(col("t"), col("pos"), w)).as("span_hash"))
         .groupBy(col("span_hash"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occ"),
-          min(col("doc_id")).as("first_doc"))
+          min(struct(col("doc_id"), col("pos"))).as("loc"))
         .where(col("n_docs") >= 2)
-    }.orderBy(col("n_docs").desc, col("n_occ").desc, col("span_hash").asc)
+    }
+
+  def dedupSpans(spark: SparkSession, sfDir: String,
+                 windowTokens: Option[Int] = None): DataFrame = {
+    val w = windowTokens.getOrElse(graft.GraftConf.spanWindowTokens(spark))
+    dupSpanAgg(spark, sfDir, w)
+      .select(col("span_hash"), col("n_docs"), col("n_occ"),
+        col("loc.doc_id").as("first_doc"))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span_hash").asc)
   }
 
   /** Per-document duplicated-window fraction — the curation signal
@@ -133,23 +146,9 @@ object SpanDedup {
                   windowTokens: Option[Int] = None): DataFrame = {
     val W = windowTokens.getOrElse(graft.GraftConf.spanWindowTokens(spark))
     val K = graft.GraftConf.topK(spark)
-    // output memoized per (session, dir, W, K) — K rows; shared by
-    // span_top_text and sql_span_text (each previously re-ran the
-    // whole O(total tokens) hash pass)
-    Materialize.memoized(spark,
-        s"span_toptext_${W}_${K}_${Materialize.dirTag(sfDir)}") {
-    val wins = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("t"),
-        explode(TextOps.ngramIndex(col("t"), W)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        TextOps.hash60(TextOps.ngramAt(col("t"), col("pos"), W)).as("span_hash"))
-    val top = wins
-      .groupBy(col("span_hash"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occ"),
-        min(struct(col("doc_id"), col("pos"))).as("loc"))
-      .where(col("n_docs") >= 2)
+    // serves from the shared [[dupSpanAgg]] memo; only the K-row text
+    // reconstruction runs per consumer
+    val top = dupSpanAgg(spark, sfDir, W)
       .select(col("span_hash"), col("n_docs"), col("n_occ"),
         col("loc.doc_id").as("first_doc"), col("loc.pos").as("first_pos"))
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("span_hash").asc)
@@ -160,7 +159,7 @@ object SpanDedup {
       .select(col("span_hash"), col("n_docs"), col("n_occ"),
         col("first_doc"), col("first_pos"),
         TextOps.ngramAt(col("t"), col("first_pos"), W).as("span_text"))
-    }.orderBy(col("n_docs").desc, col("n_occ").desc, col("span_hash").asc)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span_hash").asc)
   }
 
   /** Shared oracle CTE: tokens → sliding W-token windows → 60-bit span
