@@ -179,7 +179,13 @@ object Bench {
       s"""{"before":${pf(probeBefore)},"mid":${pf(probeMid)},"after":${pf(probeAfter)},"blocks_pass1":${probeMap(blocks1)},"blocks_pass2":${probeMap(blocks2)},"unit":"sec per 500M xorshift steps, single core, min of 3; block keys = first query of each 25-query block"}"""
     def passMap(m: Map[String, Double]): String =
       names.map(n => q(n) + ":" + m(n)).mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"conf":$conf,"cpu_probe":$probeJson,"exact_baseline":$exactJson,"build_phase":$buildJson,"queries":$qs,"queries_pass1":${passMap(pass1)},"queries_pass2":${passMap(pass2)},"sf":"$sfDir"}"""
+    // self-identify the parallelism contract (r16 verdict item 1: the
+    // driver's suspect_cpus_ignored heuristic fired because the JSON
+    // carried no evidence the env var reached Spark — emit the resolved
+    // core count AND the master string the session actually runs with)
+    val masterStr = spark.sparkContext.master
+    val cpusJson = scala.util.Try(cpus.trim.toInt.toString).getOrElse(q(cpus))
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpusJson,"master":${q(masterStr)},"errors":$errs,"conf":$conf,"cpu_probe":$probeJson,"exact_baseline":$exactJson,"build_phase":$buildJson,"queries":$qs,"queries_pass1":${passMap(pass1)},"queries_pass2":${passMap(pass2)},"sf":"$sfDir"}"""
     println(json)
     // Also persist to the repo: the driver captures the stdout tail,
     // which truncates the per-query map once the registry is this big

@@ -55,6 +55,16 @@ object GraftConf {
     * so the result is invariant to any cap high enough to converge —
     * no Verify guard needed. */
   val CcMaxItersKey = "spark.graft.cc.maxIters"
+  /** Edge-row cap for the graph family's driver-side iterations
+    * (`GraphRank`): the deduped item-edge frame is collected to the
+    * driver only while it holds at most this many rows (vocab² slim
+    * rows — ~1000-node vocabularies sit orders of magnitude under the
+    * default); past the cap the SAME recurrence runs as the retained
+    * distributed iteration. A pure performance knob: both paths are
+    * bit-exact by construction (the driver fold replays the identical
+    * IEEE tree / exact integer peeling), so the oracle is invariant to
+    * it — like the simhash hot cap, overriding it can never diverge. */
+  val GraphCollectCapKey = "spark.graft.graph.collectCap"
   /** Chunk window size in tokens (`Chunking.chunkDocuments`). The
     * chunk boundaries are OUTPUT values, so the oracle pins the
     * default; `Verify` refuses an override like the other
@@ -151,6 +161,7 @@ object GraftConf {
   val DefaultChunkSize = 32
   val DefaultChunkStride = 24
   val DefaultCcMaxIters = 25
+  val DefaultGraphCollectCap = 1000000
   val DefaultExportShards = 8
   val DefaultSemdedupCellCap = 10000
   val DefaultVocabSize = 50
@@ -199,6 +210,11 @@ object GraftConf {
   }
   def semdedupCellCap(s: SparkSession): Int =
     s.conf.get(SemdedupCellCapKey, DefaultSemdedupCellCap.toString).toInt
+  def graphCollectCap(s: SparkSession): Int = {
+    val n = s.conf.get(GraphCollectCapKey, DefaultGraphCollectCap.toString).toInt
+    require(n >= 0, s"$GraphCollectCapKey must be non-negative, got $n")
+    n
+  }
   def ccMaxIters(s: SparkSession): Int = {
     val n = s.conf.get(CcMaxItersKey, DefaultCcMaxIters.toString).toInt
     require(n > 0, s"$CcMaxItersKey must be positive, got $n")

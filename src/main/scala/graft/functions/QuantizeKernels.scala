@@ -168,8 +168,12 @@ case class Int8Codes(child: Expression) extends UnaryExpression {
     val out = new Array[Any](n)
     i = 0
     while (i < n) {
-      if (mayHaveNullElements && arr.isNullAt(i)) out(i) = null
-      else if (hasMax && maxabs == 0.0) out(i) = 0L
+      // maxabs == 0 first: the HOF/oracle CASE WHEN maxabs = 0 THEN 0
+      // yields 0 REGARDLESS of element nullness (the lambda never
+      // looks at x on that branch) — checking element nullness first
+      // violated exact parity on a [0.0, null] vector (r16 ADVICE)
+      if (hasMax && maxabs == 0.0) out(i) = 0L
+      else if (mayHaveNullElements && arr.isNullAt(i)) out(i) = null
       else if (!hasMax) out(i) = null
       else {
         val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
@@ -202,8 +206,10 @@ case class Int8Codes(child: Expression) extends UnaryExpression {
            |  }
            |  Object[] out = new Object[n];
            |  for (int i = 0; i < n; i++) {
-           |    if ($nullGuard) { out[i] = null; }
-           |    else if (hasMax && maxabs == 0.0D) { out[i] = (Object) 0L; }
+           |    // maxabs == 0 before the null check: CASE WHEN maxabs = 0
+           |    // THEN 0 never evaluates x, so a null element yields 0 there
+           |    if (hasMax && maxabs == 0.0D) { out[i] = (Object) 0L; }
+           |    else if ($nullGuard) { out[i] = null; }
            |    else if (!hasMax) { out[i] = null; }
            |    else {
            |      double m = $get * 127.0D / maxabs;

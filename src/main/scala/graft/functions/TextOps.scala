@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Column-level text primitives shared by the dedup / text-analysis
@@ -12,9 +12,19 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace tokens, empties dropped. Mirrors the oracle's
-    * `list_filter(string_split(text, ' '), x -> x <> '')`. */
+    * `list_filter(string_split(text, ' '), x -> x <> '')`. Served by
+    * the native [[TokensWs]] kernel: the builtin split is codegen'd
+    * but pays the regex machinery plus empty-token intermediates, and
+    * the filter is a CodegenFallback higher-order function — one
+    * interpreted boxed lambda eval per token of every document
+    * (value-identical, spec-pinned). */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= lit(""))
+    SparkSession.getActiveSession match {
+      case Some(sp) =>
+        TokenKernels.register(sp)
+        call_function("tokens_ws", text)
+      case None => filter(split(text, " "), t => t =!= lit(""))
+    }
 
   /** Native zero-allocation count of [[tokens]] — the codegen'd
     * [[TokenCount]] kernel (callers register it per session; every
@@ -57,9 +67,16 @@ object TextOps {
     "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "不"))
 
   /** Occurrence count of `words` among `toks` (not distinct — term
-    * frequency matters for language scoring). */
+    * frequency matters for language scoring). Served by the native
+    * [[CountIn]] kernel (the builtin form pays an interpreted
+    * ArrayFilter lambda per token; value-identical, spec-pinned). */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+    SparkSession.getActiveSession match {
+      case Some(sp) =>
+        TokenKernels.register(sp)
+        call_function("count_in", toks, array(words.map(lit): _*))
+      case None => size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+    }
 
   /** Matched-character mass of variable-length character n-grams (the
     * profile words themselves) in the lowercased text: for each gram,
@@ -126,12 +143,27 @@ object TextOps {
     s"""list_transform(range(0, greatest(len($t) - ${k - 1}, 0)),
        | i -> struct_pack(pos := i, s := concat_ws(' ', ${(1 to k).map(j => s"$t[i+$j]").mkString(", ")})))""".stripMargin.replace("\n", "")
 
+  /** Route a hash through its native kernel when a session is active
+    * (the normal operator path — registration is idempotent), else
+    * through the composed-builtin fallback. Both forms compute the
+    * identical value ([[HashKernels]] doc; spec-pinned), so the choice
+    * can never change a result — only the per-row cost. */
+  private def hashKernel(fnName: String, fallback: => Column, args: Column*): Column =
+    SparkSession.getActiveSession match {
+      case Some(sp) => HashKernels.register(sp); call_function(fnName, args: _*)
+      case None => fallback
+    }
+
   /** Portable 60-bit string hash: first 15 hex chars of md5, as a long.
     * Identical in DuckDB: `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`.
     * (md5 is bytewise-identical across engines; 15 hex chars keep the
-    * value positive and overflow-free in 64-bit arithmetic.) */
+    * value positive and overflow-free in 64-bit arithmetic.)
+    * Served by the native [[Hash60]] kernel: the builtin chain
+    * materializes the hex digest string and radix-parses it through
+    * two more strings per row; the kernel reads the 60 bits off the
+    * digest bytes (value-identical, spec-pinned). */
   def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    hashKernel("hash60", conv(substring(md5(s), 1, 15), 16, 10).cast("long"), s)
 
   /** SQL twin of [[hash60]]. */
   def hash60Sql(s: String): String =
@@ -143,7 +175,30 @@ object TextOps {
     * digest is computed once; common-subexpression elimination shares it
     * between [[hash60]] and this). */
   def hash60b(s: Column): Column =
-    conv(substring(md5(s), 16, 15), 16, 10).cast("long")
+    hashKernel("hash60b", conv(substring(md5(s), 16, 15), 16, 10).cast("long"), s)
+
+  /** Both 60-bit halves from ONE digest as a struct<h1, h2> — for the
+    * dual-hash sites (exact dedup, versioning, streaming content
+    * hashes). The builtin forms relied on Catalyst subexpression
+    * elimination sharing `md5(s)` between the two conv chains; the
+    * kernels are opaque single columns, so the sharing point moves
+    * here: consumers project `.getField("h1"/"h2")` of two IDENTICAL
+    * hash120 trees, which codegen subexpression elimination collapses
+    * to one digest per row. */
+  def hash120(s: Column): Column =
+    hashKernel("hash120",
+      struct(hash60(s).as("h1"), hash60b(s).as("h2")), s)
+
+  /** All k-token window hashes of a token array in ONE array pass —
+    * `transform(ngramIndex(t,k), i -> hash60(ngramAt(t,i,k)))` without
+    * the index explode, the per-window concat string, or the hex
+    * round-trip (see [[NgramHash60]]). Value-identical per element;
+    * element j is the window starting at 0-based position j, so
+    * `posexplode` of this column replaces `explode(ngramIndex)` +
+    * scalar hash exactly. */
+  def ngramHash60(t: Column, k: Int): Column =
+    hashKernel("ngram_hash60",
+      transform(ngramIndex(t, k), i => hash60(ngramAt(t, i, k))), t, lit(k))
 
   /** SQL twin of [[hash60b]]. */
   def hash60bSql(s: String): String =

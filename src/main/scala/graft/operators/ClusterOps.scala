@@ -114,7 +114,8 @@ object ClusterOps {
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     var inner: DataFrame = null
-    val labels = Materialize.memoized(spark, s"cc_labels_${Materialize.dirTag(sfDir)}") {
+    val labels = Materialize.memoized(spark,
+        s"cc_labels_${graft.GraftConf.minhashBucketCap(spark)}_${Materialize.dirTag(sfDir)}") {
       inner = componentsOf(spark,
         DedupOps.nearDupJaccard(spark, sfDir).select(col("doc_a"), col("doc_b")))
       inner
@@ -126,7 +127,8 @@ object ClusterOps {
     // slim rows): seven session consumers (clusters/survivors/
     // rep-quality/size-histogram/leakage-split + sql twins) previously
     // re-ran the label join + corpus-wide size window each
-    Materialize.memoized(spark, s"cc_clusters_${Materialize.dirTag(sfDir)}") {
+    Materialize.memoized(spark,
+        s"cc_clusters_${graft.GraftConf.minhashBucketCap(spark)}_${Materialize.dirTag(sfDir)}") {
       Tables.documents(spark, sfDir).select(col("doc_id"))
         .join(labels.toDF("doc_id", "label"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
@@ -176,7 +178,8 @@ object ClusterOps {
     * caveat is gone. */
   def incrementalClusters(spark: SparkSession, sfDir: String): DataFrame = {
     var inners: List[DataFrame] = Nil
-    val labels = Materialize.memoized(spark, s"cc_incr_${Materialize.dirTag(sfDir)}") {
+    val labels = Materialize.memoized(spark,
+        s"cc_incr_${graft.GraftConf.minhashBucketCap(spark)}_${Materialize.dirTag(sfDir)}") {
       val sigs = DedupOps.signatures(spark, sfDir, keepHs = true)
       val baseLabels = componentsOf(spark,
         DedupOps.nearDupJaccard(spark, sfDir)

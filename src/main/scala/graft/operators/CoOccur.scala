@@ -42,17 +42,31 @@ object CoOccur {
 
   private def tokensCol: Column = TextOps.tokens(col("text"))
 
-  /** Per-document forward pair structs, generated inside codegen.
-    * `sequence(1, n)` needs n >= 1 (Spark's sequence DESCENDS when
-    * start > stop — sequence(1, 0) is [1, 0], not empty), so
-    * documents with fewer than two tokens short-circuit to an empty
-    * pair array instead. */
+  /** Per-document forward pair structs — the native
+    * [[graft.functions.SkipgramPairs]] kernel. The previous
+    * `flatten(transform(sequence(1, n), i -> transform(slice(toks,
+    * i+1, W), x -> struct(toks[i], x))))` form was built from
+    * CodegenFallback higher-order functions: every document paid an
+    * interpreted boxed lambda eval per position plus a sequence array,
+    * a slice copy and a flatten copy — the allocation source behind
+    * the 32-core GC pathology the r16 driver bench measured
+    * (`skipgram_pairs` 6.1 s at 32 cores vs 1.3 s at 8). The kernel
+    * emits the identical pair array (center position ascending,
+    * context offset ascending; < 2 tokens ⇒ empty) in one generated
+    * loop. Falls back to the HOF form only when no session is active
+    * (value-identical either way, spec-pinned). */
   private def pairStructs(toks: Column): Column =
-    when(size(toks) >= 2,
-      flatten(transform(sequence(lit(1), size(toks)), i =>
-        transform(slice(toks, i + 1, lit(Window)), x =>
-          struct(element_at(toks, i).as("center"), x.as("context"))))))
-      .otherwise(array().cast("array<struct<center:string,context:string>>"))
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(sp) =>
+        graft.functions.HashKernels.register(sp)
+        call_function("skipgram_pairs", toks, lit(Window))
+      case None =>
+        when(size(toks) >= 2,
+          flatten(transform(sequence(lit(1), size(toks)), i =>
+            transform(slice(toks, i + 1, lit(Window)), x =>
+              struct(element_at(toks, i).as("center"), x.as("context"))))))
+          .otherwise(array().cast("array<struct<center:string,context:string>>"))
+    }
 
   /** Spec hook: the per-document pair generator over a text column. */
   private[graft] def testPairStructs(text: Column): Column =

@@ -44,21 +44,21 @@ object Decontamination {
   val MaxShingleDf = 10
   val MinShared = 3
 
-  /** Distinct (doc_id, shingle-hash) rows via the scalar codegen path
-    * (the token array is materialized as a column BEFORE the explode,
-    * so it is computed once per row, not once per shingle element). */
-  private[graft] def shingleRows(docs: DataFrame): DataFrame = {
-    val t = col("t")
-    val idx = when(size(t) >= ShingleK, sequence(lit(0), size(t) - ShingleK))
-      .otherwise(array().cast("array<int>"))
+  /** (doc_id, shingle-hash) rows WITH within-doc duplicates, via the
+    * native [[graft.functions.NgramHash60]] kernel — one array pass
+    * per doc, window bytes fed straight to the digest (no per-window
+    * concat string, no index explode, no hex round-trip;
+    * value-identical, spec-pinned). */
+  private def shingleRowsRaw(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .select(col("doc_id"), t, explode(idx).as("i"))
       .select(col("doc_id"),
-        concat_ws(" ", (0 until ShingleK).map(j => element_at(t, col("i") + j + 1)): _*).as("s"))
-      .select(col("doc_id"), TextOps.hash60(col("s")).as("h"))
-      .distinct()
-  }
+        explode(TextOps.ngramHash60(col("t"), ShingleK)).as("h"))
+
+  /** Distinct (doc_id, shingle-hash) rows — per-doc shingle SETS, the
+    * frame the overlap counting is defined over. */
+  private[graft] def shingleRows(docs: DataFrame): DataFrame =
+    shingleRowsRaw(docs).distinct()
 
   def evalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     // Broadcastable-eval fast path on by default; bc is identity under
@@ -75,9 +75,17 @@ object Decontamination {
     // other variant's checkpoint
     val corpusMatched = Materialize.memoized(spark,
         s"corpussh_${if (useBc) "b" else "s"}_${Materialize.dirTag(sfDir)}") {
-      shingleRows(docs.where(col("source") =!= EvalSource))
+      // distinct AFTER the broadcast semi-join, not before: the two
+      // commute exactly (the join on h against a DISTINCT eval-hash
+      // set is a pure filter, and dedup-then-filter == filter-then-
+      // dedup), but distinct-first was a corpus-wide exchange of EVERY
+      // (doc, shingle) pair — the one shuffle this operator's scale
+      // design promises never happens. Now only eval-matched rows
+      // reach the exchange (guide §2.4).
+      shingleRowsRaw(docs.where(col("source") =!= EvalSource))
         .join(bc(evalHashes), "h")
         .select(col("doc_id").as("corpus_doc"), col("h"))
+        .distinct()
     }
     overlapFromMatched(corpusMatched, evalSh, bc)
   }

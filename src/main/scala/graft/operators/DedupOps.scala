@@ -49,9 +49,13 @@ object DedupOps {
     * normalization and hash scheme cannot drift between them. */
   private[operators] def hashedDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val norm = TextOps.normText(col("text"))
+    // hash120: both 60-bit halves from ONE digest per doc (the builtin
+    // pair relied on CSE sharing the md5 hex; the kernels are opaque,
+    // so the sharing point is the identical hash120 tree)
+    val h = TextOps.hash120(norm)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        TextOps.hash60(norm).as("h1"), TextOps.hash60b(norm).as("h2"))
+        h.getField("h1").as("h1"), h.getField("h2").as("h2"))
   }
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
@@ -84,16 +88,14 @@ object DedupOps {
     * slower). Docs with fewer than ShingleK tokens drop out here,
     * having no shingles. */
   private def shingleHashes(spark: SparkSession, sfDir: String): DataFrame = {
-    // explode an index range and build each shingle with the scalar
-    // (codegen'd) TextOps.ngramAt instead of interpreted
-    // array_distinct/transform lambdas; duplicates are harmless (min is
-    // idempotent, collect_set dedups), so no distinct pass is needed.
-    val t = col("t")
+    // one ngram_hash60 kernel pass per doc (window bytes fed straight
+    // to the digest — no per-window concat string, no index explode,
+    // no hex round-trip); duplicates are harmless (min is idempotent,
+    // collect_set dedups), so no distinct pass is needed.
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .select(col("doc_id"), t, explode(TextOps.ngramIndex(t, ShingleK)).as("i"))
-      .select(col("doc_id"), TextOps.ngramAt(t, col("i"), ShingleK).as("s"))
-      .select(col("doc_id"), TextOps.hash60(col("s")).as("h"))
+      .select(col("doc_id"),
+        explode(TextOps.ngramHash60(col("t"), ShingleK)).as("h"))
   }
 
   /** MinHash signatures in ONE aggregation: the NumHashes permutation
@@ -308,7 +310,10 @@ object DedupOps {
     * thresholded. The division is one IEEE op over exact integers —
     * deterministic. */
   def nearDupJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    Materialize.memoized(spark, s"neardup_pairs_${Materialize.dirTag(sfDir)}") {
+    // bucket cap in the key: bandRows reads it at plan time (r16 ADVICE
+    // — a mid-session cap change must rebuild, not serve a stale memo)
+    Materialize.memoized(spark,
+        s"neardup_pairs_${graft.GraftConf.minhashBucketCap(spark)}_${Materialize.dirTag(sfDir)}") {
       nearDupJaccardFromSignatures(signatures(spark, sfDir, keepHs = true))
     }
 
@@ -449,10 +454,11 @@ object DedupOps {
     * equivalent declarative per-bit-SUM formulation. */
   private def simhashCore(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = udaf(new graft.functions.SimhashSigAgg(SimHashHalfBits))
+    val h = TextOps.hash120(col("tk"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
       .select(col("doc_id"),
-        TextOps.hash60(col("tk")).as("h1"), TextOps.hash60b(col("tk")).as("h2"))
+        h.getField("h1").as("h1"), h.getField("h2").as("h2"))
       .groupBy(col("doc_id")).agg(sig(col("h1"), col("h2")).as("s"))
       .select(col("doc_id"), col("s._1").as("simhash_lo"), col("s._2").as("simhash_hi"))
   }
@@ -537,9 +543,11 @@ object DedupOps {
     // pair-set output memoized too: the banding + Hamming verification
     // over the signature memo previously re-ran for each of
     // dedup_simhash_pairs and sql_simhash_pairs (the verified pair set
-    // is near-dup-scale, slim)
+    // is near-dup-scale, slim). The hot-bucket cap is part of the key:
+    // the build reads it at plan time, so changing the conf mid-session
+    // must rebuild, not serve the other cap's checkpoint (r16 ADVICE).
     Materialize.memoized(spark,
-        s"simhash_pairs_${Materialize.dirTag(sfDir)}") {
+        s"simhash_pairs_${graft.GraftConf.simhashHotCap(spark)}_${Materialize.dirTag(sfDir)}") {
       simhashNearDupsFromSignatures(sig)
     }.orderBy(col("doc_a").asc, col("doc_b").asc)
   }
@@ -634,9 +642,10 @@ object DedupOps {
     // output memoized per (session, dir) — doc-scale slim rows; shared
     // by dedup_priority and sql_priority_dedup, which each previously
     // re-ran the banding + Jaccard verification (the PageRank
-    // output-memo billing policy)
+    // output-memo billing policy). Keyed by the minhash bucket cap its
+    // near-dup arm depends on (r16 ADVICE).
     Materialize.memoized(spark,
-        s"priority_dedup_${Materialize.dirTag(sfDir)}") {
+        s"priority_dedup_${graft.GraftConf.minhashBucketCap(spark)}_${Materialize.dirTag(sfDir)}") {
     val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
     val hashed = hashedDocs(spark, sfDir)
     val prio = hashed.where(col("source") === PrioritySource)

@@ -98,6 +98,27 @@ object GraphRank {
       pagerankBuild(spark, sfDir)
     }.orderBy(col("node").asc)
 
+  /** Bounded collect behind the graph family's driver-side iterations
+    * (r16 verdict item 3: the collects assumed a ~100-item vocabulary
+    * FOREVER — true of every fixture, but an assumption about the
+    * data, not an enforced invariant). `limit(cap+1).collect()` bounds
+    * what can ever reach the driver (CollectLimit stops producing past
+    * the cap — the full frame is never gathered), and a `None` tells
+    * the caller to run its retained distributed iteration instead.
+    * Cap = `spark.graft.graph.collectCap` (default 1M slim edge rows
+    * ≈ tens of MB of driver tuples); a pure plan-shape knob — both
+    * paths are bit-exact by construction, so results are invariant to
+    * it (GraphRankSpec pins driver ≡ distributed on synthetic graphs
+    * by forcing cap 0). The probe is ONE `count()` job (the frames
+    * here are memoized checkpoints or their cheap projections — a
+    * CollectLimit probe was measured paying up to 4 scale-up jobs),
+    * and the collect itself only fires once the count proved it
+    * bounded. */
+  private def collectEdgesBounded(df: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
+    val cap = graft.GraftConf.graphCollectCap(df.sparkSession)
+    if (df.count() > cap) None else Some(df.collect())
+  }
+
   /** The power iteration runs ON THE DRIVER over the collected edge
     * list — the k-means/centsLit bounded-collect pattern: the node set
     * is the pinned `props.$.k` item vocabulary (100 values at every
@@ -111,6 +132,11 @@ object GraphRank {
     * iteration on ~100-row frames, measured at ~3 s of the query's
     * 4.4 s cold time at sf0.1; the arithmetic is microseconds.
     *
+    * GUARDED (r16 verdict item 3): an edge frame past
+    * [[GraftConf.GraphCollectCapKey]] rows never reaches the driver —
+    * [[pagerankDistributed]] (the retained r15 formulation, identical
+    * IEEE tree) runs instead.
+    *
     * Bit-exactness is preserved op for op: contributions fold in src
     * order, left-associated from the 0.0 seed ((r·w)/outw per edge),
     * the update is 0.15/N + 0.85·s — the identical IEEE tree the
@@ -118,10 +144,12 @@ object GraphRank {
     * first-element seed is exact vs 0.0 + c because contributions are
     * positive; unchanged from the previous in-plan fold, which the
     * oracle already hash-matched). */
-  private def pagerankBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val edgeRows = itemEdges(spark, sfDir)
-      .select(col("src"), col("dst"), col("w")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+  private[graft] def pagerankBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val edgeFrame = itemEdges(spark, sfDir).select(col("src"), col("dst"), col("w"))
+    val edgeRows = collectEdgesBounded(edgeFrame) match {
+      case Some(rows) => rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      case None => return pagerankDistributed(edgeFrame)
+    }
     val nodes = edgeRows.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val n = nodes.length
     val outw = edgeRows.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
@@ -140,6 +168,44 @@ object GraphRank {
     }
     spark.createDataFrame(nodes.toSeq.map(v => (v, r(v))))
       .toDF("node", "pagerank")
+  }
+
+  /** The retained distributed power iteration — the over-cap fallback:
+    * each iteration is a node-keyed join + grouped fold +
+    * localCheckpoint; the per-destination incoming sum is the same
+    * src-ordered left-associated fold
+    * (`aggregate(array_sort(collect_list(struct(src, c))))`, 0.0 seed)
+    * the driver loop and the oracle replay, so the two paths are
+    * bit-identical (GraphRankSpec pins it). */
+  private def pagerankDistributed(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val stats = nodes.agg(count(lit(1)).as("n"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val ndD = col("n").cast("double")
+    var ranks = nodes.crossJoin(broadcast(stats))
+      .select(col("node"), (lit(1.0) / ndD).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PageRankIters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outw, Seq("src"))
+        .select(col("dst"), col("src"),
+          ((col("r") * col("w").cast("double")) / col("outw").cast("double")).as("c"))
+      val incoming = contribs.groupBy(col("dst"))
+        .agg(aggregate(array_sort(collect_list(struct(col("src"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+      ranks = nodes
+        .join(incoming.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("node"),
+          (lit(0.15) / ndD + lit(0.85) * coalesce(col("s"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("r").as("pagerank"))
   }
 
   /** Within-session consecutive-item transition graph as an
@@ -194,13 +260,18 @@ object GraphRank {
     * vocabulary-sized frame. */
   private[graft] def trianglesOf(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
-    val und = edges
+    val undFrame = edges
       .where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    // GUARDED bounded collect (r16 verdict item 3): past the cap the
+    // retained distributed wedge join runs instead — exact integer
+    // counts either way, so the paths are interchangeable
+    val und = collectEdgesBounded(undFrame) match {
+      case Some(rows) => rows.map(r => (r.getLong(0), r.getLong(1)))
+      case None => return trianglesDistributed(undFrame)
+    }
     val deg = scala.collection.mutable.Map.empty[Long, Long]
     und.foreach { case (a, b) =>
       deg(a) = deg.getOrElse(a, 0L) + 1L
@@ -232,6 +303,37 @@ object GraphRank {
     }
     spark.createDataFrame(tri.toSeq.sortBy(_._1))
       .toDF("node", "triangles")
+      .orderBy(col("node").asc)
+  }
+
+  /** The retained distributed triangle enumeration (degree-ordered
+    * orientation + wedge join + closure semi-join — Suri &
+    * Vassilvitskii, WWW'11) — the over-cap fallback for
+    * [[trianglesOf]]. Exact integer counts; at a web-scale node set
+    * the three self-joins shard on node id. Takes the DEDUPED
+    * undirected edge frame. */
+  private def trianglesDistributed(und0: DataFrame): DataFrame = {
+    val und = und0.localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val aFirst = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      .withColumn("a_first",
+        col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+    val o = aFirst.select(
+      when(col("a_first"), col("a")).otherwise(col("b")).as("u"),
+      when(col("a_first"), col("b")).otherwise(col("a")).as("v"),
+      when(col("a_first"), col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(true)
+    val o1 = o.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val o2 = o.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val tri = o1.join(o2, Seq("u"))
+      .where(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    tri.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
       .orderBy(col("node").asc)
   }
 
@@ -343,13 +445,18 @@ object GraphRank {
     * induced degrees are identical by construction. */
   private[graft] def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
-    val und = edges
+    val undFrame = edges
       .where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    // GUARDED bounded collect (r16 verdict item 3): past the cap the
+    // retained distributed peel rounds run instead — exact integer
+    // peeling either way
+    val und = collectEdgesBounded(undFrame) match {
+      case Some(rows) => rows.map(r => (r.getLong(0), r.getLong(1)))
+      case None => return kcoreDistributed(undFrame, k, rounds)
+    }
     var alive = und.flatMap(e => Seq(e._1, e._2)).toSet
     def degrees(of: Set[Long]): Map[Long, Long] = {
       val d = scala.collection.mutable.Map.empty[Long, Long]
@@ -366,6 +473,29 @@ object GraphRank {
     val fin = degrees(alive).toSeq.sortBy(_._1)
     spark.createDataFrame(fin).toDF("node", "deg")
       .orderBy(col("node").asc)
+  }
+
+  /** The retained distributed peel rounds (two semi-joins + induced
+    * degrees per round, survivor frames localCheckpointed) — the
+    * over-cap fallback for [[kcoreOf]]. Takes the DEDUPED undirected
+    * edge frame. */
+  private def kcoreDistributed(und0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val und = und0.localCheckpoint(true)
+    def induced(alive: DataFrame): DataFrame = {
+      val e = und
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    }
+    var nodes = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      nodes = induced(nodes).where(col("deg") >= k)
+        .select(col("node")).localCheckpoint(true)
+    induced(nodes).orderBy(col("node").asc)
   }
 
   /** [[kcore]]'s oracle: the identical [[KCoreRounds]] peel rounds

@@ -48,6 +48,14 @@ object Retrieval {
   private[graft] val Bm25AllTerms: Seq[String] =
     Bm25Queries.flatMap(_._2).distinct
 
+  // The single-query scorers read tf0..tf{|Bm25Terms|-1} of the
+  // memoized ALL-terms projection — valid only while Bm25Terms is a
+  // first-appearance PREFIX of Bm25AllTerms. Reordering Bm25Queries or
+  // editing query 1 would otherwise silently shift which terms the
+  // single-query path scores (r16 ADVICE).
+  require(Bm25AllTerms.take(Bm25Terms.size) == Bm25Terms,
+    "Bm25Terms must prefix Bm25AllTerms (single-query scorers read tf0..tf2 of the all-terms frame)")
+
   /** BM25 parameters. k1 is deliberately 1.5 (not the also-classic
     * 1.2): every constant in the scoring tree — 1.5, 2.5, 0.75, 0.25,
     * 0.5 — is exactly representable in binary64, so the Spark
@@ -80,14 +88,23 @@ object Retrieval {
   private[graft] def bm25PerDoc(docs: DataFrame): DataFrame =
     bm25PerDocFor(docs, Bm25Terms)
 
-  private[graft] def bm25PerDocFor(docs: DataFrame, terms: Seq[String]): DataFrame =
+  private[graft] def bm25PerDocFor(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    // per-term counts via the native term_freqs kernel: ONE pass over
+    // the token array instead of |terms| interpreted ArrayFilter
+    // lambdas (each allocating a filtered copy just to be counted);
+    // the |terms| element_at projections of the same kernel tree
+    // collapse to one eval under codegen subexpression elimination.
+    // Values identical (exact integer counts, spec-pinned).
+    graft.functions.TokenKernels.register(docs.sparkSession)
+    val tfc = call_function("term_freqs", col("toks"), array(terms.map(lit): _*))
     docs.where(col("text").isNotNull)
       .select(col("doc_id"),
         TextOps.tokens(TextOps.normText(col("text"))).as("toks"))
       .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(col("toks"), tok => tok === t)).cast("long").as(s"tf$i")
+        terms.indices.map { i =>
+          element_at(tfc, i + 1).as(s"tf$i")
         }: _*)
+  }
 
   private[graft] def bm25AnyMatch: Column =
     Bm25Terms.indices.map(i => col(s"tf$i") > 0).reduceLeft(_ || _)
@@ -392,12 +409,15 @@ object Retrieval {
         terms.zipWithIndex.map { case (t, pos) => (qid, pos, t) } }
       .toDF("query_id", "pos", "term")
     val docs = Tables.documents(spark, sfDir)
+    // matched-token pre-filter via the native filter_in kernel (the
+    // |terms|-way OR lambda was an interpreted ArrayFilter per token)
+    graft.functions.TokenKernels.register(spark)
     val base = docs.where(col("text").isNotNull)
       .select(col("doc_id"),
         TextOps.tokens(TextOps.normText(col("text"))).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        filter(col("toks"),
-          tok => Bm25AllTerms.map(t => tok === t).reduceLeft(_ || _)).as("matched"))
+        call_function("filter_in", col("toks"),
+          array(Bm25AllTerms.map(lit): _*)).as("matched"))
     // 1-row corpus stats over ALL docs (nd, tt) — same aggregate the
     // unrolled path broadcasts.
     val stats = base.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
@@ -455,13 +475,16 @@ object Retrieval {
   def bm25MaxP(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val chunks = Chunking.chunkCols(Tables.documents(spark, sfDir))
+    // per-chunk tf via the term_freqs kernel (see bm25PerDocFor)
+    graft.functions.TokenKernels.register(spark)
+    val tfc = call_function("term_freqs", col("toks"), array(Bm25Terms.map(lit): _*))
     val perChunk = chunks
       .select(col("doc_id"), col("chunk_id"),
         TextOps.tokens(TextOps.normText(col("chunk_text"))).as("toks"))
       .select(Seq(col("doc_id"), col("chunk_id"),
           size(col("toks")).cast("long").as("dl")) ++
-        Bm25Terms.zipWithIndex.map { case (t, i) =>
-          size(filter(col("toks"), tok => tok === t)).cast("long").as(s"tf$i")
+        Bm25Terms.indices.map { i =>
+          element_at(tfc, i + 1).as(s"tf$i")
         }: _*)
     val stats = bm25StatsFor(perChunk, Bm25Terms.size)
     val (nTerms, score) = bm25ScoreCols(col("nd"), col("tt"), i => col(s"df$i"))

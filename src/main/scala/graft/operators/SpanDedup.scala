@@ -52,10 +52,8 @@ object SpanDedup {
   private def spanHashes(spark: SparkSession, sfDir: String, W: Int): DataFrame = {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("t"),
-        explode(TextOps.ngramIndex(col("t"), W)).as("i"))
       .select(col("doc_id"),
-        TextOps.hash60(TextOps.ngramAt(col("t"), col("i"), W)).as("span_hash"))
+        explode(TextOps.ngramHash60(col("t"), W)).as("span_hash"))
   }
 
   /** Spans appearing in ≥2 distinct documents: span hash, how many
@@ -73,10 +71,8 @@ object SpanDedup {
         s"span_agg_${w}_${Materialize.dirTag(sfDir)}") {
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-        .select(col("doc_id"), col("t"),
-          explode(TextOps.ngramIndex(col("t"), w)).as("pos"))
-        .select(col("doc_id"), col("pos"),
-          TextOps.hash60(TextOps.ngramAt(col("t"), col("pos"), w)).as("span_hash"))
+        .select(col("doc_id"),
+          posexplode(TextOps.ngramHash60(col("t"), w)).as(Seq("pos", "span_hash")))
         .groupBy(col("span_hash"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occ"),

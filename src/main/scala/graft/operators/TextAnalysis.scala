@@ -718,7 +718,10 @@ object TextAnalysis {
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     val t = TextOps.tokens(col("text"))
     val docHash = TextOps.hash60(TextOps.normText(col("text")))
-    val minShingle = array_min(transform(TextOps.shingles(t, 3), s => TextOps.hash60(s)))
+    // min over ALL window hashes == min over the distinct shingle set
+    // the previous transform(shingles) form hashed (duplicates cannot
+    // change a min), so the ngram_hash60 kernel serves this site too
+    val minShingle = array_min(TextOps.ngramHash60(t, 3))
     docs(spark, sfDir)
       .select(col("doc_id"), docHash.as("doc_hash"),
         coalesce(minShingle, docHash).as("min_shingle_hash"))

@@ -41,8 +41,9 @@ object Versioning {
   def diffOf(v1: DataFrame, v2: DataFrame, normalizeText: Boolean = true): DataFrame = {
     def slim(df: DataFrame, h1: String, h2: String) = {
       val key = if (normalizeText) TextOps.normText(col("text")) else col("text")
+      val h = TextOps.hash120(key)
       df.select(col("doc_id"),
-        TextOps.hash60(key).as(h1), TextOps.hash60b(key).as(h2))
+        h.getField("h1").as(h1), h.getField("h2").as(h2))
     }
     val status = when(col("old_hash").isNull, lit("added"))
       .when(col("new_hash").isNull, lit("removed"))

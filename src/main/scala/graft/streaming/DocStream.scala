@@ -47,13 +47,14 @@ object DocStream {
   def curateStream(docs: DataFrame): DataFrame = {
     val (nTokens, quality) = TextAnalysis.qualityCols(col("text"))
     val norm = TextOps.normText(col("text"))
+    val h = TextOps.hash120(norm)
     docs
       .where(col("text").isNotNull &&
         col("lang").isin(Curation.LangAllow.map(l => l: Any): _*))
       .select(col("doc_id"), col("source"), col("lang"),
         nTokens.as("n_tokens"), quality.as("quality"),
-        TextOps.hash60(norm).as("content_hash"),
-        TextOps.hash60b(norm).as("content_hash_b"))
+        h.getField("h1").as("content_hash"),
+        h.getField("h2").as("content_hash_b"))
       .where(col("quality") >= Curation.QualityMin)
   }
 
@@ -167,11 +168,12 @@ object DocStream {
     val norm = TextOps.normText(col("text"))
     val half = DedupOps.SimHashHalfBits
     val k = DedupOps.ShingleK
+    val hc = TextOps.hash120(norm)
     docs
       .where(col("text").isNotNull)
       .select(col("doc_id"), col("source"), col("lang"),
-        TextOps.hash60(norm).as("content_hash"),
-        TextOps.hash60b(norm).as("content_hash_b"),
+        hc.getField("h1").as("content_hash"),
+        hc.getField("h2").as("content_hash_b"),
         col("text"))
       .as[(Long, String, String, Long, Long, String)]
       .mapPartitions { rows =>
@@ -283,8 +285,10 @@ object DocStream {
     * streaming state is needed anywhere. */
   def contaminationStream(docs: DataFrame, evalHashes: DataFrame): DataFrame = {
     val k = graft.operators.Decontamination.ShingleK
-    val hs = array_distinct(transform(
-      TextOps.shingles(TextOps.tokens(col("text")), k), s => TextOps.hash60(s)))
+    // distinct over ALL window hashes == distinct over the hashed
+    // distinct-shingle set (first-occurrence order is preserved either
+    // way), so the ngram_hash60 kernel serves the streaming twin too
+    val hs = array_distinct(TextOps.ngramHash60(TextOps.tokens(col("text")), k))
     docs.where(col("text").isNotNull)
       .select(col("doc_id").as("corpus_doc"), explode(hs).as("h"))
       .join(evalHashes.select(col("h")), "h")

@@ -50,7 +50,15 @@ object JobProfile {
 
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
-      Seq("cold", "warm").foreach { tag =>
+      // "recold" replays the BENCH pass-2 condition: memos dropped, JVM
+      // and codegen caches warm — the number cross-round adjudication
+      // actually compares (plain "warm" reads the session memos and
+      // measures almost nothing for memoized operators)
+      Seq("cold", "warm", "recold").foreach { tag =>
+        if (tag == "recold") {
+          spark.catalog.clearCache()
+          graft.operators.Materialize.reset(spark)
+        }
         println(s"== $n ($tag) ==")
         lastEnd = System.nanoTime()
         val t0 = System.nanoTime()

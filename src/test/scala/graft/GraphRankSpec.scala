@@ -53,6 +53,30 @@ class GraphRankSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("over-cap fallback: distributed iterations are value-identical to the driver path") {
+    // default cap: driver-side loops (the fixture graph is ~100 nodes)
+    val edges = GraphRank.itemEdges(spark, sf)
+    val triDriver = GraphRank.trianglesOf(edges).collect().toSeq
+    val kcDriver = GraphRank.kcoreOf(edges, GraphRank.KCoreK, GraphRank.KCoreRounds)
+      .collect().toSeq
+    val prDriver = GraphRank.pagerankBuild(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    // cap 0: every frame is "over cap" → the retained distributed
+    // iterations run; results must be bit-identical (exact integer
+    // counts; pagerank's fold replays the identical IEEE tree)
+    spark.conf.set(GraftConf.GraphCollectCapKey, "0")
+    try {
+      val triDist = GraphRank.trianglesOf(edges).collect().toSeq
+      val kcDist = GraphRank.kcoreOf(edges, GraphRank.KCoreK, GraphRank.KCoreRounds)
+        .collect().toSeq
+      val prDist = GraphRank.pagerankBuild(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(triDist == triDriver)
+      assert(kcDist == kcDriver)
+      assert(prDist == prDriver)
+    } finally spark.conf.unset(GraftConf.GraphCollectCapKey)
+  }
+
   test("pagerank: every node ranked, mass bounded, base-rank floor holds") {
     val rows = GraphRank.pagerank(spark, sf).collect()
     val n = rows.length

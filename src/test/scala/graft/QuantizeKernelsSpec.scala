@@ -23,7 +23,9 @@ class QuantizeKernelsSpec extends SparkSpec {
       Row(4L, null),                                     // null array
       Row(5L, Seq.empty[java.lang.Double]),              // empty array
       Row(6L, Seq(1e-7, -1e-7, 0.4999999, 127.0)),       // tiny + saturating
-      Row(7L, Seq(-127.3, 126.7, 63.5, -63.5))           // more halves after scaling
+      Row(7L, Seq(-127.3, 126.7, 63.5, -63.5)),          // more halves after scaling
+      Row(8L, Seq(0.0, null)),                           // null element on a maxabs=0 vector → 0 (r16 ADVICE)
+      Row(9L, Seq[Any](null, null))                      // all-null: no maxabs → null codes
     ).map { r =>
       Row(r.get(0), Option(r.get(1)).map(_.asInstanceOf[Seq[Any]]).orNull)
     }
